@@ -1,0 +1,61 @@
+"""64-bit content hashing for URL identity, dedup and shard routing.
+
+SURVEY.md specs ``xxhash64``; the ``xxhash`` wheel is not installed in
+this sandbox, so the engine standardizes on BLAKE2b-64 (``hashlib``, C
+speed, stable across processes/versions — which pure-Python xxhash
+would match only at ~20× the cost). The property the engine relies on
+is only: a stable, well-mixed 64-bit hash with negligible collision
+probability at 10^10 keys (birthday expectation ≈ n²/2^65 ≈ 2.7
+colliding pairs at n=10^10 — acceptable for crawl dedup, the same
+trade-off xxhash64 makes).
+
+Shard routing is ``hash64 % n_shards`` — stable across cluster sizes as
+long as n_shards is fixed at init (SURVEY.md §4.2 "dedup state").
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pyarrow as pa
+
+_MASK = (1 << 64) - 1
+
+
+def hash64(s: str | bytes) -> int:
+    """Stable 64-bit hash of a string (BLAKE2b-8, little-endian)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int.from_bytes(blake2b(s, digest_size=8).digest(), "little")
+
+
+def hash64_array(values) -> np.ndarray:
+    """Vectorized-ish batch hash: accepts a pyarrow StringArray /
+    ChunkedArray, numpy array or list of str; returns uint64 ndarray.
+    The per-item cost is one C blake2b call (~0.3 µs) — the loop is over
+    a batch, never over the whole dataset."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_pylist()
+    out = np.empty(len(values), dtype=np.uint64)
+    _h = blake2b
+    for i, s in enumerate(values):
+        if s is None:
+            out[i] = 0
+        else:
+            out[i] = int.from_bytes(
+                _h(s.encode("utf-8", "surrogatepass") if isinstance(s, str) else s,
+                   digest_size=8).digest(),
+                "little",
+            )
+    return out
+
+
+def digest_u64(arr: np.ndarray) -> int:
+    """Order-insensitive 64-bit digest of a uint64 array (sum mod 2^64) —
+    used for per-partition lineage digests (LINEAGE schema): cheap,
+    mergeable across partitions, order-independent so retries/shuffles
+    don't change it."""
+    return int(np.sum(arr.astype(np.uint64), dtype=np.uint64)) & _MASK

@@ -1,0 +1,182 @@
+"""Stateless parse stages: ad page → span document, listing page → links.
+
+These are the engine's core ``map_batches`` kernels
+(``batch_format="pyarrow"``, zero-copy in): one call handles a whole
+Arrow batch of HTML pages; the per-document work is inherently
+per-document (same as the reference's Jsoup pass,
+``DownloadAds.scala:43-58``).
+
+Conformance semantics implemented bug-for-bug (SURVEY.md §7):
+
+- Q1: ``description`` uses the SAME selector as ``title``
+  (``div[data-cy='ad_title']``, reference ``DownloadAds.scala:46-47``), so
+  description == title. ``native=True`` fixes it (selects
+  ``div[data-cy='ad_description']``, falling back to the title).
+- brief lines: Java ``String.split(":")`` semantics — trailing empty
+  segments dropped, only segment index 1 kept as value, missing value →
+  literal ``"true"``; entries with empty key or value dropped; duplicate
+  keys collapse last-value-wins at first-occurrence position
+  (Scala small-Map insertion order, reference ``DownloadAds.scala:49-54``).
+- brief span text renders as ``"k -> v"`` (reference ``H2.scala:60``
+  ``mkString("; ")`` element form).
+- listing links: raw-href ``distinct`` (order-preserving, first-wins)
+  BEFORE absolutization (reference ``DownloadLinks.scala:49``);
+  absolutization replaces only the path of the page URL (``:47-49``).
+- next-page: ``attr("href")`` of the pagination selector; empty → null
+  (reference ``DownloadLinks.scala:43-45``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions import htmlparse as hp
+from ..functions.urls import absolutize
+from ..schema import SPAN
+
+_SEL_TITLE = "div[data-cy='ad_title']"
+_SEL_DESC_NATIVE = "div[data-cy='ad_description']"
+_SEL_PRICE = "div[data-testid='ad-price-container']"
+_SEL_BRIEF = "div#mainContent ul>li>p"
+_SEL_CARD_LINKS = "div[data-testid='l-card'][data-cy='l-card'] a"
+_SEL_NEXT = "a[data-cy='pagination-forward'][data-testid='pagination-forward']"
+
+
+def java_split_colon(s: str) -> list[str]:
+    """Java ``String.split(":")``: trailing empty strings removed; empty
+    input yields ``[""]``."""
+    parts = s.split(":")
+    while len(parts) > 1 and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def parse_brief(texts: list[str]) -> list[tuple[str, str]]:
+    """Reference DownloadAds.scala:49-54 over the ``<p>`` texts: returns
+    ordered (key, value) pairs after filtering + last-wins dedup."""
+    pos: dict[str, int] = {}
+    out: list[list[str]] = []
+    for t in texts:
+        parts = java_split_colon(t)
+        k = parts[0]
+        v = parts[1] if len(parts) > 1 else "true"
+        if not k or not v:
+            continue
+        if k in pos:
+            out[pos[k]][1] = v  # last value wins, keeps first position
+        else:
+            pos[k] = len(out)
+            out.append([k, v])
+    return [(k, v) for k, v in out]
+
+
+def ad_to_spans(html: str, *, native: bool = False) -> list[dict]:
+    """One ad page → ordered span dicts (title, description, price,
+    brief×k, image×m — reference extraction order DownloadAds.scala:46-55)."""
+    doc = hp.parse_html(html)
+    title = hp.text(hp.select(doc, _SEL_TITLE))
+    if native:
+        d = hp.text(hp.select(doc, _SEL_DESC_NATIVE))
+        description = d if d else title
+    else:
+        description = title  # Q1, bug-for-bug
+    price = hp.text(hp.select(doc, _SEL_PRICE))
+    briefs = parse_brief([e.text() for e in hp.select(doc, _SEL_BRIEF)])
+    images = [e.attrs["src"] for e in hp.select(doc, "img") if e.attrs.get("src")]
+
+    spans: list[dict] = []
+
+    def emit(kind: str, text_: str | None, ref: str | None) -> None:
+        spans.append({"kind": kind, "text": text_, "media_ref": ref,
+                      "offset": len(spans)})
+
+    emit("title", title, None)
+    emit("description", description, None)
+    emit("price", price, None)
+    for k, v in briefs:
+        emit("brief", f"{k} -> {v}", None)
+    for src in images:
+        emit("image", None, src)
+    return spans
+
+
+class ParseAds:
+    """map_batches kernel: (url, html, …) → (doc_id, spans, …carried cols).
+
+    Used as a stateless function-like callable; instantiating with
+    ``native=True`` flips Q1 off. Carried columns (anything besides
+    url/html) pass through untouched so the crawl loop can keep
+    ``search_id`` / ``discovered_seq`` without a join.
+    """
+
+    def __init__(self, native: bool = False, url_col: str = "url",
+                 html_col: str = "html"):
+        self.native = native
+        self.url_col = url_col
+        self.html_col = html_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch[self.html_col].to_pylist()
+        spans = pa.array(
+            [ad_to_spans(h or "", native=self.native) for h in htmls],
+            type=pa.list_(SPAN),
+        )
+        cols = {"doc_id": batch[self.url_col], "spans": spans}
+        for name in batch.column_names:
+            if name not in (self.url_col, self.html_col):
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+
+def parse_listing(html: str, page_url: str) -> tuple[list[str], str | None]:
+    """One listing page → (absolutized ad hrefs after first-wins distinct,
+    next_page href or None)."""
+    doc = hp.parse_html(html)
+    next_page = hp.attr(hp.select(doc, _SEL_NEXT), "href") or None
+    raw = [e.attrs.get("href", "") for e in hp.select(doc, _SEL_CARD_LINKS)]
+    seen: set[str] = set()
+    distinct: list[str] = []
+    for h in raw:  # D1: first-wins distinct on RAW hrefs, before absolutize
+        if h not in seen:
+            seen.add(h)
+            distinct.append(h)
+    return [absolutize(page_url, h) for h in distinct], next_page
+
+
+class ParseListings:
+    """map_batches kernel: listing (url, html, …) → exploded link rows.
+
+    Output: one row per extracted href with columns
+    (url, position, page_url, next_page, …carried cols). ``next_page``
+    repeats on every row of its page (consumers take the first).
+    """
+
+    def __init__(self, url_col: str = "url", html_col: str = "html"):
+        self.url_col = url_col
+        self.html_col = html_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        carried = [n for n in batch.column_names
+                   if n not in (self.url_col, self.html_col)]
+        urls, positions, page_urls, next_pages = [], [], [], []
+        carried_vals: dict[str, list] = {n: [] for n in carried}
+        page_url_arr = batch[self.url_col].to_pylist()
+        html_arr = batch[self.html_col].to_pylist()
+        for i, (purl, html) in enumerate(zip(page_url_arr, html_arr)):
+            links, nxt = parse_listing(html or "", purl)
+            for pos, link in enumerate(links):
+                urls.append(link)
+                positions.append(pos)
+                page_urls.append(purl)
+                next_pages.append(nxt)
+                for n in carried:
+                    carried_vals[n].append(batch[n][i].as_py())
+        cols = {
+            "url": pa.array(urls, type=pa.string()),
+            "position": pa.array(positions, type=pa.int32()),
+            "page_url": pa.array(page_urls, type=pa.string()),
+            "next_page": pa.array(next_pages, type=pa.string()),
+        }
+        for n in carried:
+            cols[n] = pa.array(carried_vals[n], type=batch.schema.field(n).type)
+        return pa.table(cols)

@@ -1,0 +1,47 @@
+"""URL absolutization (reference M5 semantics), canonicalization, hashing."""
+
+import numpy as np
+
+from olx_ray.functions.hashing import digest_u64, hash64, hash64_array
+from olx_ray.functions.urls import absolutize, canonicalize, host_of
+
+
+def test_absolutize_replaces_path_keeps_query():
+    # http4s withPath keeps scheme+authority+query (DownloadLinks.scala:47-49)
+    assert (absolutize("https://www.olx.ua/list/uk?q=x", "/d/uk/ad-1")
+            == "https://www.olx.ua/d/uk/ad-1?q=x")
+
+
+def test_absolutize_full_url_becomes_path():
+    # bug-for-bug: a full-URL href is treated as a raw path
+    out = absolutize("https://www.olx.ua/list", "https://hub.olx.ua/d/ad-2")
+    assert out == "https://www.olx.ua/https://hub.olx.ua/d/ad-2"
+
+
+def test_absolutize_adds_leading_slash():
+    assert absolutize("https://h.ua/a", "d/uk/x") == "https://h.ua/d/uk/x"
+
+
+def test_canonicalize():
+    assert canonicalize("HTTPS://WWW.OLX.ua:443/a/../b/./c#frag") == "https://www.olx.ua/b/c"
+    assert canonicalize("http://h.ua:8080/x?q=1") == "http://h.ua:8080/x?q=1"
+    assert canonicalize("https://h.ua") == "https://h.ua/"
+
+
+def test_host_of():
+    assert host_of("https://Hub.OLX.ua/d/x") == "hub.olx.ua"
+
+
+def test_hash64_stable_and_spread():
+    assert hash64("abc") == hash64("abc")
+    assert hash64("abc") != hash64("abd")
+    arr = hash64_array([f"url-{i}" for i in range(1000)])
+    assert arr.dtype == np.uint64
+    assert len(set(arr.tolist())) == 1000
+    assert arr[0] == hash64("url-0")
+
+
+def test_digest_order_insensitive():
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    b = np.array([3, 1, 2], dtype=np.uint64)
+    assert digest_u64(a) == digest_u64(b)
