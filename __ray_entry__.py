@@ -1,44 +1,173 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship relational pipeline on sf0.001.
+``queries()`` exposes one callable per implemented pipeline/operator
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one. The crawl
+pipelines (non-SQL: stateful frontier/seen/politeness semantics) are
+exposed rows-only, self-validated against golden oracles in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` anywhere down this import tree.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: TPC-H-style pricing summary over sf0.001."""
+    from olx_ray.pipelines.relational import q1_pricing_summary
+
+    return q1_pricing_summary("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- crawl ops
+def _site(tier: str) -> dict[str, str]:
+    from olx_ray.sources.sitegen import write_site
+
+    root = os.path.join(tempfile.gettempdir(), f"olx_ray_site_{tier}")
+    if not os.path.isdir(os.path.join(root, "pages")):
+        write_site(tier, root)
+    return {"pages": os.path.join(root, "pages"),
+            "seeds": os.path.join(root, "seeds")}
+
+
+def _explode_spans(ds):
+    """documents (doc_id, spans, fetched_seq) → flat span rows, ordered —
+    the conformance payload as a hashable flat table."""
+    import pyarrow as pa
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids, offs, kinds, texts, refs, seqs = [], [], [], [], [], []
+        for doc_id, spans, seq in zip(b["doc_id"].to_pylist(),
+                                      b["spans"].to_pylist(),
+                                      b["fetched_seq"].to_pylist()):
+            for s in spans:
+                doc_ids.append(doc_id)
+                offs.append(s["offset"])
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                seqs.append(seq)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                         "fetched_seq": pa.array(seqs, pa.int64()),
+                         "offset": pa.array(offs, pa.int32()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "text": pa.array(texts, pa.string()),
+                         "media_ref": pa.array(refs, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .sort(["fetched_seq", "offset"])
+
+
+def _crawl(mode: str):
+    def run(_sf_dir: str):
+        from olx_ray.pipelines.crawl import (CrawlConfig, crawl_conformance,
+                                             crawl_native, read_documents)
+        from olx_ray.sources.sitegen import SiteSpec
+
+        site = _site("t1")
+        out = tempfile.mkdtemp(prefix=f"olx_ray_crawl_{mode}_")
+        cfg = CrawlConfig(pages_dir=site["pages"], out_dir=out, mode=mode)
+        spec = SiteSpec("t1")
+        if mode == "native":
+            crawl_native(cfg, spec.seed_rows())
+        else:
+            crawl_conformance(cfg, spec.listing(0).url, spec.max_count)
+        return _explode_spans(read_documents(out))
+
+    return run
+
+
+def _listing_extract(_sf_dir: str):
+    import ray.data as rd
+
+    from olx_ray.stages.parse import ParseListings
+
+    site = _site("t1")
+    return (rd.read_parquet(site["pages"])
+            .filter(expr="kind == 'listing'")
+            .map_batches(ParseListings(), batch_format="pyarrow")
+            .select_columns(["url", "href_raw", "position", "page_url"])
+            .sort(["page_url", "position"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from olx_ray.pipelines import dedup, events, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational (SURVEY.md §2.5-2.8 generalized) ---------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_supplier_volume": relational.q5_supplier_volume,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "filter_project_revenue": relational.filter_project_revenue,
+        "top_orders": relational.top_orders,
+        "order_priority_count": relational.order_priority_count,
+        "global_lineitem_stats": relational.global_lineitem_stats,
+        "distinct_mktsegments": relational.distinct_mktsegments,
+        "union_distinct_keys": relational.union_distinct_keys,
+        "nation_order_stats": relational.nation_order_stats,
+        "part_type_volume": relational.part_type_volume,
+        # --- events / windows ------------------------------------------
+        "events_by_type": events.events_by_type,
+        "events_tumbling_hourly": events.events_tumbling_hourly,
+        "sessionize": events.sessionize,
+        "user_activity_topk": events.user_activity_topk,
+        # --- text analysis ----------------------------------------------
+        "token_count": text.token_count,
+        "word_freq_topk": text.word_freq_topk,
+        "docs_per_lang": text.docs_per_lang,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "fingerprint": text.fingerprint,
+        # --- dedup -------------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # --- similarity search -------------------------------------------
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,
+        # --- the crawl engine (non-SQL; golden-validated in tests/) ------
+        "crawl_native": _crawl("native"),
+        "crawl_conformance": _crawl("conformance"),
+        "listing_extract": _listing_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from olx_ray.pipelines import dedup, events, relational, similarity, text
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_supplier_volume": relational.Q5_SQL,
+        "q10_returned_revenue": relational.Q10_SQL,
+        "filter_project_revenue": relational.FILTER_PROJECT_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "order_priority_count": relational.ORDER_PRIORITY_SQL,
+        "global_lineitem_stats": relational.GLOBAL_STATS_SQL,
+        "distinct_mktsegments": relational.DISTINCT_SEGMENTS_SQL,
+        "union_distinct_keys": relational.UNION_DISTINCT_SQL,
+        "nation_order_stats": relational.NATION_ORDER_SQL,
+        "part_type_volume": relational.PART_TYPE_SQL,
+        "events_by_type": events.EVENTS_BY_TYPE_SQL,
+        "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "user_activity_topk": events.USER_ACTIVITY_SQL,
+        "token_count": text.TOKEN_COUNT_SQL,
+        "word_freq_topk": text.WORD_FREQ_SQL,
+        "docs_per_lang": text.DOCS_PER_LANG_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "embedding_neardup_pairs": dedup.EMBEDDING_NEARDUP_SQL,
+        "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
+        # lang_id / quality_score / fingerprint / minhash / simhash /
+        # knn_lsh / crawl_*: non-SQL-expressible → rows-only checks.
+    }

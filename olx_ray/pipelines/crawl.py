@@ -1,0 +1,570 @@
+"""The crawl engine: E1 re-expressed as a Ray-Data crawl-round loop.
+
+Two modes (SURVEY.md §7 "hard parts"):
+
+- ``conformance`` — reproduces the reference's observable trace
+  bug-for-bug: the pagination unfold refetches the SAME listing URL
+  and never follows next_page (Q2), an empty next-page does not stop
+  it (Q3), termination comes only from ``take(count)``
+  (reference ``DownloadLinks.scala:17-34``, ``DownloadAds.scala:25-28``);
+  description==title (Q1); a fetch error kills the job (E1 step 2).
+  Execution is still parallel Ray Data — ordering is carried in a
+  sequence column and restored by sort, not by serializing execution.
+
+- ``native`` — the engine's documented semantics: BFS rounds, proper
+  RFC-3986 link resolution, next_page followed, sharded global seen
+  filter (first discovery in *logical* order wins — deterministic at
+  any parallelism), politeness gates, max_count capping ad fetches in
+  discovered order, per-round checkpoint + lineage, resume.
+
+Per native round r::
+
+    frontier_r ──sort(priority, discovered_seq)──limit(budget)──▶
+    map_batches(Fetcher actors)  [politeness gates consulted inside]
+      ├─ filter(ad)      ─ ParseAds ──▶ documents/round-r (parquet)
+      ├─ filter(listing) ─ ParseListings ─ canonicalize+hash ─┐
+      └─ ListingMeta (next_page rows, driver-side tiny) ──────┤
+    union ── dedup_min_seq (groupby shuffle, round-bounded) ──┤
+    SeenFilterClient(check: rounds < r) ── ad-cap sort+limit ─┤
+    SeenFilterClient(add: seal at barrier) ──▶ frontier_{r+1} + checkpoint
+
+Scale notes: the only driver-side materializations are (a) the round's
+LISTING urls (for dense page-rank assignment; bounded by
+budget/ads_per_page) and (b) per-listing next_page metadata — both
+O(listings-per-round), never O(frontier). Everything else streams.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .. import storage
+from ..functions.hashing import hash64
+from ..functions.urls import canonicalize, host_of
+from ..schema import FRONTIER, pack_seq
+from ..stages.fetch import Fetcher
+from ..stages.parse import ListingMeta, ParseAds, ParseListings
+from ..stages.politeness import make_gates
+from ..stages.seen import SeenFilterClient, dedup_min_seq, make_seen_actors
+from ..state import checkpoint as ckpt
+
+_ACTION = {"listing": "fetch_listing", "ad": "fetch_ad",
+           "missing": "fetch_404", "denied": "robots_denied"}
+
+
+@dataclass
+class CrawlConfig:
+    pages_dir: str
+    out_dir: str
+    mode: str = "native"                 # "native" | "conformance"
+    budget_per_round: int | None = None  # None = fetch all pending
+    n_seen_shards: int = 8
+    n_gates: int = 4
+    fetcher_concurrency: int = 4
+    fetch_batch_size: int = 512
+    parse_batch_size: int = 256
+    latency_scale: float = 0.0
+    seen_mode: str = "both"              # "exact" | "bloom" | "both"
+    seen_capacity_per_shard: int = 1_000_000
+    max_rounds: int = 64
+    salt: int = 4                        # host_shard salt factor (skew)
+    resume: bool = False
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: int
+    n_documents: int
+    n_fetched: int
+    trace: list[tuple[int, str, str]] = field(default_factory=list)
+    wall_sec: float = 0.0
+
+
+# --------------------------------------------------------------- helpers
+def _frontier_row(url: str, depth: int, seq: int, round_: int,
+                  search_id: int, salt: int, n_gates: int) -> dict:
+    cu = canonicalize(url)
+    h = host_of(url)
+    uh = hash64(cu)
+    return {
+        "url": url, "url_hash": uh, "host": h,
+        "host_shard": int((hash64(h) * salt + uh % salt) % max(1, n_gates)),
+        "depth": depth, "priority": depth, "discovered_seq": seq,
+        "status": "pending", "round": round_, "search_id": search_id,
+    }
+
+
+def _frontier_table(rows: list[dict]) -> pa.Table:
+    return pa.table({f.name: pa.array([r[f.name] for r in rows], f.type)
+                     for f in FRONTIER})
+
+
+class MakeCandidates:
+    """map_batches kernel: exploded link rows → FRONTIER candidate rows.
+    Child discovered_seq = pack(round, page_rank[parent], position); the
+    page-rank dict is tiny (listings this round) and ships with the task
+    closure (broadcast once per task via Ray's closure store)."""
+
+    def __init__(self, page_rank: dict[str, int], round_: int, salt: int,
+                 n_gates: int, depth: int = 1):
+        self.page_rank = page_rank
+        self.round = round_
+        self.salt = salt
+        self.n_gates = n_gates
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        pages = batch["page_url"].to_pylist()
+        poss = batch["position"].to_pylist()
+        sids = batch["search_id"].to_pylist() if "search_id" in batch.column_names \
+            else [1] * len(urls)
+        rows = [_frontier_row(u, self.depth,
+                              pack_seq(self.round, self.page_rank[p], pos),
+                              self.round, sid, self.salt, self.n_gates)
+                for u, p, pos, sid in zip(urls, pages, poss, sids)]
+        return _frontier_table(rows) if rows else _frontier_table([])
+
+
+# ================================================================ native
+def crawl_native(cfg: CrawlConfig, seeds: pa.Table) -> CrawlResult:
+    """Run the native crawl loop. ``seeds``: SEEDS-schema table."""
+    t0 = time.monotonic()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    robots = _load_robots(cfg.pages_dir)
+    gates = make_gates(cfg.n_gates, robots)
+    seen = make_seen_actors(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+
+    max_counts = {int(s): int(c) for s, c in
+                  zip(seeds["search_id"].to_pylist(), seeds["max_count"].to_pylist())}
+    ads_admitted = {sid: 0 for sid in max_counts}
+
+    start_round = 0
+    frontier_path = None
+    done = ckpt.latest_complete_round(cfg.out_dir) if cfg.resume else None
+    if done is not None:
+        man = storage.read_manifest(ckpt.manifest_path(cfg.out_dir, done))
+        ads_admitted = {int(k): v for k, v in man["ads_admitted"].items()}
+        ckpt.restore_seen(cfg.out_dir, done, seen)
+        start_round = done + 1
+        frontier_path = os.path.join(ckpt.round_dir(cfg.out_dir, done), "frontier")
+        if man.get("frontier_empty"):
+            return _result(cfg, start_round, t0)
+    else:
+        # round 0 frontier = the seeds; seed their hashes into the seen set
+        rows = []
+        for i in range(seeds.num_rows):
+            sid = int(seeds["search_id"][i].as_py())
+            url = seeds["url"][i].as_py()
+            rows.append(_frontier_row(url, 0, pack_seq(0, i, 0), 0, sid,
+                                      cfg.salt, cfg.n_gates))
+        tbl = _frontier_table(rows)
+        SeenFilterClient(seen, op="add")(tbl)
+        frontier_path = os.path.join(cfg.out_dir, "round-init", "frontier")
+        storage.write_table(tbl, frontier_path)
+
+    n_fetched_total = 0
+    for r in range(start_round, cfg.max_rounds):
+        frontier = storage.read_dataset(frontier_path)
+        lineage: list[dict] = []
+        rdir = ckpt.round_dir(cfg.out_dir, r)
+        os.makedirs(rdir, exist_ok=True)
+
+        # ---- budget: priority-sorted prefix fetches now, rest carries --
+        pending_count = frontier.count()
+        if pending_count == 0:
+            ckpt.commit_round(cfg.out_dir, r, counters={
+                "ads_admitted": ads_admitted, "frontier_empty": True,
+                "n_fetched": 0}, lineage_rows=[], seen_actors=seen)
+            storage.write_table(_frontier_table([]),
+                                os.path.join(rdir, "frontier"))
+            return _result(cfg, r + 1, t0)
+        if cfg.budget_per_round and pending_count > cfg.budget_per_round:
+            # streaming split: fetch the budget-smallest (priority, seq)
+            # prefix; carry = rows past the boundary (never materialized
+            # on the driver — an expr filter over the stored frontier).
+            fetch_list = frontier.sort(["priority", "discovered_seq"]) \
+                .limit(cfg.budget_per_round).materialize()
+            bound = fetch_list.map_batches(_partial_max, batch_format="pyarrow") \
+                .take_all()
+            bp, bs = max((r_["priority"], r_["discovered_seq"]) for r_ in bound)
+            carry_ds = storage.read_dataset(frontier_path).filter(
+                expr=f"priority > {bp} or (priority == {bp} "
+                     f"and discovered_seq > {bs})")
+        else:
+            fetch_list = frontier.sort(["priority", "discovered_seq"])
+            carry_ds = None
+
+        # ---- fetch (politeness inside the actors) ---------------------
+        fetched = fetch_list.map_batches(
+            Fetcher, fn_constructor_kwargs={
+                "pages_dir": cfg.pages_dir, "gates": gates,
+                "latency_scale": cfg.latency_scale},
+            batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+            # elastic pool (min 1): a fixed pool that can't get all its
+            # CPUs would deadlock on small clusters; num_cpus=0.5 because
+            # fetch is I/O-shaped (store lookup / simulated latency)
+            concurrency=(1, cfg.fetcher_concurrency), num_cpus=0.5,
+        ).materialize()   # round-bounded by budget; reused 4× below
+        n_fetch, fetch_digest = ckpt.dataset_digest(fetched)
+        n_fetched_total += n_fetch
+        lineage.append({"round": r, "partition_id": -1, "stage": "fetch",
+                        "input_digest": 0, "output_digest": fetch_digest,
+                        "rows_in": pending_count, "rows_out": n_fetch,
+                        "wall_ms": 0})
+
+        # ---- trace ----------------------------------------------------
+        trace_ds = fetched.map_batches(_trace_batch, batch_format="pyarrow")
+        storage.write_dataset(trace_ds, os.path.join(rdir, "trace"))
+
+        # ---- documents ------------------------------------------------
+        docs = (fetched
+                .filter(expr="kind == 'ad' and status == 'fetched'")
+                .map_batches(ParseAds(native=True), batch_format="pyarrow",
+                             batch_size=cfg.parse_batch_size)
+                .map_batches(_doc_finalize(r), batch_format="pyarrow"))
+        storage.write_dataset(docs, os.path.join(rdir, "documents"))
+
+        # ---- listing parse + next-round candidates --------------------
+        listings = fetched.filter(expr="kind == 'listing' and status == 'fetched'")
+        # page ranks: dense order of listings in this round's fetch order
+        meta = listings.map_batches(
+            ListingMeta(), batch_format="pyarrow").take_all()
+        meta_by_url = {}
+        for m in meta:
+            meta_by_url.setdefault(m["page_url"], m)
+        l_info = listings.select_columns(["url", "discovered_seq", "search_id"]) \
+            .sort("discovered_seq").take_all()
+        page_rank = {row["url"]: i for i, row in enumerate(l_info)}
+
+        link_rows = (listings
+                     .map_batches(ParseListings(), batch_format="pyarrow",
+                                  batch_size=cfg.parse_batch_size)
+                     .map_batches(_resolve_links, batch_format="pyarrow")
+                     .map_batches(MakeCandidates(page_rank, r + 1, cfg.salt,
+                                                 cfg.n_gates, depth=1),
+                                  batch_format="pyarrow"))
+        # next-page candidates (driver-side tiny: one per listing)
+        np_rows = []
+        for row in l_info:
+            m = meta_by_url.get(row["url"])
+            if m and m["next_page"]:
+                from urllib.parse import urljoin
+                nxt = urljoin(row["url"], m["next_page"])
+                np_rows.append(_frontier_row(
+                    nxt, 0,
+                    pack_seq(r + 1, page_rank[row["url"]], int(m["n_links"])),
+                    r + 1, int(row["search_id"]), cfg.salt, cfg.n_gates))
+        cand = link_rows
+        if np_rows:
+            cand = cand.union(rd.from_arrow(_frontier_table(np_rows)))
+
+        # ---- dedup (deterministic) + cross-round seen check -----------
+        cand = dedup_min_seq(cand)
+        cand = cand.map_batches(SeenFilterClient(seen, op="check",
+                                                 mode=cfg.seen_mode),
+                                batch_format="pyarrow").materialize()
+        n_cand, cand_digest = ckpt.dataset_digest(cand)
+        lineage.append({"round": r, "partition_id": -1, "stage": "candidates",
+                        "input_digest": fetch_digest, "output_digest": cand_digest,
+                        "rows_in": n_fetch, "rows_out": n_cand, "wall_ms": 0})
+
+        # ---- per-search ad cap in discovered order --------------------
+        survivors = []
+        listings_next = cand.filter(expr="depth == 0")
+        for sid, cap in max_counts.items():
+            remaining = cap - ads_admitted[sid]
+            ads_sid = cand.filter(expr=f"depth == 1 and search_id == {sid}")
+            if remaining <= 0:
+                continue
+            picked = ads_sid.sort("discovered_seq").limit(remaining)
+            n_picked = picked.count()
+            ads_admitted[sid] += n_picked
+            if n_picked:
+                survivors.append(picked)
+        nxt_frontier = listings_next
+        for s in survivors:
+            nxt_frontier = nxt_frontier.union(s)
+        if carry_ds is not None:
+            # carried rows are ALREADY-admitted frontier (seen, capped) —
+            # they bypass dedup/seen-check/cap and rejoin directly.
+            nxt_frontier = nxt_frontier.union(carry_ds)
+        nxt_frontier = nxt_frontier.materialize()
+
+        # ---- seal: register survivors in the seen set, checkpoint -----
+        nxt_frontier.map_batches(SeenFilterClient(seen, op="add"),
+                                 batch_format="pyarrow").count()  # execute
+        frontier_path = os.path.join(rdir, "frontier")
+        storage.write_dataset(nxt_frontier, frontier_path)
+        n_next, next_digest = ckpt.dataset_digest(nxt_frontier)
+        lineage.append({"round": r, "partition_id": -1, "stage": "frontier_out",
+                        "input_digest": cand_digest, "output_digest": next_digest,
+                        "rows_in": n_cand, "rows_out": n_next, "wall_ms": 0})
+        ckpt.commit_round(cfg.out_dir, r, counters={
+            "ads_admitted": ads_admitted, "frontier_empty": n_next == 0,
+            "n_fetched": n_fetch}, lineage_rows=lineage, seen_actors=seen)
+        if n_next == 0:
+            return _result(cfg, r + 1, t0)
+    return _result(cfg, cfg.max_rounds, t0)
+
+
+def _partial_max(batch: pa.Table) -> pa.Table:
+    """Per-batch lexicographic max of (priority, discovered_seq)."""
+    pr = batch["priority"].to_pylist()
+    sq = batch["discovered_seq"].to_pylist()
+    p, s = max(zip(pr, sq))
+    return pa.table({"priority": pa.array([p], pa.int64()),
+                     "discovered_seq": pa.array([s], pa.int64())})
+
+
+def _trace_batch(batch: pa.Table) -> pa.Table:
+    kinds = batch["kind"].to_pylist()
+    actions = [_ACTION.get(k, "fetch_404") for k in kinds]
+    return pa.table({
+        "round": batch["round"], "priority": batch["priority"],
+        "discovered_seq": batch["discovered_seq"], "url": batch["url"],
+        "action": pa.array(actions, pa.string()),
+    })
+
+
+def _resolve_links(batch: pa.Table) -> pa.Table:
+    """Native mode: proper RFC 3986 resolution of the RAW hrefs against
+    the page URL — the documented fix of the reference's path-replacing
+    M5 (full-URL hrefs stay on their own host instead of being mangled)."""
+    from urllib.parse import urljoin
+
+    pages = batch["page_url"].to_pylist()
+    raws = batch["href_raw"].to_pylist()
+    fixed = [urljoin(p, h) for p, h in zip(pages, raws)]
+    return batch.set_column(batch.schema.get_field_index("url"), "url",
+                            pa.array(fixed, pa.string()))
+
+
+def _doc_finalize(round_: int):
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"doc_id": batch["doc_id"], "spans": batch["spans"],
+                "search_id": batch["search_id"],
+                "fetched_seq": batch["discovered_seq"],
+                "round": pa.array([round_] * n, pa.int32())}
+        return pa.table(cols)
+    return fin
+
+
+def _load_robots(pages_dir: str) -> dict[str, str]:
+    """Robots rows only, via parquet predicate pushdown — never loads the
+    page store's HTML column wholesale onto the driver."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(pages_dir, format="parquet")
+    rb = dset.to_table(columns=["url", "html"],
+                       filter=pads.field("kind") == "robots")
+    return {host_of(u): h for u, h in
+            zip(rb["url"].to_pylist(), rb["html"].to_pylist())}
+
+
+def _result(cfg: CrawlConfig, rounds: int, t0: float) -> CrawlResult:
+    docs = read_documents(cfg.out_dir)
+    n_docs = docs.count() if docs is not None else 0
+    trace = read_trace(cfg.out_dir)
+    return CrawlResult(cfg.out_dir, rounds, n_docs, len(trace), trace,
+                       time.monotonic() - t0)
+
+
+def read_documents(out_dir: str):
+    """Dataset over every committed round's documents, ordered by
+    (round, fetched_seq) when consumed with sort."""
+    flat = os.path.join(out_dir, "documents")   # conformance-mode layout
+    if os.path.isdir(flat):
+        return storage.read_dataset(flat)
+    paths = []
+    r = ckpt.latest_complete_round(out_dir)
+    if r is None:
+        return None
+    for i in range(r + 1):
+        p = os.path.join(ckpt.round_dir(out_dir, i), "documents")
+        if os.path.isdir(p):
+            paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return None
+    return storage.read_dataset(paths)
+
+
+def read_trace(out_dir: str) -> list[tuple[int, str, str]]:
+    """Visit order across rounds: (seq, url, action), seq densified in
+    (round, priority, discovered_seq) order. Driver-side — used for
+    conformance assertions on fixture-scale traces only."""
+    r = ckpt.latest_complete_round(out_dir)
+    if r is None:
+        return []
+    rows = []
+    for i in range(r + 1):
+        p = os.path.join(ckpt.round_dir(out_dir, i), "trace")
+        if os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p)):
+            t = storage.read_table(p)
+            rows.extend(zip(t["round"].to_pylist(), t["priority"].to_pylist(),
+                            t["discovered_seq"].to_pylist(),
+                            t["url"].to_pylist(), t["action"].to_pylist()))
+    rows.sort(key=lambda x: (x[0], x[1], x[2]))
+    return [(i, url, action) for i, (_, _, _, url, action) in enumerate(rows)]
+
+
+# =========================================================== conformance
+def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResult:
+    """Reference E1 bug-for-bug (quirks Q1/Q2/Q3) as a Ray Data pipeline.
+
+    The unfold's iterations are data-dependent only through
+    len(page0_links): one listing fetch tells us L, after which the whole
+    remaining stream (the same L links repeated ceil(count/L)−1 more
+    times, truncated to ``count``) is ONE Dataset pass — parallel
+    execution, sequential semantics restored by the seq column sort.
+    A fetch_404 kills the job at its position in the stream (reference
+    OlxServer.scala:56-58: error → job dies, partial output persists)."""
+    import math
+
+    t0 = time.monotonic()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    fetch_kwargs = {"pages_dir": cfg.pages_dir, "gates": None,
+                    "latency_scale": cfg.latency_scale}
+
+    # --- iteration 0: fetch + parse the seed listing page --------------
+    seed_tbl = pa.table({"url": [seed_url], "search_id": pa.array([1], pa.int64())})
+    listing = rd.from_arrow(seed_tbl).map_batches(
+        Fetcher, fn_constructor_kwargs=fetch_kwargs, batch_format="pyarrow",
+        concurrency=1, batch_size=4).materialize()
+    lrow = listing.take(1)[0]
+    if lrow["status"] != "fetched":
+        return CrawlResult(cfg.out_dir, 0, 0, 1,
+                           [(0, seed_url, "fetch_404")], time.monotonic() - t0)
+    links_tbl = listing.map_batches(ParseListings(), batch_format="pyarrow") \
+        .to_arrow_refs()
+    links = pa.concat_tables(ray.get(links_tbl))["url"].to_pylist()
+    n_links = len(links)
+
+    trace: list[tuple[int, str, str]] = []
+    seq = 0
+    if n_links == 0:
+        # Q2+Q3: left never decreases → reference spins forever. The
+        # engine detects the no-progress unfold and stops after one
+        # iteration, recording the visit.
+        trace.append((0, seed_url, "fetch_listing"))
+        return CrawlResult(cfg.out_dir, 1, 0, 1, trace, time.monotonic() - t0)
+
+    iterations = max(1, math.ceil(count / n_links))
+    # --- the ad stream: links × iterations, take(count) -----------------
+    stream: list[str] = []
+    while len(stream) < count and len(stream) < iterations * n_links:
+        stream.extend(links[: count - len(stream)])
+    ads_tbl = pa.table({
+        "url": pa.array(stream, pa.string()),
+        "emit_idx": pa.array(range(len(stream)), pa.int64()),
+        "search_id": pa.array([1] * len(stream), pa.int64()),
+    })
+    fetched = rd.from_arrow(ads_tbl).map_batches(
+        Fetcher, fn_constructor_kwargs=fetch_kwargs, batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size,
+        concurrency=(1, cfg.fetcher_concurrency), num_cpus=0.5).materialize()
+    # job-death semantics: truncate at the first non-fetched status
+    status_rows = fetched.select_columns(["emit_idx", "status"]) \
+        .sort("emit_idx").take_all()
+    death_at = next((row["emit_idx"] for row in status_rows
+                     if row["status"] != "fetched"), None)
+    limit = len(stream) if death_at is None else death_at
+
+    docs = (fetched
+            .filter(expr=f"emit_idx < {limit} and status == 'fetched'")
+            .map_batches(ParseAds(native=False), batch_format="pyarrow",
+                         batch_size=cfg.parse_batch_size))
+    storage.write_dataset(
+        docs.map_batches(_conf_doc_finalize, batch_format="pyarrow"),
+        os.path.join(cfg.out_dir, "documents"))
+
+    # --- reconstruct the sequential trace (golden algorithm shape) ------
+    emitted = 0
+    dead = False
+    for _ in range(iterations):
+        trace.append((seq, seed_url, "fetch_listing"))
+        seq += 1
+        for url in links:
+            if emitted >= count:
+                break
+            if death_at is not None and emitted == death_at:
+                trace.append((seq, url, "fetch_404"))
+                seq += 1
+                dead = True
+                break
+            trace.append((seq, url, "fetch_ad"))
+            seq += 1
+            emitted += 1
+        if dead:
+            break
+    n_docs = limit if death_at is not None else min(count, len(stream))
+    return CrawlResult(cfg.out_dir, iterations, n_docs, seq, trace,
+                       time.monotonic() - t0)
+
+
+def _conf_doc_finalize(batch: pa.Table) -> pa.Table:
+    return pa.table({"doc_id": batch["doc_id"], "spans": batch["spans"],
+                     "search_id": batch["search_id"],
+                     "fetched_seq": batch["emit_idx"],
+                     "round": pa.array([0] * batch.num_rows, pa.int32())})
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: ``python -m olx_ray.pipelines.crawl --tier t1 --mode native
+    --out /tmp/crawl [--resume] [--budget N]`` — the ``ray job submit``
+    entry point (replaces the reference's HTTP control plane,
+    SURVEY.md §2.11)."""
+    import argparse
+
+    import ray as _ray
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="t1")
+    ap.add_argument("--mode", default="native",
+                    choices=["native", "conformance"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--site", default=None,
+                    help="existing site dir (default: generate under out/site)")
+    ap.add_argument("--budget", type=int, default=None)
+    ap.add_argument("--latency-scale", type=float, default=0.0)
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    if not _ray.is_initialized():
+        _ray.init(address="local", include_dashboard=False,
+                  logging_level="ERROR")
+    from ..sources.sitegen import SiteSpec, write_site
+
+    site_root = args.site or os.path.join(args.out, "site")
+    if not os.path.isdir(os.path.join(site_root, "pages")):
+        write_site(args.tier, site_root)
+    cfg = CrawlConfig(pages_dir=os.path.join(site_root, "pages"),
+                      out_dir=os.path.join(args.out, args.mode),
+                      mode=args.mode, budget_per_round=args.budget,
+                      latency_scale=args.latency_scale,
+                      fetcher_concurrency=args.concurrency,
+                      resume=args.resume)
+    site = SiteSpec(args.tier)
+    if args.mode == "native":
+        res = crawl_native(cfg, site.seed_rows())
+    else:
+        res = crawl_conformance(cfg, site.listing(0).url, site.max_count)
+    print({"rounds": res.rounds, "documents": res.n_documents,
+           "fetched": res.n_fetched, "wall_sec": round(res.wall_sec, 2)})
+    _ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_bruteforce`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul
+  against it. This is the baseline and the oracle for the ANN path.
+- ``knn_lsh`` — random-hyperplane LSH-bucketed ANN (the scale path):
+  signatures computed per batch, candidates searched within matching
+  buckets across several hash tables; recall measured against the
+  brute-force result in tests.
+
+Scale notes: brute force is O(N·Q·d) but embarrassingly parallel —
+each batch of the corpus scores against the broadcast queries and
+emits its LOCAL top-k; a final tiny groupby-sort keeps the global
+top-k per query (combiner pattern — the shuffle carries
+Q × k × n_batches rows, never the corpus)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()[:n_queries]
+    q = np.vstack(t["embedding"].to_pylist()[:n_queries]).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return ids, q
+
+
+class _LocalTopK:
+    """Per-batch scorer: emits each batch's local top-k per query."""
+
+    def __init__(self, queries_ref, k):
+        self.q_ids, self.q = ray.get(queries_ref)
+        self.k = k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = self.q @ m.T                        # (Q, batch)
+        k = min(self.k + 1, cos.shape[1])         # +1: self-match dropped later
+        idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        rows_q, rows_n, rows_c = [], [], []
+        for qi in range(cos.shape[0]):
+            for j in idx[qi]:
+                rows_q.append(int(self.q_ids[qi]))
+                rows_n.append(int(ids[j]))
+                rows_c.append(float(cos[qi, j]))
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "neighbor_id": pa.array(rows_n, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+
+def _global_topk(local, k: int):
+    """Combiner finish: per query keep global top-k (cos desc, id asc),
+    excluding the self pair; emit integer ranks."""
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["cos", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(
+        finish, batch_format="pandas").sort(["query_id", "rank"])
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 10):
+    ids, q = _load_queries(sf_dir, n_queries)
+    ref = ray.put((ids, q))
+    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(_LocalTopK, fn_constructor_kwargs={"queries_ref": ref,
+                                                        "k": k},
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    return _global_topk(local, k)
+
+
+KNN_SQL_TEMPLATE = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
+            n_tables: int = 8, n_bits: int = 8):
+    """ANN: random-hyperplane signatures; candidates = corpus vectors
+    sharing a bucket with the query in ANY of ``n_tables`` tables;
+    exact rerank of candidates. Buckets shuffle via groupby — at scale
+    each bucket-group task touches only its slice of the corpus."""
+    ids, q = _load_queries(sf_dir, n_queries)
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((n_tables, n_bits, q.shape[1]))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def sig(m: np.ndarray) -> np.ndarray:      # (rows, n_tables)
+        return np.stack([((m @ planes[t].T) > 0) @ weights
+                         for t in range(n_tables)], axis=1)
+
+    q_sigs = sig(q)                             # (Q, T)
+    bucket_of = {}                              # (table, key) → [query rows]
+    for qi in range(len(ids)):
+        for t in range(n_tables):
+            bucket_of.setdefault((t, int(q_sigs[qi, t])), []).append(qi)
+    ref = ray.put((ids, q, bucket_of, planes, weights))
+
+    class Candidates:
+        def __init__(self):
+            (self.q_ids, self.q, self.buckets, self.planes,
+             self.weights) = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy()
+            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sigs = np.stack([((m @ self.planes[t].T) > 0) @ self.weights
+                             for t in range(len(self.planes))], axis=1)
+            rows_q, rows_n, rows_c = [], [], []
+            for i in range(len(vids)):
+                hit_queries: set[int] = set()
+                for t in range(sigs.shape[1]):
+                    hit_queries.update(
+                        self.buckets.get((t, int(sigs[i, t])), ()))
+                for qi in hit_queries:
+                    rows_q.append(int(self.q_ids[qi]))
+                    rows_n.append(int(vids[i]))
+                    rows_c.append(float(self.q[qi] @ mn[i]))
+            return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                             "neighbor_id": pa.array(rows_n, pa.int64()),
+                             "cos": pa.array(rows_c, pa.float64())})
+
+    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(Candidates, batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    return _global_topk(local, k)

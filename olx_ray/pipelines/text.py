@@ -1,0 +1,172 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Large-scale training-data operators (graded as first-class components):
+language-ID (n-gram/stopword heuristic), quality scoring, token
+counting, document fingerprinting (rolling hash), word frequency.
+All vectorized-per-batch; the stateful LangId/Quality stages compile
+their tables once per actor (``__init__``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.hashing import hash64
+
+# tiny per-language stopword profiles for the heuristic
+_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "du", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "del", "que"},
+    "zh": set(),  # CJK detected by script, not stopwords
+}
+
+
+def _read_docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class LangId:
+    """Actor-pool stage: stopword-profile + script-range language guess.
+    Regexes compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            if self.cjk.search(text or ""):
+                preds.append("zh")
+                continue
+            words = set(w.lower() for w in self.word.findall(text or ""))
+            best, score = "unknown", 0
+            for lang, stops in _PROFILES.items():
+                s = len(words & stops)
+                if s > score:
+                    best, score = lang, s
+            preds.append(best)
+        out = batch[["doc_id", "lang"]].copy()
+        out["lang_pred"] = preds
+        return out
+
+
+def lang_id(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]) \
+        .map_batches(LangId, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)) \
+        .sort("doc_id")
+
+
+def token_count(sf_dir: str):
+    """Whitespace token count per document (oracle-able in SQL)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["n_tokens"] = b["text"].str.split().str.len().fillna(0).astype("int64")
+        return out
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pandas").sort("doc_id")
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+class QualityScore:
+    """Actor-pool stage: heuristic quality features per document —
+    lexical diversity, stopword ratio, mean word length, digit/punct
+    ratios. Deterministic floats; exposed without an oracle (the exact
+    float pipeline is not SQL-replicable bit-for-bit)."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"\S+")
+        self.stops = _PROFILES["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for text in batch["text"]:
+            toks = self.word.findall(text or "")
+            n = len(toks)
+            uniq = len(set(toks)) / n if n else 0.0
+            stop = sum(t in self.stops for t in toks) / n if n else 0.0
+            mwl = sum(len(t) for t in toks) / n if n else 0.0
+            rows.append((n, round(uniq, 6), round(stop, 6), round(mwl, 6)))
+        out = batch[["doc_id"]].copy()
+        out[["n_tokens", "lex_diversity", "stop_ratio", "mean_word_len"]] = rows
+        out["quality"] = (0.4 * out["lex_diversity"]
+                          + 0.3 * (1 - (out["stop_ratio"] - 0.4).abs())
+                          + 0.3 * np.clip(out["mean_word_len"] / 8, 0, 1)).round(6)
+        return out
+
+
+def quality_score(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(QualityScore, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
+def fingerprint(sf_dir: str):
+    """64-bit document fingerprint: hash of the whitespace-normalized
+    text (stable content identity for exact dedup across stores)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        fps = np.array([hash64(" ".join((t or "").split())) for t in texts],
+                       dtype=np.uint64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": pa.array(fps, pa.uint64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def word_freq_topk(sf_dir: str, k: int = 50):
+    """Corpus word frequency, top-k: per-batch partial counts (combiner)
+    → small groupby → deterministic (count desc, word asc) top-k."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.split().explode()
+        g = words.value_counts().rename_axis("word").reset_index(name="n")
+        return g
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(k))
+
+
+WORD_FREQ_SQL = """
+SELECT word, count(*)::BIGINT AS n FROM
+  (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+   FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def docs_per_lang(sf_dir: str):
+    """Simple grouped stats over document metadata."""
+    return (_read_docs(sf_dir, ["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars"))
+            .sort("lang"))
+
+
+DOCS_PER_LANG_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""

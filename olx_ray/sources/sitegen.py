@@ -233,8 +233,11 @@ class ListingSpec:
         conformance mode; native mode resolves them properly and gets
         real host diversity (the skew path, SURVEY.md §4.2)."""
         out = []
-        for ad_id in self.ad_ids():
-            if self.is_hub and ad_id % 2 == 0:
+        for j, ad_id in enumerate(self.ad_ids()):
+            if self.page_idx == 1 and j == 5:
+                # dead link: no page exists → fetch_404 path exercised
+                out.append("/d/uk/obyavlenie/missing-777")
+            elif self.is_hub and ad_id % 2 == 0:
                 out.append(AdSpec(ad_id, HOT_HOST).url)
             else:
                 out.append(AdSpec(ad_id, self.host).path)

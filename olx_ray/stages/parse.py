@@ -128,9 +128,37 @@ class ParseAds:
         return pa.table(cols)
 
 
-def parse_listing(html: str, page_url: str) -> tuple[list[str], str | None]:
-    """One listing page → (absolutized ad hrefs after first-wins distinct,
-    next_page href or None)."""
+class ListingMeta:
+    """map_batches kernel: one row per listing page —
+    (page_url, next_page, n_links). Exists because ParseListings
+    explodes to link rows, which would drop pages with zero cards (their
+    next_page link must still enter the frontier)."""
+
+    def __init__(self, url_col: str = "url", html_col: str = "html"):
+        self.url_col = url_col
+        self.html_col = html_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        page_urls = batch[self.url_col].to_pylist()
+        htmls = batch[self.html_col].to_pylist()
+        nxt, n_links = [], []
+        for html, purl in zip(htmls, page_urls):
+            links, np_ = parse_listing(html or "", purl)
+            nxt.append(np_)
+            n_links.append(len(links))
+        cols = {"page_url": pa.array(page_urls, pa.string()),
+                "next_page": pa.array(nxt, pa.string()),
+                "n_links": pa.array(n_links, pa.int32())}
+        for name in batch.column_names:
+            if name not in (self.url_col, self.html_col):
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+
+def parse_listing_raw(html: str, page_url: str) -> tuple[list[str], list[str], str | None]:
+    """One listing page → (absolutized hrefs, raw distinct hrefs,
+    next_page). Raw hrefs kept so native mode can re-resolve them with
+    proper RFC-3986 semantics instead of the reference's path-replace."""
     doc = hp.parse_html(html)
     next_page = hp.attr(hp.select(doc, _SEL_NEXT), "href") or None
     raw = [e.attrs.get("href", "") for e in hp.select(doc, _SEL_CARD_LINKS)]
@@ -140,7 +168,13 @@ def parse_listing(html: str, page_url: str) -> tuple[list[str], str | None]:
         if h not in seen:
             seen.add(h)
             distinct.append(h)
-    return [absolutize(page_url, h) for h in distinct], next_page
+    return [absolutize(page_url, h) for h in distinct], distinct, next_page
+
+
+def parse_listing(html: str, page_url: str) -> tuple[list[str], str | None]:
+    """Reference-semantics listing parse (M3/M4/M5/D1)."""
+    links, _, next_page = parse_listing_raw(html, page_url)
+    return links, next_page
 
 
 class ParseListings:
@@ -158,14 +192,15 @@ class ParseListings:
     def __call__(self, batch: pa.Table) -> pa.Table:
         carried = [n for n in batch.column_names
                    if n not in (self.url_col, self.html_col)]
-        urls, positions, page_urls, next_pages = [], [], [], []
+        urls, raws, positions, page_urls, next_pages = [], [], [], [], []
         carried_vals: dict[str, list] = {n: [] for n in carried}
         page_url_arr = batch[self.url_col].to_pylist()
         html_arr = batch[self.html_col].to_pylist()
         for i, (purl, html) in enumerate(zip(page_url_arr, html_arr)):
-            links, nxt = parse_listing(html or "", purl)
-            for pos, link in enumerate(links):
+            links, raw_links, nxt = parse_listing_raw(html or "", purl)
+            for pos, (link, raw) in enumerate(zip(links, raw_links)):
                 urls.append(link)
+                raws.append(raw)
                 positions.append(pos)
                 page_urls.append(purl)
                 next_pages.append(nxt)
@@ -173,6 +208,7 @@ class ParseListings:
                     carried_vals[n].append(batch[n][i].as_py())
         cols = {
             "url": pa.array(urls, type=pa.string()),
+            "href_raw": pa.array(raws, type=pa.string()),
             "position": pa.array(positions, type=pa.int32()),
             "page_url": pa.array(page_urls, type=pa.string()),
             "next_page": pa.array(next_pages, type=pa.string()),

@@ -1,0 +1,134 @@
+"""Sharded URL-seen filter: stateful Ray actors + a map_batches client.
+
+SURVEY.md T6 / D3 / J3. The seen set is split over ``n_shards`` actors
+by ``url_hash % n_shards`` (stable routing regardless of cluster
+size). Each shard holds a Bloom filter and — below an exact-set cap —
+the exact uint64 hash set, so the same actors serve three modes:
+
+- ``exact``: membership answered from the exact set (the oracle path);
+- ``bloom``: membership from the Bloom filter only (the 10^10 scale
+  path; false positives drop novel URLs at the configured fpr);
+- ``both`` (default): exact while it fits, bloom always maintained —
+  the property test asserts exact≡bloom on fixture data.
+
+Determinism contract (SURVEY.md §7 "exact ordering under parallelism"):
+actors only answer "seen in a PREVIOUS round?" during a round;
+additions are sealed at the round barrier (``add`` called on the
+already-deduped survivor set). Within-round duplicate resolution is a
+deterministic shuffle (``dedup_min_seq``), not arrival order — so the
+trace is identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..state.bloom import Bloom
+
+
+@ray.remote(num_cpus=0.1)
+class SeenShard:
+    """One shard of the URL-seen state. num_cpus=0.1: the work per call
+    is a vectorized membership probe, far below a full core — and the
+    shards must never starve the map stages' CPU budget (a fixed-size
+    actor pool that can't get its CPUs deadlocks the whole pipeline)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000,
+                 fpr: float = 1e-6, exact_cap: int = 5_000_000):
+        self.shard_id = shard_id
+        self.bloom = Bloom.for_capacity(capacity, fpr)
+        self.exact: set[int] | None = set() if exact_cap > 0 else None
+        self.exact_cap = exact_cap
+
+    def contains(self, hashes: np.ndarray, mode: str = "both") -> np.ndarray:
+        if mode != "bloom" and self.exact is not None:
+            ex = self.exact
+            return np.fromiter((int(h) in ex for h in hashes), dtype=bool,
+                               count=len(hashes))
+        return self.bloom.contains(hashes)
+
+    def add(self, hashes: np.ndarray) -> int:
+        self.bloom.add(hashes)
+        if self.exact is not None:
+            self.exact.update(int(h) for h in hashes)
+            if len(self.exact) > self.exact_cap:
+                self.exact = None  # graceful degrade to bloom-only
+        return len(hashes)
+
+    def segment(self) -> dict:
+        """Checkpointable state (SEEN_SEGMENTS row)."""
+        exact_bytes = b""
+        if self.exact is not None:
+            exact_bytes = np.fromiter(self.exact, dtype=np.uint64,
+                                      count=len(self.exact)).tobytes()
+        return {"shard": self.shard_id, "bloom_bits": self.bloom.to_bytes(),
+                "exact_hashes": exact_bytes, "n_items": self.bloom.n_items}
+
+    def restore(self, segment: dict) -> None:
+        self.bloom = Bloom.from_bytes(segment["bloom_bits"])
+        raw = segment["exact_hashes"]
+        self.exact = set(np.frombuffer(raw, dtype=np.uint64).tolist()) if raw else None
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "n_items": self.bloom.n_items,
+                "fill": self.bloom.fill_ratio(),
+                "approx_count": self.bloom.approx_count(),
+                "exact_n": len(self.exact) if self.exact is not None else -1}
+
+
+def make_seen_actors(n_shards: int, capacity_per_shard: int = 1_000_000,
+                     fpr: float = 1e-6) -> list:
+    return [SeenShard.remote(i, capacity_per_shard, fpr)
+            for i in range(n_shards)]
+
+
+class SeenFilterClient:
+    """map_batches stage: drops rows whose url_hash is already seen.
+
+    Stateless-task-safe (actor handles serialize); routes each batch's
+    hashes to shard actors, one RPC per touched shard, issued in
+    parallel. ``op="check"`` filters; ``op="add"`` registers hashes and
+    passes rows through (used at the round barrier on survivors)."""
+
+    def __init__(self, actors: list, op: str = "check", mode: str = "both",
+                 hash_col: str = "url_hash"):
+        self.actors = actors
+        self.n = len(actors)
+        self.op = op
+        self.mode = mode
+        self.hash_col = hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch[self.hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shards = (hashes % np.uint64(self.n)).astype(np.int64)
+        if self.op == "add":
+            refs = [self.actors[s].add.remote(hashes[shards == s])
+                    for s in np.unique(shards)]
+            ray.get(refs)
+            return batch
+        keep = np.ones(len(hashes), dtype=bool)
+        uniq = np.unique(shards)
+        refs = [self.actors[s].contains.remote(hashes[shards == s], self.mode)
+                for s in uniq]
+        for s, seen in zip(uniq, ray.get(refs)):
+            idx = np.nonzero(shards == s)[0]
+            keep[idx[seen]] = False
+        return batch.filter(pa.array(keep))
+
+
+def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq"):
+    """Deterministic within-round exact dedup: keep, per key, the row with
+    the smallest ``seq`` (first discovery in the logical order — NOT
+    arrival order, so any parallelism yields the same survivors). This
+    is a hash-shuffle (``groupby``) over the round's candidate set only,
+    which is budget-bounded — never the whole frontier history."""
+    import pandas as pd
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, seq)
+
+    return ds.groupby(key).map_groups(head1, batch_format="pandas")

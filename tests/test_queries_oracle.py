@@ -1,0 +1,92 @@
+"""Mirror of the driver's correctness gate: run every queries() entry and
+compare against its oracle_sql() via DuckDB (row count + schema + sorted
+values). Runs at sf0.001 for speed; the driver runs sf0.01."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c])
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            pass
+        else:
+            df[c] = df[c].astype("int64", errors="ignore")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def _queries():
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    return [(name, q[name], o[name]) for name in sorted(o)]
+
+
+@pytest.mark.parametrize("name", [n for n, _, _ in _queries()])
+def test_query_vs_oracle(name, ray_session):
+    import __ray_entry__ as e
+
+    fn = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    got = _normalize(_to_pandas(fn(SF_DIR)))
+    want = _normalize(_duck(sql))
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-6, atol=1e-6)
+
+
+def test_rows_only_queries_run(ray_session):
+    """Entries without an oracle must at least run and return rows with a
+    stable schema."""
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    for name in sorted(set(q) - set(o)):
+        res = _to_pandas(q[name](SF_DIR))
+        assert len(res.columns) > 0, name
+        assert len(res) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.entry())
+    assert len(df) > 0 and "sum_qty" in df.columns
