@@ -84,6 +84,20 @@ def _crawl(mode: str):
     return run
 
 
+def _media(kind: str):
+    def run(_sf_dir: str):
+        from olx_ray.pipelines.multimodal import (AudioFeatures, FrameSample,
+                                                  ImageDecode, media_pipeline,
+                                                  synthesize_media)
+
+        stage = {"image": ImageDecode, "video": FrameSample,
+                 "audio": AudioFeatures}[kind]
+        return media_pipeline(synthesize_media(256), kind, stage) \
+            .sort("media_id")
+
+    return run
+
+
 def _listing_extract(_sf_dir: str):
     import ray.data as rd
 
@@ -135,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        # --- multimodal (stubbed decode, real plumbing; rows-only) -------
+        "media_image_decode": _media("image"),
+        "media_frame_sample": _media("video"),
+        "media_audio_features": _media("audio"),
         # --- the crawl engine (non-SQL; golden-validated in tests/) ------
         "crawl_native": _crawl("native"),
         "crawl_conformance": _crawl("conformance"),

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the native crawl over the deterministic bench site (2,000
+listing pages, ~47k unique ad pages, seeded per-page latency) — the
+engine's E1-equivalent pipeline: fetch (politeness gates, simulated
+latency) → parse → dedup/seen-filter → frontier → checkpoint.
+
+Also times a representative slice of the query surface over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the crawl-only bench in two FRESH processes at
+num_cpus=8 and 32 on the same input (the sandbox stand-in for N vs 4N
+nodes, BASELINE.md protocol) and prints both throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SITE_ROOT = os.path.join(tempfile.gettempdir(), "olx_ray_bench_site")
+
+QUERY_NAMES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_supplier_volume",
+    "events_tumbling_hourly", "sessionize", "word_freq_topk",
+    "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
+    "knn_bruteforce", "embedding_neardup_pairs", "token_count",
+]
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return res.count()
+
+
+def run_crawl(ncpu: int) -> dict:
+    from olx_ray.pipelines.crawl import CrawlConfig, crawl_native
+    from olx_ray.sources.sitegen import SiteSpec, write_site
+    from olx_ray.state import checkpoint as ckpt
+    from olx_ray import storage
+
+    if not os.path.isdir(os.path.join(SITE_ROOT, "pages")):
+        write_site("bench", SITE_ROOT)
+    out = tempfile.mkdtemp(prefix="olx_ray_bench_crawl_")
+    cfg = CrawlConfig(
+        pages_dir=os.path.join(SITE_ROOT, "pages"), out_dir=out,
+        collect_trace=False, lineage_level="counts",
+        n_seen_shards=16, n_gates=8,
+        fetcher_concurrency=ncpu, fetch_batch_size=128,
+        parse_batch_size=512, latency_scale=1.0, max_rounds=16,
+    )
+    res = crawl_native(cfg, SiteSpec("bench").seed_rows())
+    # frontier ops = candidate rows processed (dedup+seen check+add)
+    n_cand = 0
+    last = ckpt.latest_complete_round(out)
+    for r in range((last or 0) + 1):
+        man = storage.read_manifest(ckpt.manifest_path(out, r)) or {}
+        n_cand += man.get("n_candidates", 0)
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "crawl_sec": round(res.wall_sec, 2),
+        "pages_fetched": res.n_fetched,
+        "documents": res.n_documents,
+        "rounds": res.rounds,
+        "pages_per_sec": round(res.n_fetched / res.wall_sec, 1),
+        "frontier_ops": n_cand + res.n_fetched,
+        "frontier_ops_per_sec": round((n_cand + res.n_fetched) / res.wall_sec, 1),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        _consume(q[name](SF_DIR))
+        out[name] = round(time.monotonic() - t0, 2)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    crawl_only = "--crawl-only" in sys.argv
+    crawl = run_crawl(NCPU)
+    queries = {} if crawl_only else run_queries()
+    result = {
+        "metric": "native crawl pages/sec over bench site (2k listings, ~47k ads, simulated latency)",
+        "value": crawl["crawl_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NCPU,
+        **crawl,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Same crawl input at num_cpus=8 and 32 in fresh processes."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm the page cache + site store (untimed, BASELINE.md)
+    lo = run(8)
+    hi = run(32)
+    eff = (lo["pages_per_sec"] and
+           (hi["pages_per_sec"] / lo["pages_per_sec"]) / (32 / 8))
+    print(json.dumps({
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "crawl_sec_8": lo["crawl_sec"],
+        "crawl_sec_32": hi["crawl_sec"],
+        "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
+        "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

@@ -49,8 +49,9 @@ from .. import storage
 from ..functions.hashing import hash64
 from ..functions.urls import canonicalize, host_of
 from ..schema import FRONTIER, pack_seq
-from ..stages.fetch import Fetcher
-from ..stages.parse import ListingMeta, ParseAds, ParseListings
+from ..stages.fetch import fetch_batch
+from ..stages.parse import (ListingMeta, ParseAds, ParseListings,
+                            ParseListingsFull)
 from ..stages.politeness import make_gates
 from ..stages.seen import SeenFilterClient, dedup_min_seq, make_seen_actors
 from ..state import checkpoint as ckpt
@@ -65,10 +66,12 @@ class CrawlConfig:
     out_dir: str
     mode: str = "native"                 # "native" | "conformance"
     budget_per_round: int | None = None  # None = fetch all pending
+    collect_trace: bool = True           # per-visit trace rows (tests); off for bench
+    lineage_level: str = "full"          # "full" = digests+counts, "counts" = counts only
     n_seen_shards: int = 8
     n_gates: int = 4
     fetcher_concurrency: int = 4
-    fetch_batch_size: int = 512
+    fetch_batch_size: int = 128
     parse_batch_size: int = 256
     latency_scale: float = 0.0
     seen_mode: str = "both"              # "exact" | "bloom" | "both"
@@ -76,6 +79,7 @@ class CrawlConfig:
     max_rounds: int = 64
     salt: int = 4                        # host_shard salt factor (skew)
     resume: bool = False
+    verbose: bool = False
 
 
 @dataclass
@@ -136,13 +140,32 @@ class MakeCandidates:
 
 # ================================================================ native
 def crawl_native(cfg: CrawlConfig, seeds: pa.Table) -> CrawlResult:
-    """Run the native crawl loop. ``seeds``: SEEDS-schema table."""
+    """Run the native crawl loop. ``seeds``: SEEDS-schema table.
+
+    The gate/seen actors live exactly as long as the crawl: they are
+    ray.kill'ed in the ``finally`` (their durable state is checkpointed
+    every round), so repeated crawls in one Ray session don't accumulate
+    CPU-reserving actors."""
+    gates: list = []
+    seen: list = []
+    try:
+        return _crawl_native(cfg, seeds, gates, seen)
+    finally:
+        for a in gates + seen:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+
+
+def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
+                  seen: list) -> CrawlResult:
     t0 = time.monotonic()
     os.makedirs(cfg.out_dir, exist_ok=True)
 
     robots = _load_robots(cfg.pages_dir)
-    gates = make_gates(cfg.n_gates, robots)
-    seen = make_seen_actors(cfg.n_seen_shards, cfg.seen_capacity_per_shard)
+    gates.extend(make_gates(cfg.n_gates, robots))
+    seen.extend(make_seen_actors(cfg.n_seen_shards, cfg.seen_capacity_per_shard))
 
     max_counts = {int(s): int(c) for s, c in
                   zip(seeds["search_id"].to_pylist(), seeds["max_count"].to_pylist())}
@@ -158,7 +181,7 @@ def crawl_native(cfg: CrawlConfig, seeds: pa.Table) -> CrawlResult:
         start_round = done + 1
         frontier_path = os.path.join(ckpt.round_dir(cfg.out_dir, done), "frontier")
         if man.get("frontier_empty"):
-            return _result(cfg, start_round, t0)
+            return _result(cfg, start_round, t0, man.get("n_fetched_total", 0))
     else:
         # round 0 frontier = the seeds; seed their hashes into the seen set
         rows = []
@@ -173,21 +196,34 @@ def crawl_native(cfg: CrawlConfig, seeds: pa.Table) -> CrawlResult:
         storage.write_table(tbl, frontier_path)
 
     n_fetched_total = 0
+    pending_count = None   # carried across rounds (next round's frontier size)
     for r in range(start_round, cfg.max_rounds):
+        phases: dict[str, float] = {}
+        _t = time.monotonic()
+
+        def _mark(name: str) -> None:
+            nonlocal _t
+            now = time.monotonic()
+            phases[name] = round(phases.get(name, 0) + now - _t, 2)
+            _t = now
+
         frontier = storage.read_dataset(frontier_path)
         lineage: list[dict] = []
         rdir = ckpt.round_dir(cfg.out_dir, r)
         os.makedirs(rdir, exist_ok=True)
 
         # ---- budget: priority-sorted prefix fetches now, rest carries --
-        pending_count = frontier.count()
+        if pending_count is None:
+            pending_count = frontier.count()
         if pending_count == 0:
             ckpt.commit_round(cfg.out_dir, r, counters={
                 "ads_admitted": ads_admitted, "frontier_empty": True,
-                "n_fetched": 0}, lineage_rows=[], seen_actors=seen)
+                "n_fetched": 0, "n_fetched_total": n_fetched_total},
+                lineage_rows=[], seen_actors=seen)
             storage.write_table(_frontier_table([]),
                                 os.path.join(rdir, "frontier"))
-            return _result(cfg, r + 1, t0)
+            return _result(cfg, r + 1, t0, n_fetched_total)
+        carry_count = 0
         if cfg.budget_per_round and pending_count > cfg.budget_per_round:
             # streaming split: fetch the budget-smallest (priority, seq)
             # prefix; carry = rows past the boundary (never materialized
@@ -200,121 +236,176 @@ def crawl_native(cfg: CrawlConfig, seeds: pa.Table) -> CrawlResult:
             carry_ds = storage.read_dataset(frontier_path).filter(
                 expr=f"priority > {bp} or (priority == {bp} "
                      f"and discovered_seq > {bs})")
+            carry_count = pending_count - cfg.budget_per_round
+            n_fetch = cfg.budget_per_round
         else:
-            fetch_list = frontier.sort(["priority", "discovered_seq"])
+            # no budget → fetch order is immaterial (output order is
+            # restored by seq sort at read time), so skip the sort shuffle
+            fetch_list = frontier
             carry_ds = None
+            n_fetch = pending_count
+        # fan the fetch out: task parallelism == block count, and the
+        # frontier arrives in a handful of blocks
+        n_parts = max(cfg.fetcher_concurrency * 4,
+                      n_fetch // max(1, cfg.fetch_batch_size))
+        fetch_list = fetch_list.repartition(min(n_parts, 512))
 
-        # ---- fetch (politeness inside the actors) ---------------------
+        # ---- fetch (politeness gates consulted inside the tasks) ------
         fetched = fetch_list.map_batches(
-            Fetcher, fn_constructor_kwargs={
+            fetch_batch, fn_kwargs={
                 "pages_dir": cfg.pages_dir, "gates": gates,
                 "latency_scale": cfg.latency_scale},
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-            # elastic pool (min 1): a fixed pool that can't get all its
-            # CPUs would deadlock on small clusters; num_cpus=0.5 because
-            # fetch is I/O-shaped (store lookup / simulated latency)
-            concurrency=(1, cfg.fetcher_concurrency), num_cpus=0.5,
-        ).materialize()   # round-bounded by budget; reused 4× below
-        n_fetch, fetch_digest = ckpt.dataset_digest(fetched)
+            # stateless tasks + per-worker-process shard cache: zero pool
+            # spin-up per round, elastic to whatever CPUs are free; each
+            # task models one async fetcher slot (N connections)
+            num_cpus=1,
+        ).materialize()   # round-bounded by budget; reused below
+        fetch_digest = ckpt.dataset_digest(fetched)[1] \
+            if cfg.lineage_level == "full" else 0
         n_fetched_total += n_fetch
+        _mark("fetch")
         lineage.append({"round": r, "partition_id": -1, "stage": "fetch",
                         "input_digest": 0, "output_digest": fetch_digest,
                         "rows_in": pending_count, "rows_out": n_fetch,
-                        "wall_ms": 0})
+                        "wall_ms": int(phases.get("fetch", 0) * 1000)})
 
         # ---- trace ----------------------------------------------------
-        trace_ds = fetched.map_batches(_trace_batch, batch_format="pyarrow")
-        storage.write_dataset(trace_ds, os.path.join(rdir, "trace"))
+        if cfg.collect_trace:
+            trace_ds = fetched.map_batches(_trace_batch, batch_format="pyarrow")
+            storage.write_dataset(trace_ds, os.path.join(rdir, "trace"))
+        _mark("trace")
 
-        # ---- documents ------------------------------------------------
+        # ---- documents -------------------------------------------------
         docs = (fetched
                 .filter(expr="kind == 'ad' and status == 'fetched'")
                 .map_batches(ParseAds(native=True), batch_format="pyarrow",
                              batch_size=cfg.parse_batch_size)
                 .map_batches(_doc_finalize(r), batch_format="pyarrow"))
         storage.write_dataset(docs, os.path.join(rdir, "documents"))
+        _mark("parse_docs")
 
-        # ---- listing parse + next-round candidates --------------------
-        listings = fetched.filter(expr="kind == 'listing' and status == 'fetched'")
-        # page ranks: dense order of listings in this round's fetch order
-        meta = listings.map_batches(
-            ListingMeta(), batch_format="pyarrow").take_all()
-        meta_by_url = {}
-        for m in meta:
-            meta_by_url.setdefault(m["page_url"], m)
-        l_info = listings.select_columns(["url", "discovered_seq", "search_id"]) \
-            .sort("discovered_seq").take_all()
-        page_rank = {row["url"]: i for i, row in enumerate(l_info)}
-
-        link_rows = (listings
-                     .map_batches(ParseListings(), batch_format="pyarrow",
-                                  batch_size=cfg.parse_batch_size)
-                     .map_batches(_resolve_links, batch_format="pyarrow")
-                     .map_batches(MakeCandidates(page_rank, r + 1, cfg.salt,
-                                                 cfg.n_gates, depth=1),
-                                  batch_format="pyarrow"))
-        # next-page candidates (driver-side tiny: one per listing)
+        # ---- listing parse (ONE pass) + next-round candidates ----------
+        links_full = (fetched
+                      .filter(expr="kind == 'listing' and status == 'fetched'")
+                      .map_batches(ParseListingsFull(), batch_format="pyarrow",
+                                   batch_size=cfg.parse_batch_size)
+                      .materialize())
+        # per-page meta = position<=0 rows (first link or zero-card
+        # sentinel); driver-side size = listings this round, never frontier
+        meta = links_full.filter(expr="position <= 0").take_all()
+        meta.sort(key=lambda m: m["discovered_seq"])
+        page_rank = {m["page_url"]: i for i, m in enumerate(meta)}
         np_rows = []
-        for row in l_info:
-            m = meta_by_url.get(row["url"])
-            if m and m["next_page"]:
+        for m in meta:
+            if m["next_page"]:
                 from urllib.parse import urljoin
-                nxt = urljoin(row["url"], m["next_page"])
+                nxt = urljoin(m["page_url"], m["next_page"])
                 np_rows.append(_frontier_row(
                     nxt, 0,
-                    pack_seq(r + 1, page_rank[row["url"]], int(m["n_links"])),
-                    r + 1, int(row["search_id"]), cfg.salt, cfg.n_gates))
-        cand = link_rows
-        if np_rows:
-            cand = cand.union(rd.from_arrow(_frontier_table(np_rows)))
+                    pack_seq(r + 1, page_rank[m["page_url"]], int(m["n_links"])),
+                    r + 1, int(m["search_id"]), cfg.salt, cfg.n_gates))
+        _mark("listing_parse")
 
-        # ---- dedup (deterministic) + cross-round seen check -----------
-        cand = dedup_min_seq(cand)
-        cand = cand.map_batches(SeenFilterClient(seen, op="check",
-                                                 mode=cfg.seen_mode),
-                                batch_format="pyarrow").materialize()
-        n_cand, cand_digest = ckpt.dataset_digest(cand)
+        # ---- dedup (deterministic) + cross-round seen check ------------
+        if meta or np_rows:
+            cand = (links_full.filter(expr="position >= 0")
+                    .map_batches(_resolve_links, batch_format="pyarrow")
+                    .map_batches(MakeCandidates(page_rank, r + 1, cfg.salt,
+                                                cfg.n_gates, depth=1),
+                                 batch_format="pyarrow"))
+            if np_rows:
+                cand = cand.union(rd.from_arrow(_frontier_table(np_rows)))
+            cand = dedup_min_seq(cand)
+            cand = cand.map_batches(SeenFilterClient(seen, op="check",
+                                                     mode=cfg.seen_mode),
+                                    batch_format="pyarrow").materialize()
+            n_cand = cand.count()
+            cand_digest = ckpt.dataset_digest(cand)[1] \
+                if cfg.lineage_level == "full" else 0
+        else:
+            cand, n_cand, cand_digest = None, 0, 0
+        _mark("dedup_seen")
         lineage.append({"round": r, "partition_id": -1, "stage": "candidates",
                         "input_digest": fetch_digest, "output_digest": cand_digest,
-                        "rows_in": n_fetch, "rows_out": n_cand, "wall_ms": 0})
+                        "rows_in": n_fetch, "rows_out": n_cand,
+                        "wall_ms": int(phases.get("dedup_seen", 0) * 1000)})
 
-        # ---- per-search ad cap in discovered order --------------------
-        survivors = []
-        listings_next = cand.filter(expr="depth == 0")
-        for sid, cap in max_counts.items():
-            remaining = cap - ads_admitted[sid]
-            ads_sid = cand.filter(expr=f"depth == 1 and search_id == {sid}")
-            if remaining <= 0:
-                continue
-            picked = ads_sid.sort("discovered_seq").limit(remaining)
-            n_picked = picked.count()
-            ads_admitted[sid] += n_picked
-            if n_picked:
-                survivors.append(picked)
-        nxt_frontier = listings_next
-        for s in survivors:
-            nxt_frontier = nxt_frontier.union(s)
-        if carry_ds is not None:
-            # carried rows are ALREADY-admitted frontier (seen, capped) —
-            # they bypass dedup/seen-check/cap and rejoin directly.
-            nxt_frontier = nxt_frontier.union(carry_ds)
-        nxt_frontier = nxt_frontier.materialize()
+        # ---- per-search ad cap in discovered order ---------------------
+        n_survivors = 0
+        if cand is not None and n_cand:
+            n_listing_cand = cand.filter(expr="depth == 0").count() \
+                if np_rows else 0
+            n_ads_cand = n_cand - n_listing_cand
+            total_remaining = sum(max(0, max_counts[sid] - ads_admitted[sid])
+                                  for sid in max_counts)
+            if n_ads_cand <= total_remaining and len(max_counts) == 1:
+                # fast path: every candidate ad fits under the cap
+                sid = next(iter(max_counts))
+                ads_admitted[sid] += n_ads_cand
+                nxt_frontier = cand
+                n_survivors = n_cand
+            else:
+                survivors = []
+                listings_next = cand.filter(expr="depth == 0")
+                n_survivors += n_listing_cand
+                for sid, cap in max_counts.items():
+                    remaining = cap - ads_admitted[sid]
+                    if remaining <= 0:
+                        continue
+                    picked = cand.filter(
+                        expr=f"depth == 1 and search_id == {sid}") \
+                        .sort("discovered_seq").limit(remaining)
+                    n_picked = picked.count()
+                    ads_admitted[sid] += n_picked
+                    n_survivors += n_picked
+                    if n_picked:
+                        survivors.append(picked)
+                nxt_frontier = listings_next
+                for sv in survivors:
+                    nxt_frontier = nxt_frontier.union(sv)
+        else:
+            nxt_frontier = None
+        _mark("cap")
 
-        # ---- seal: register survivors in the seen set, checkpoint -----
-        nxt_frontier.map_batches(SeenFilterClient(seen, op="add"),
-                                 batch_format="pyarrow").count()  # execute
+        # ---- seal: register survivors in the seen set + write frontier -
+        n_next = n_survivors + carry_count
         frontier_path = os.path.join(rdir, "frontier")
-        storage.write_dataset(nxt_frontier, frontier_path)
-        n_next, next_digest = ckpt.dataset_digest(nxt_frontier)
+        if nxt_frontier is not None:
+            if carry_ds is not None:
+                # carried rows are ALREADY-admitted frontier (seen,
+                # capped) — they bypass dedup/seen-check/cap entirely
+                nxt_frontier = nxt_frontier.union(carry_ds)
+            # single execution: seen-add fused with the frontier write
+            storage.write_dataset(
+                nxt_frontier.map_batches(SeenFilterClient(seen, op="add"),
+                                         batch_format="pyarrow"),
+                frontier_path)
+        elif carry_ds is not None:
+            storage.write_dataset(carry_ds, frontier_path)
+        else:
+            storage.write_table(_frontier_table([]), frontier_path)
+        next_digest = 0
+        if cfg.lineage_level == "full":
+            n_next, next_digest = ckpt.dataset_digest(
+                storage.read_dataset(frontier_path))
+        pending_count = n_next
+        _mark("seal")
+        _mark("seal")
         lineage.append({"round": r, "partition_id": -1, "stage": "frontier_out",
                         "input_digest": cand_digest, "output_digest": next_digest,
                         "rows_in": n_cand, "rows_out": n_next, "wall_ms": 0})
         ckpt.commit_round(cfg.out_dir, r, counters={
             "ads_admitted": ads_admitted, "frontier_empty": n_next == 0,
-            "n_fetched": n_fetch}, lineage_rows=lineage, seen_actors=seen)
+            "n_fetched": n_fetch, "n_candidates": n_cand,
+            "n_fetched_total": n_fetched_total, "phase_sec": phases},
+            lineage_rows=lineage, seen_actors=seen)
+        if cfg.verbose:
+            print(f"round {r}: fetched={n_fetch} cand={n_cand} "
+                  f"next={n_next} phases={phases}")
         if n_next == 0:
-            return _result(cfg, r + 1, t0)
-    return _result(cfg, cfg.max_rounds, t0)
+            return _result(cfg, r + 1, t0, n_fetched_total)
+    return _result(cfg, cfg.max_rounds, t0, n_fetched_total)
 
 
 def _partial_max(batch: pa.Table) -> pa.Table:
@@ -372,12 +463,14 @@ def _load_robots(pages_dir: str) -> dict[str, str]:
             zip(rb["url"].to_pylist(), rb["html"].to_pylist())}
 
 
-def _result(cfg: CrawlConfig, rounds: int, t0: float) -> CrawlResult:
+def _result(cfg: CrawlConfig, rounds: int, t0: float,
+            n_fetched: int | None = None) -> CrawlResult:
     docs = read_documents(cfg.out_dir)
     n_docs = docs.count() if docs is not None else 0
-    trace = read_trace(cfg.out_dir)
-    return CrawlResult(cfg.out_dir, rounds, n_docs, len(trace), trace,
-                       time.monotonic() - t0)
+    trace = read_trace(cfg.out_dir) if cfg.collect_trace else []
+    return CrawlResult(cfg.out_dir, rounds, n_docs,
+                       n_fetched if n_fetched is not None else len(trace),
+                       trace, time.monotonic() - t0)
 
 
 def read_documents(out_dir: str):
@@ -440,8 +533,8 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
     # --- iteration 0: fetch + parse the seed listing page --------------
     seed_tbl = pa.table({"url": [seed_url], "search_id": pa.array([1], pa.int64())})
     listing = rd.from_arrow(seed_tbl).map_batches(
-        Fetcher, fn_constructor_kwargs=fetch_kwargs, batch_format="pyarrow",
-        concurrency=1, batch_size=4).materialize()
+        fetch_batch, fn_kwargs=fetch_kwargs, batch_format="pyarrow",
+        batch_size=4).materialize()
     lrow = listing.take(1)[0]
     if lrow["status"] != "fetched":
         return CrawlResult(cfg.out_dir, 0, 0, 1,
@@ -471,9 +564,8 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
         "search_id": pa.array([1] * len(stream), pa.int64()),
     })
     fetched = rd.from_arrow(ads_tbl).map_batches(
-        Fetcher, fn_constructor_kwargs=fetch_kwargs, batch_format="pyarrow",
-        batch_size=cfg.fetch_batch_size,
-        concurrency=(1, cfg.fetcher_concurrency), num_cpus=0.5).materialize()
+        fetch_batch, fn_kwargs=fetch_kwargs, batch_format="pyarrow",
+        batch_size=cfg.fetch_batch_size, num_cpus=1).materialize()
     # job-death semantics: truncate at the first non-fetched status
     status_rows = fetched.select_columns(["emit_idx", "status"]) \
         .sort("emit_idx").take_all()

@@ -118,23 +118,39 @@ class MinHasher:
         })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+def minhash_candidates(sf_dir: str, n_buckets: int = 32):
+    """LSH candidate pairs: docs sharing a (band_id, band_hash) bucket.
 
-
-def minhash_candidates(sf_dir: str):
-    """LSH candidate pairs: same (band_id, band_hash) bucket."""
+    Implemented as a hash-bucketed SELF-JOIN: band rows get
+    ``bucket = band_key % n_buckets``; each bucket-group does ONE
+    vectorized pandas self-merge on the band key (all same-bucket band
+    hashes are co-located) — no per-LSH-bucket Python calls, which is
+    what makes this scale past ~10^5 band rows. Pair dedup across bands
+    is a drop_duplicates inside the same group task + a final tiny
+    distinct."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4), num_cpus=1)
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    # same pair can fire in many bands → distinct
+
+    def key_bucket(b: pa.Table) -> pa.Table:
+        bid = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (bid * np.uint64(0x9E3779B97F4A7C15)) ^ bh
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": pa.array(key, pa.uint64()),
+                         "bucket": pa.array((key % np.uint64(n_buckets))
+                                            .astype(np.int32), pa.int32())})
+
+    def self_join(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["doc_id", "key"]].drop_duplicates()
+        m = df.merge(df, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+
+    pairs = bands.map_batches(key_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(self_join, batch_format="pandas")
+    # a pair can still fire in bands landing in different buckets
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas")
 

@@ -1,0 +1,212 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media as ``large_binary`` payload columns with typed
+metadata, processed by actor-pool ``map_batches`` stages. The image
+/audio/video DECODE itself is **STUBBED** in this container (no
+PIL/ffmpeg/torchaudio installed): each stage first tries the real
+library and otherwise falls back to a deterministic fake decoder that
+parses the synthetic payload header (see ``synthesize_media``). The
+Ray-side plumbing — schemas, batch sizing for wide rows, actor
+signatures, output layout — is real and tested; swapping in a real
+decoder is a one-function change per stage.
+
+Scale notes (wide binary rows): batches are kept SMALL
+(``batch_size≈32``) and stages run ``batch_format="pyarrow"`` so
+payloads stay in Arrow buffers; when payloads are ~MB-scale, also
+raise ``DataContext.target_max_block_size`` so blocks aren't split
+absurdly small (ray_guide "Pitfalls").
+
+Synthetic payload formats (deterministic, seed-stable):
+- image: ``b"FIMG" + u16 width + u16 height + u8 channels + bytes``
+- audio: ``b"FAUD" + u32 sample_rate + u32 n_samples + bytes``
+- video: ``b"FVID" + u16 n_frames + u16 width + u16 height + bytes``
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+MEDIA = pa.schema([
+    ("media_id", pa.int64()),
+    ("doc_id", pa.int64()),
+    ("kind", pa.string()),           # image | audio | video
+    ("payload", pa.large_binary()),
+    ("mime", pa.string()),
+])
+
+
+def synthesize_media(n: int = 64, seed_tag: str = "media") -> pa.Table:
+    """Deterministic fake media table (counter-based like sitegen)."""
+    rows = {k: [] for k in ("media_id", "doc_id", "kind", "payload", "mime")}
+    for i in range(n):
+        kind = ("image", "audio", "video")[hash64(f"{seed_tag}:k:{i}") % 3]
+        body = bytes((hash64(f"{seed_tag}:b:{i}:{j}") % 256)
+                     for j in range(64))
+        if kind == "image":
+            w = 16 + hash64(f"{seed_tag}:w:{i}") % 48
+            h = 16 + hash64(f"{seed_tag}:h:{i}") % 48
+            payload = b"FIMG" + struct.pack("<HHB", w, h, 3) + body
+            mime = "image/x-fake"
+        elif kind == "audio":
+            sr = 8000 * (1 + hash64(f"{seed_tag}:sr:{i}") % 3)
+            ns = 1000 + hash64(f"{seed_tag}:ns:{i}") % 9000
+            payload = b"FAUD" + struct.pack("<II", sr, ns) + body
+            mime = "audio/x-fake"
+        else:
+            nf = 8 + hash64(f"{seed_tag}:nf:{i}") % 56
+            payload = b"FVID" + struct.pack("<HHH", nf, 32, 24) + body
+            mime = "video/x-fake"
+        rows["media_id"].append(i)
+        rows["doc_id"].append(i % max(1, n // 4))
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.large_binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+    }, schema=MEDIA)
+
+
+def _fake_pixels(payload: bytes) -> np.ndarray:
+    """STUB image decode: (h, w, c) uint8 array deterministically derived
+    from the payload bytes. Replace with PIL.Image.open for real data."""
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    body = np.frombuffer(payload[9:], dtype=np.uint8)
+    reps = int(np.ceil(h * w * c / len(body)))
+    return np.tile(body, reps)[: h * w * c].reshape(h, w, c)
+
+
+class ImageDecode:
+    """Actor-pool stage: payload → (height, width, channels, mean_pixel).
+    Real decoder used when PIL is importable (it is not in this
+    container); otherwise the deterministic fake above."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this sandbox
+            from PIL import Image  # type: ignore
+
+            self._real = Image
+        except ImportError:
+            self._real = None
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if self._real is not None:  # pragma: no cover
+            import io
+
+            return np.asarray(self._real.open(io.BytesIO(payload)))
+        if not payload.startswith(b"FIMG"):
+            raise NotImplementedError(
+                "real image decode unavailable in this container and "
+                "payload is not the synthetic FIMG format")
+        return _fake_pixels(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ws, cs, means = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            px = self.decode(payload)
+            hs.append(px.shape[0]); ws.append(px.shape[1]); cs.append(px.shape[2])
+            means.append(round(float(px.mean()), 4))
+        return pa.table({
+            "media_id": batch["media_id"], "doc_id": batch["doc_id"],
+            "height": pa.array(hs, pa.int32()), "width": pa.array(ws, pa.int32()),
+            "channels": pa.array(cs, pa.int32()),
+            "mean_pixel": pa.array(means, pa.float64()),
+        })
+
+
+class ImageResize:
+    """Actor-pool stage: decode + mean-pool resize to (target, target) —
+    the canonical preprocess-for-training shape. Emits the resized
+    pixels as a fixed-size list<uint8> column."""
+
+    def __init__(self, target: int = 8):
+        self.target = target
+        self.decoder = ImageDecode()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        t = self.target
+        for payload in batch["payload"].to_pylist():
+            px = self.decoder.decode(payload).astype(np.float32)
+            h, w, c = px.shape
+            ys = (np.arange(t) * h // t)
+            xs = (np.arange(t) * w // t)
+            small = px[ys][:, xs].mean(axis=2).astype(np.uint8)  # grayscale pool
+            out.append(small.ravel().tolist())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixels": pa.array(out, pa.list_(pa.uint8(), self.target * self.target)),
+        })
+
+
+class FrameSample:
+    """Actor-pool stage: video payload → one row per sampled frame
+    (every ``stride``-th), the explode-shaped transform of the family."""
+
+    def __init__(self, stride: int = 8):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, hs, ws = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if not payload.startswith(b"FVID"):
+                raise NotImplementedError("real video decode unavailable; "
+                                          "payload is not synthetic FVID")
+            nf, w, h = struct.unpack("<HHH", payload[4:10])
+            for f in range(0, nf, self.stride):
+                mids.append(mid); fidx.append(f); hs.append(h); ws.append(w)
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio payload → (sample_rate, n_samples,
+    duration_sec, rms) from the fake decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srs, nss, durs, rms = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            if not payload.startswith(b"FAUD"):
+                raise NotImplementedError("real audio decode unavailable; "
+                                          "payload is not synthetic FAUD")
+            sr, ns = struct.unpack("<II", payload[4:12])
+            body = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float64)
+            srs.append(sr); nss.append(ns)
+            durs.append(round(ns / sr, 6))
+            rms.append(round(float(np.sqrt((body ** 2).mean())), 4))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(nss, pa.int64()),
+            "duration_sec": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
+
+
+def media_pipeline(media_path_or_table, kind: str, stage_cls, *,
+                   batch_size: int = 32, concurrency: int = 4, **stage_kwargs):
+    """read media → filter kind → actor-pool stage. Accepts a parquet
+    path or an in-memory Arrow table (tests)."""
+    import ray.data as rd
+
+    if isinstance(media_path_or_table, str):
+        ds = rd.read_parquet(media_path_or_table)
+    else:
+        ds = rd.from_arrow(media_path_or_table)
+    return ds.filter(expr=f"kind == '{kind}'").map_batches(
+        stage_cls, fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1)

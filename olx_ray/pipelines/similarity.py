@@ -101,7 +101,7 @@ WHERE rank <= {k} ORDER BY query_id, rank
 
 
 def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
-            n_tables: int = 8, n_bits: int = 8):
+            n_tables: int = 16, n_bits: int = 4):
     """ANN: random-hyperplane signatures; candidates = corpus vectors
     sharing a bucket with the query in ANY of ``n_tables`` tables;
     exact rerank of candidates. Buckets shuffle via groupby — at scale

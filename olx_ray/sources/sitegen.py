@@ -131,7 +131,8 @@ class AdSpec:
 
     @property
     def latency_ms(self) -> int:
-        return 1 + _rint(f"lat:{self.ad_id}", 8)
+        # realistic web fetch latency: 50..350 ms, seeded per page
+        return 50 + _rint(f"lat:{self.ad_id}", 300)
 
     # -- rendering ------------------------------------------------------
     def html(self) -> str:
@@ -254,7 +255,7 @@ class ListingSpec:
 
     @property
     def latency_ms(self) -> int:
-        return 2 + _rint(f"lat:listing:{self.tier}:{self.page_idx}", 10)
+        return 80 + _rint(f"lat:listing:{self.tier}:{self.page_idx}", 300)
 
     def html(self) -> str:
         cards = "".join(
@@ -304,14 +305,23 @@ class SiteSpec:
                 out.setdefault(spec.url, spec)
         return out
 
-    def seed_rows(self) -> pa.Table:
+    def seed_rows(self, wide: bool | None = None) -> pa.Table:
+        """Seed table: one crawl job (search_id=1). ``wide=True`` (default
+        for the bench tier) seeds EVERY listing page — a wide frontier,
+        the realistic shape for throughput runs (a pagination-only chain
+        is inherently sequential: BFS depth == page count)."""
         import datetime
+        if wide is None:
+            wide = self.tier == "bench"
+        urls = ([l.url for l in self.listings()] if wide
+                else [self.listing(0).url])
+        n = len(urls)
         return pa.table({
-            "search_id": pa.array([1], pa.int64()),
-            "name": pa.array([f"синтетичний-{self.tier}"]),
-            "url": pa.array([self.listing(0).url]),
-            "max_count": pa.array([self.max_count], pa.int32()),
-            "started_at": pa.array([datetime.datetime(2024, 12, 20)],
+            "search_id": pa.array([1] * n, pa.int64()),
+            "name": pa.array([f"синтетичний-{self.tier}"] * n),
+            "url": pa.array(urls),
+            "max_count": pa.array([self.max_count] * n, pa.int32()),
+            "started_at": pa.array([datetime.datetime(2024, 12, 20)] * n,
                                    pa.timestamp("us")),
         }, schema=SEEDS)
 

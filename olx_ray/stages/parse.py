@@ -128,6 +128,55 @@ class ParseAds:
         return pa.table(cols)
 
 
+class ParseListingsFull:
+    """map_batches kernel: one pass per listing page emitting BOTH link
+    rows and page metadata (next_page, n_links repeated per row; a page
+    with zero cards emits one sentinel row with position = -1) so the
+    crawl loop parses each page exactly once. Carried columns pass
+    through per row."""
+
+    def __init__(self, url_col: str = "url", html_col: str = "html"):
+        self.url_col = url_col
+        self.html_col = html_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        carried = [n for n in batch.column_names
+                   if n not in (self.url_col, self.html_col)]
+        cols: dict[str, list] = {k: [] for k in
+                                 ("url", "href_raw", "position", "page_url",
+                                  "next_page", "n_links")}
+        carried_vals: dict[str, list] = {n: [] for n in carried}
+
+        def emit(i, url, raw, pos, purl, nxt, n_links):
+            cols["url"].append(url)
+            cols["href_raw"].append(raw)
+            cols["position"].append(pos)
+            cols["page_url"].append(purl)
+            cols["next_page"].append(nxt)
+            cols["n_links"].append(n_links)
+            for n in carried:
+                carried_vals[n].append(batch[n][i].as_py())
+
+        for i, (purl, html) in enumerate(zip(batch[self.url_col].to_pylist(),
+                                             batch[self.html_col].to_pylist())):
+            links, raws, nxt = parse_listing_raw(html or "", purl)
+            if not links:
+                emit(i, "", "", -1, purl, nxt, 0)
+            for pos, (link, raw) in enumerate(zip(links, raws)):
+                emit(i, link, raw, pos, purl, nxt, len(links))
+        out = {
+            "url": pa.array(cols["url"], pa.string()),
+            "href_raw": pa.array(cols["href_raw"], pa.string()),
+            "position": pa.array(cols["position"], pa.int32()),
+            "page_url": pa.array(cols["page_url"], pa.string()),
+            "next_page": pa.array(cols["next_page"], pa.string()),
+            "n_links": pa.array(cols["n_links"], pa.int32()),
+        }
+        for n in carried:
+            out[n] = pa.array(carried_vals[n], type=batch.schema.field(n).type)
+        return pa.table(out)
+
+
 class ListingMeta:
     """map_batches kernel: one row per listing page —
     (page_url, next_page, n_links). Exists because ParseListings

@@ -122,13 +122,32 @@ class SeenFilterClient:
 
 def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq"):
     """Deterministic within-round exact dedup: keep, per key, the row with
-    the smallest ``seq`` (first discovery in the logical order — NOT
-    arrival order, so any parallelism yields the same survivors). This
-    is a hash-shuffle (``groupby``) over the round's candidate set only,
-    which is budget-bounded — never the whole frontier history."""
-    import pandas as pd
+    the smallest ``seq`` (first discovery in the LOGICAL order — not
+    arrival order, so any parallelism yields the same survivors).
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, seq)
+    Implementation: a vectorized ``groupby().aggregate(Min)`` (no
+    per-group Python) over (key, seq) — both small columns — then a
+    broadcast semi-join filter ``seq == min_seq[key]`` over the full
+    rows. The broadcast is O(distinct keys THIS round) — budget-bounded,
+    never the frontier history; for rounds beyond ~10M candidates swap
+    the broadcast for a bucket join on ``key`` (functions.joins)."""
+    from ray.data.aggregate import Min
 
-    return ds.groupby(key).map_groups(head1, batch_format="pandas")
+    mins = ds.groupby(key).aggregate(Min(seq, alias_name="_min_seq")).take_all()
+    table = {int(r[key]): int(r["_min_seq"]) for r in mins}
+    ref = ray.put(table)
+
+    class KeepMin:
+        def __init__(self):
+            self.mins = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch[key].to_numpy(zero_copy_only=False)
+            ss = batch[seq].to_numpy(zero_copy_only=False)
+            m = self.mins
+            keep = np.fromiter((int(s) == m[int(k)] for k, s in zip(ks, ss)),
+                               dtype=bool, count=len(ks))
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(KeepMin, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=0.5)
