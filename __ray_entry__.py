@@ -37,34 +37,6 @@ def _site(tier: str) -> dict[str, str]:
             "seeds": os.path.join(root, "seeds")}
 
 
-def _explode_spans(ds):
-    """documents (doc_id, spans, fetched_seq) → flat span rows, ordered —
-    the conformance payload as a hashable flat table."""
-    import pyarrow as pa
-
-    def explode(b: pa.Table) -> pa.Table:
-        doc_ids, offs, kinds, texts, refs, seqs = [], [], [], [], [], []
-        for doc_id, spans, seq in zip(b["doc_id"].to_pylist(),
-                                      b["spans"].to_pylist(),
-                                      b["fetched_seq"].to_pylist()):
-            for s in spans:
-                doc_ids.append(doc_id)
-                offs.append(s["offset"])
-                kinds.append(s["kind"])
-                texts.append(s["text"])
-                refs.append(s["media_ref"])
-                seqs.append(seq)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
-                         "fetched_seq": pa.array(seqs, pa.int64()),
-                         "offset": pa.array(offs, pa.int32()),
-                         "kind": pa.array(kinds, pa.string()),
-                         "text": pa.array(texts, pa.string()),
-                         "media_ref": pa.array(refs, pa.string())})
-
-    return ds.map_batches(explode, batch_format="pyarrow") \
-        .sort(["fetched_seq", "offset"])
-
-
 def _crawl(mode: str):
     def run(_sf_dir: str):
         from olx_ray.pipelines.crawl import (CrawlConfig, crawl_conformance,
@@ -79,7 +51,9 @@ def _crawl(mode: str):
             crawl_native(cfg, spec.seed_rows())
         else:
             crawl_conformance(cfg, spec.listing(0).url, spec.max_count)
-        return _explode_spans(read_documents(out))
+        from olx_ray.pipelines.crawl import explode_spans
+
+        return explode_spans(read_documents(out))
 
     return run
 

@@ -80,6 +80,7 @@ class CrawlConfig:
     salt: int = 4                        # host_shard salt factor (skew)
     resume: bool = False
     verbose: bool = False
+    should_stop: object = None           # callable () -> bool, checked at round start
 
 
 @dataclass
@@ -207,6 +208,10 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
             phases[name] = round(phases.get(name, 0) + now - _t, 2)
             _t = now
 
+        if cfg.should_stop is not None and cfg.should_stop():
+            # cooperative cancel (E3): previous round is fully
+            # checkpointed → a later --resume continues deterministically
+            return _result(cfg, r, t0, n_fetched_total)
         frontier = storage.read_dataset(frontier_path)
         lineage: list[dict] = []
         rdir = ckpt.round_dir(cfg.out_dir, r)
@@ -491,6 +496,35 @@ def read_documents(out_dir: str):
     if not paths:
         return None
     return storage.read_dataset(paths)
+
+
+def explode_spans(ds):
+    """documents (doc_id, spans, fetched_seq) → flat span rows, ordered —
+    the conformance payload as a hashable flat table."""
+    import pyarrow as pa
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids, offs, kinds, texts, refs, seqs = [], [], [], [], [], []
+        for doc_id, spans, seq in zip(b["doc_id"].to_pylist(),
+                                      b["spans"].to_pylist(),
+                                      b["fetched_seq"].to_pylist()):
+            for s in spans:
+                doc_ids.append(doc_id)
+                offs.append(s["offset"])
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                seqs.append(seq)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                         "fetched_seq": pa.array(seqs, pa.int64()),
+                         "offset": pa.array(offs, pa.int32()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "text": pa.array(texts, pa.string()),
+                         "media_ref": pa.array(refs, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .sort(["fetched_seq", "offset"])
+
 
 
 def read_trace(out_dir: str) -> list[tuple[int, str, str]]:
