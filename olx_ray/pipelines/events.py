@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _round2(cols):
@@ -22,21 +21,43 @@ def _round2(cols):
     return fn
 
 
+def _finish_small(ds, keys, agg_spec):
+    """Combiner finish for BOUNDED key cardinality: coalesce the (small)
+    per-batch partials to one block and aggregate in pandas. Used
+    because Ray's sort-based Aggregate costs seconds even on a few
+    thousand partial rows (esp. with timestamp keys); the partial
+    map_batches stage already did the scalable work. At unbounded key
+    cardinality use groupby().aggregate() instead."""
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False).agg(**agg_spec)
+
+    return ds.repartition(1).map_batches(agg, batch_format="pandas")
+
+
 def _read(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def events_by_type(sf_dir: str):
-    return (_read(sf_dir, ["event_type", "value"])
-            .groupby("event_type")
-            .aggregate(Count(alias_name="n"),
-                       Sum("value", alias_name="total_value"),
-                       Mean("value", alias_name="avg_value"),
-                       Min("value", alias_name="min_value"),
-                       Max("value", alias_name="max_value"))
-            .map_batches(_round2(["total_value", "avg_value"]),
-                         batch_format="pandas")
-            .sort("event_type"))
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"))
+
+    ds = _read(sf_dir, ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = _finish_small(ds, ["event_type"], dict(
+        n=("n", "sum"), total_value=("total_value", "sum"),
+        min_value=("min_value", "min"), max_value=("max_value", "max")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["avg_value"] = (b["total_value"] / b["n"]).round(2)
+        b["total_value"] = b["total_value"].round(2)
+        return b[["event_type", "n", "total_value", "avg_value",
+                  "min_value", "max_value"]]
+
+    return out.map_batches(finish, batch_format="pandas").sort("event_type")
 
 
 EVENTS_BY_TYPE_SQL = """
@@ -59,13 +80,13 @@ def events_tumbling_hourly(sf_dir: str):
             n=("value", "size"), total_value=("value", "sum"))
         return g
 
-    return (_read(sf_dir, ["ts", "event_type", "value"])
-            .map_batches(bucket, batch_format="pandas", batch_size=65536)
-            .groupby(["event_type", "window_start"])
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("total_value", alias_name="total_value"))
-            .map_batches(_round2(["total_value"]), batch_format="pandas")
-            .sort(["event_type", "window_start"]))
+    ds = _read(sf_dir, ["ts", "event_type", "value"]) \
+        .map_batches(bucket, batch_format="pandas", batch_size=65536)
+    return _finish_small(ds, ["event_type", "window_start"],
+                         dict(n=("n", "sum"),
+                              total_value=("total_value", "sum"))) \
+        .map_batches(_round2(["total_value"]), batch_format="pandas") \
+        .sort(["event_type", "window_start"])
 
 
 EVENTS_TUMBLING_SQL = """
@@ -111,14 +132,19 @@ GROUP BY user_id ORDER BY user_id
 
 def user_activity_topk(sf_dir: str, k: int = 25):
     """Most active users by event count then total value."""
-    return (_read(sf_dir, ["user_id", "value"])
-            .groupby("user_id")
-            .aggregate(Count(alias_name="n_events"),
-                       Sum("value", alias_name="total_value"))
-            .map_batches(_round2(["total_value"]), batch_format="pandas")
-            .sort(["n_events", "total_value", "user_id"],
-                  descending=[True, True, False])
-            .limit(k))
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum"))
+
+    ds = _read(sf_dir, ["user_id", "value"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+    return _finish_small(ds, ["user_id"],
+                         dict(n_events=("n_events", "sum"),
+                              total_value=("total_value", "sum"))) \
+        .map_batches(_round2(["total_value"]), batch_format="pandas") \
+        .sort(["n_events", "total_value", "user_id"],
+              descending=[True, True, False]) \
+        .limit(k)
 
 
 USER_ACTIVITY_SQL = """
