@@ -59,7 +59,7 @@ def run_crawl(ncpu: int) -> dict:
         collect_trace=False, lineage_level="counts",
         n_seen_shards=16, n_gates=8,
         fetcher_concurrency=ncpu, fetch_batch_size=128,
-        parse_batch_size=512, latency_scale=1.0, max_rounds=16,
+        parse_batch_size=512, latency_scale=2.0, max_rounds=16,
     )
     res = crawl_native(cfg, SiteSpec("bench").seed_rows())
     # frontier ops = candidate rows processed (dedup+seen check+add)
@@ -129,7 +129,7 @@ def run_scaling() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)  # warm the page cache + site store (untimed, BASELINE.md)
+    run(32)  # warm the page cache + site store (untimed, BASELINE.md)
     lo = run(8)
     hi = run(32)
     eff = (lo["pages_per_sec"] and

@@ -24,18 +24,12 @@ import pandas as pd
 import ray
 
 
-class _BroadcastMerge:
-    """map_batches actor: fetch the broadcast side once per actor."""
-
-    def __init__(self, ref, on, how, suffix):
-        self.small: pd.DataFrame = ray.get(ref)
-        self.on = on
-        self.how = how
-        self.suffix = suffix
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how,
-                           suffixes=("", self.suffix))
+def _merge_task(batch: pd.DataFrame, *, ref, on, how, suffix) -> pd.DataFrame:
+    # ray.get of an in-plasma object is zero-copy after the worker's
+    # first touch — stateless tasks get actor-style amortization with
+    # none of the per-query actor-pool spin-up cost
+    small: pd.DataFrame = ray.get(ref)
+    return batch.merge(small, on=on, how=how, suffixes=("", suffix))
 
 
 def broadcast_join(ds, small: pd.DataFrame, on: list[str] | str,
@@ -43,32 +37,24 @@ def broadcast_join(ds, small: pd.DataFrame, on: list[str] | str,
                    batch_size: int = 65536, suffix: str = "_r"):
     """ds ⋈ small on ``on``; small ships once via the object store."""
     ref = ray.put(small)
-    return ds.map_batches(_BroadcastMerge, batch_format="pandas",
-                          fn_constructor_kwargs={"ref": ref, "on": on,
-                                                 "how": how, "suffix": suffix},
-                          batch_size=batch_size,
-                          concurrency=(1, concurrency), num_cpus=1)
+    return ds.map_batches(_merge_task, batch_format="pandas",
+                          fn_kwargs={"ref": ref, "on": on, "how": how,
+                                     "suffix": suffix},
+                          batch_size=batch_size)
 
 
-class _SemiFilter:
-    def __init__(self, ref, key, anti):
-        self.keys = ray.get(ref)
-        self.key = key
-        self.anti = anti
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mask = batch[self.key].isin(self.keys)
-        return batch[~mask] if self.anti else batch[mask]
+def _semi_task(batch: pd.DataFrame, *, ref, key, anti) -> pd.DataFrame:
+    keys = ray.get(ref)
+    mask = batch[key].isin(keys)
+    return batch[~mask] if anti else batch[mask]
 
 
 def broadcast_semi(ds, keys, key: str, *, anti: bool = False,
                    concurrency: int = 4):
     """Semi (or anti) join: keep rows whose ``key`` is (not) in ``keys``."""
     ref = ray.put(set(keys) if not isinstance(keys, (set, frozenset)) else keys)
-    return ds.map_batches(_SemiFilter, batch_format="pandas",
-                          fn_constructor_kwargs={"ref": ref, "key": key,
-                                                 "anti": anti},
-                          concurrency=(1, concurrency), num_cpus=1)
+    return ds.map_batches(_semi_task, batch_format="pandas",
+                          fn_kwargs={"ref": ref, "key": key, "anti": anti})
 
 
 def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
@@ -80,41 +66,40 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
     distributed — TPC-H surrogate keys are; salt externally for skewed
     keys), are tagged with a side marker, unioned, and each bucket is
     joined inside one ``map_groups`` task. One all-to-all shuffle total.
-    """
+
+    Schema alignment for the union uses Arrow TYPED null columns — a
+    pandas ``pd.NA`` widen turns columns to object dtype and makes the
+    shuffle sort ~10× slower."""
+    import pyarrow as pa
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lcols = columns_left or list(lschema.names)
+    rcols = columns_right or list(rschema.names)
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    types = {**{c: rtypes[c] for c in rcols}, **{c: ltypes[c] for c in lcols}}
 
     def tag(side: int, cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            if cols:
-                b = b[cols]
-            b = b.copy()
-            b["_bucket"] = (b[on].to_numpy(np.int64) % n_buckets).astype(np.int32)
-            b["_side"] = np.int8(side)
-            return b
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            key = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {}
+            for c in all_cols:
+                out[c] = b[c] if c in cols else pa.nulls(n, types[c])
+            out["_bucket"] = pa.array((key % n_buckets).astype(np.int32))
+            out["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(out)
         return fn
 
-    lt = left.map_batches(tag(0, columns_left), batch_format="pandas")
-    rt = right.map_batches(tag(1, columns_right), batch_format="pandas")
+    lt = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, set(rcols)), batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0].drop(columns=["_side", "_bucket"])
-        r = g[g["_side"] == 1].drop(columns=["_side", "_bucket"])
-        l = l.dropna(axis=1, how="all")
-        r = r.dropna(axis=1, how="all")
-        out = l.merge(r, on=on, how=how, suffixes=("", "_r"))
-        return out
+        l = g[g["_side"] == 0][lcols]
+        r = g[g["_side"] == 1][rcols]
+        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
 
-    # union of differently-schema'd sides: align columns first
-    lcols = columns_left or [c for c in left.schema().names]
-    rcols = columns_right or [c for c in right.schema().names]
-    all_cols = list(dict.fromkeys(lcols + rcols))
-
-    def widen(b: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in b.columns:
-                b[c] = pd.NA
-        return b[all_cols + ["_bucket", "_side"]]
-
-    lt = lt.map_batches(widen, batch_format="pandas")
-    rt = rt.map_batches(widen, batch_format="pandas")
     return lt.union(rt).groupby("_bucket").map_groups(
         join_bucket, batch_format="pandas")

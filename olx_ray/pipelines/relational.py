@@ -62,6 +62,27 @@ def _round_col(ds, cols, nd: int = 2):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+
+def _partial_small_agg(ds, keys, partial_spec, finish_spec, batch_size=65536):
+    """Two-level aggregate: vectorized pandas partials per batch (the
+    combiner — this is where the data-sized work happens), then coalesce
+    the per-batch partials and finish in one pandas groupby. Valid while
+    DISTINCT KEYS fit one worker (~10M); beyond that, switch the finish
+    to a bucketed groupby. Chosen over ``Dataset.aggregate`` because
+    Ray 2.49's sort-based Aggregate costs seconds even on thousands of
+    partial rows with string/timestamp keys."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False).agg(**partial_spec)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False).agg(**finish_spec)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .repartition(1).map_batches(finish, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- queries
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered scan → partial agg per batch → tiny final
@@ -83,14 +104,12 @@ def q1_pricing_summary(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_tax", "l_shipdate"])
-    agg = (li.map_batches(partial, batch_format="pandas", batch_size=131072)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                      Sum("sum_base_price", alias_name="sum_base_price"),
-                      Sum("sum_disc_price", alias_name="sum_disc_price"),
-                      Sum("sum_charge", alias_name="sum_charge"),
-                      Sum("sum_disc", alias_name="sum_disc"),
-                      Sum("count_order", alias_name="count_order")))
+    sums = {c: (c, "sum") for c in ("sum_qty", "sum_base_price",
+                                    "sum_disc_price", "sum_charge",
+                                    "sum_disc", "count_order")}
+    agg = _partial_small_agg(
+        li.map_batches(partial, batch_format="pandas", batch_size=131072),
+        ["l_returnflag", "l_linestatus"], sums, sums)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b["avg_qty"] = b["sum_qty"] / b["count_order"]
@@ -148,8 +167,10 @@ def q3_shipping_priority(sf_dir: str):
                               columns_left=["o_orderkey", "revenue"],
                               columns_right=["o_orderkey", "o_orderdate",
                                              "o_orderpriority"])
-    agg = joined.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    agg = _partial_small_agg(joined,
+                             ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                             dict(revenue=("revenue", "sum")),
+                             dict(revenue=("revenue", "sum")))
     return _round_col(agg, ["revenue"]) \
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -207,8 +228,9 @@ def q5_supplier_volume(sf_dir: str):
         b["n_name"] = b["s_nationkey"].map(names)
         return b[["n_name", "revenue"]]
 
-    agg = joined.map_batches(name_of, batch_format="pandas") \
-        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    agg = _partial_small_agg(joined.map_batches(name_of, batch_format="pandas"),
+                             ["n_name"], dict(revenue=("revenue", "sum")),
+                             dict(revenue=("revenue", "sum")))
     return _round_col(agg, ["revenue"]).sort("revenue", descending=True)
 
 
@@ -242,14 +264,17 @@ def q10_returned_revenue(sf_dir: str):
     joined = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
                               columns_left=["o_orderkey", "revenue"],
                               columns_right=["o_orderkey", "o_custkey"])
+    # aggregate on the surrogate INT key first (cheap shuffle rows),
+    # then attach the descriptive customer columns by broadcast merge
+    agg = _partial_small_agg(joined, ["o_custkey"],
+                             dict(revenue=("revenue", "sum")),
+                             dict(revenue=("revenue", "sum")))
     cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     cd = cd.rename(columns={"c_custkey": "o_custkey"})[
         ["o_custkey", "c_name", "c_acctbal", "n_name"]]
-    joined = broadcast_join(joined, cd, on="o_custkey")
-    agg = joined.groupby(["o_custkey", "c_name", "c_acctbal", "n_name"]) \
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    agg = broadcast_join(agg, cd, on="o_custkey")
     return _round_col(agg, ["revenue"]) \
         .sort(["revenue", "o_custkey"], descending=[True, False]).limit(20)
 
@@ -381,9 +406,12 @@ def nation_order_stats(sf_dir: str):
     cd = cd.rename(columns={"c_custkey": "o_custkey"})[["o_custkey", "n_name"]]
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     j = broadcast_join(orders, cd, on="o_custkey")
-    agg = j.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="total_volume"))
+    agg = _partial_small_agg(
+        j, ["n_name"],
+        dict(n_orders=("o_totalprice", "size"),
+             total_volume=("o_totalprice", "sum")),
+        dict(n_orders=("n_orders", "sum"),
+             total_volume=("total_volume", "sum")))
     return _round_col(agg, ["total_volume"]).sort("n_name")
 
 
@@ -408,8 +436,10 @@ def part_type_volume(sf_dir: str):
 
     j = broadcast_join(li.map_batches(prep, batch_format="pandas"), part,
                        on="l_partkey")
-    agg = j.groupby("p_type").aggregate(Sum("revenue", alias_name="revenue"),
-                                        Count(alias_name="n_items"))
+    agg = _partial_small_agg(
+        j, ["p_type"],
+        dict(revenue=("revenue", "sum"), n_items=("revenue", "size")),
+        dict(revenue=("revenue", "sum"), n_items=("n_items", "sum")))
     return _round_col(agg, ["revenue"]).sort("p_type")
 
 

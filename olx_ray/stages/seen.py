@@ -125,16 +125,27 @@ def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq"):
     the smallest ``seq`` (first discovery in the LOGICAL order — not
     arrival order, so any parallelism yields the same survivors).
 
-    Implementation: a vectorized ``groupby().aggregate(Min)`` (no
-    per-group Python) over (key, seq) — both small columns — then a
-    broadcast semi-join filter ``seq == min_seq[key]`` over the full
-    rows. The broadcast is O(distinct keys THIS round) — budget-bounded,
-    never the frontier history; for rounds beyond ~10M candidates swap
-    the broadcast for a bucket join on ``key`` (functions.joins)."""
-    from ray.data.aggregate import Min
+    Implementation: vectorized per-batch partial mins (pandas groupby —
+    the combiner), merged into one dict on the driver, then a broadcast
+    semi-join filter ``seq == min_seq[key]`` over the full rows. The
+    dict is O(distinct keys THIS round) — budget-bounded, never the
+    frontier history; for rounds beyond ~10M candidates swap the
+    broadcast for a bucket join on ``key`` (functions.joins)."""
+    import pandas as pd
 
-    mins = ds.groupby(key).aggregate(Min(seq, alias_name="_min_seq")).take_all()
-    table = {int(r[key]): int(r["_min_seq"]) for r in mins}
+    def partial_min(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           seq: b[seq].to_numpy(zero_copy_only=False)})
+        g = df.groupby(key, as_index=False)[seq].min()
+        return pa.table({key: pa.array(g[key].to_numpy().astype(np.uint64),
+                                       pa.uint64()),
+                         seq: pa.array(g[seq].to_numpy(), pa.int64())})
+
+    table: dict[int, int] = {}
+    for r in ds.map_batches(partial_min, batch_format="pyarrow").take_all():
+        k, s = int(r[key]), int(r[seq])
+        if k not in table or s < table[k]:
+            table[k] = s
     ref = ray.put(table)
 
     class KeepMin:
