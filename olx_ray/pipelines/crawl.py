@@ -80,6 +80,7 @@ class CrawlConfig:
     salt: int = 4                        # host_shard salt factor (skew)
     resume: bool = False
     verbose: bool = False
+    keep_raw_html: bool = False          # sidecar table documents' page bodies
     should_stop: object = None           # callable () -> bool, checked at round start
 
 
@@ -282,12 +283,24 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         _mark("trace")
 
         # ---- documents -------------------------------------------------
-        docs = (fetched
-                .filter(expr="kind == 'ad' and status == 'fetched'")
+        ads_fetched = fetched.filter(expr="kind == 'ad' and status == 'fetched'")
+        docs = (ads_fetched
                 .map_batches(ParseAds(native=True), batch_format="pyarrow",
                              batch_size=cfg.parse_batch_size)
                 .map_batches(_doc_finalize(r), batch_format="pyarrow"))
         storage.write_dataset(docs, os.path.join(rdir, "documents"))
+        if cfg.keep_raw_html:
+            # sidecar of the fetched page body per doc (the reference
+            # stores full HTML per ad, H2.scala:61 — there it is the
+            # Jsoup-re-serialized DOM; here the fetched bytes). Kept in
+            # its OWN table so the wide column never enters the
+            # frontier shuffle (SURVEY.md §7 "wide rows").
+            raw = ads_fetched.map_batches(
+                lambda b: pa.table({"doc_id": b["url"], "raw_html": b["html"],
+                                    "round": pa.array([r] * b.num_rows,
+                                                      pa.int32())}),
+                batch_format="pyarrow")
+            storage.write_dataset(raw, os.path.join(rdir, "raw_html"))
         _mark("parse_docs")
 
         # ---- listing parse (ONE pass) + next-round candidates ----------

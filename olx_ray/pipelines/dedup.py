@@ -242,27 +242,50 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                          "key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
                          "simhash": pa.array(np.array(full, dtype=np.uint64), pa.uint64())})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sh = rows["simhash"].to_numpy().astype(np.uint64)
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One task per HASH BUCKET of (band, key): within the bucket,
+        pairwise-verify only inside same-(band, key) runs — sorted
+        groupby in pandas, no per-LSH-bucket Python task."""
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            x = sh[i] ^ sh[i + 1:]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            ok = np.nonzero(d <= max_hamming)[0]
-            for j in ok:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_d.append(int(d[j]))
+        for (_, _), sub in g.groupby(["band", "key"], sort=False):
+            if len(sub) < 2:
+                continue
+            rows = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].to_numpy()
+            sh = rows["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = (sh[i] ^ sh[i + 1:]).astype(np.uint64)
+                d = np.zeros(len(x), dtype=np.int64)
+                v = x.copy()
+                while v.any():             # vectorized popcount
+                    d += (v & np.uint64(1)).astype(np.int64)
+                    v >>= np.uint64(1)
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_d.append(int(d[j]))
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                              "doc_b": pd.Series(out_b, dtype="int64"),
                              "hamming": pd.Series(out_d, dtype="int64")})
 
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((key * np.uint64(0x9E3779B97F4A7C15)) ^ band) % np.uint64(64)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int32),
+                                                  pa.int32()))
+
     pairs = sigs.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "key"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas").sort(["doc_a", "doc_b"])
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
+
+    # same pair can fire in several bands → distinct via one small pass
+    return pairs.repartition(1).map_batches(distinct_pairs,
+                                            batch_format="pandas") \
+        .sort(["doc_a", "doc_b"])
 
 
 # ----------------------------------------------------- embedding near-dup

@@ -1,0 +1,92 @@
+"""Additional crawl coverage: t2-scale conformance, politeness clock
+serialization, raw_html sidecar, hot-host skew reach."""
+
+import datetime
+import os
+import time
+
+import pytest
+import ray
+
+from olx_ray.pipelines.crawl import CrawlConfig, crawl_conformance, crawl_native
+from olx_ray.sources.goldens import golden_conformance_trace, golden_documents
+from olx_ray.sources.sitegen import SiteSpec, write_site
+from olx_ray.stages.politeness import PolitenessGate, gate_for, make_gates
+from olx_ray import storage
+
+
+@pytest.fixture(scope="module")
+def site_t2x(ray_session, tmp_root):
+    return write_site("t2", os.path.join(tmp_root, "site_t2x"))
+
+
+def test_conformance_t2_trace(site_t2x, tmp_root):
+    """t2 scale: 500-count over a 20-link page → 25 unfold iterations of
+    the SAME listing URL (quirk Q2), 500 ad fetches."""
+    site = SiteSpec("t2")
+    cfg = CrawlConfig(pages_dir=site_t2x["pages"],
+                      out_dir=os.path.join(tmp_root, "conf_t2"))
+    res = crawl_conformance(cfg, site.listing(0).url, site.max_count)
+    g = golden_conformance_trace("t2")
+    assert [(u, a) for _, u, a in res.trace] == [(u, a) for _, u, a in g.visits]
+    n_listing_visits = sum(1 for _, _, a in res.trace if a == "fetch_listing")
+    assert n_listing_visits == 25          # ceil(500/20): Q2 refetches
+    assert res.n_documents == 500
+
+
+def test_politeness_gate_serializes_per_host(ray_session):
+    gate = PolitenessGate.remote({"h.ua": "User-agent: *\nCrawl-delay: 2\n"})
+    now = 1000.0
+    w1 = ray.get(gate.acquire.remote("h.ua", 3, now))
+    w2 = ray.get(gate.acquire.remote("h.ua", 2, now))
+    # first caller starts immediately; second waits for 3 × 2s
+    assert w1 == 0.0 and w2 == pytest.approx(6.0)
+    # other hosts are independent
+    assert ray.get(gate.acquire.remote("other.ua", 5, now)) == 0.0
+    # robots disallow honored
+    allowed = ray.get(gate.allowed.remote("h.ua", ["/ok", "/admin/x"]))
+    gate2 = PolitenessGate.remote({"h.ua": "User-agent: *\nDisallow: /admin/\n"})
+    allowed = ray.get(gate2.allowed.remote("h.ua", ["/ok", "/admin/x"]))
+    assert allowed == [True, False]
+    ray.kill(gate)
+    ray.kill(gate2)
+
+
+def test_gate_routing_stable(ray_session):
+    gates = make_gates(4, {})
+    assert gate_for(gates, "www.olx.ua") is gate_for(gates, "www.olx.ua")
+    for g in gates:
+        ray.kill(g)
+
+
+def test_raw_html_sidecar(site_t2x, tmp_root):
+    out = os.path.join(tmp_root, "raw_html_job")
+    cfg = CrawlConfig(pages_dir=site_t2x["pages"], out_dir=out,
+                      keep_raw_html=True, collect_trace=False)
+    crawl_native(cfg, SiteSpec("t2").seed_rows())
+    raws = []
+    for d in sorted(os.listdir(out)):
+        p = os.path.join(out, d, "raw_html")
+        if os.path.isdir(p):
+            raws.append(storage.read_table(p))
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(raws)
+    specs = SiteSpec("t2").all_ad_specs()
+    assert tbl.num_rows == len(specs)
+    row = tbl.slice(0, 1).to_pylist()[0]
+    # sidecar holds the exact fetched body
+    assert row["raw_html"] == specs[row["doc_id"]].html()
+
+
+def test_native_reaches_hot_host(site_t2x, tmp_root):
+    """The hub page's fully-qualified links put real load on a second
+    host in native mode (the skew path, SURVEY.md §4.2)."""
+    from olx_ray.pipelines.metrics import host_stats
+
+    out = os.path.join(tmp_root, "hot_host_job")
+    crawl_native(CrawlConfig(pages_dir=site_t2x["pages"], out_dir=out),
+                 SiteSpec("t2").seed_rows())
+    hs = host_stats(out).to_pandas()
+    hub = hs[(hs.host == "hub.olx.ua") & (hs.action == "fetch_ad")]
+    assert not hub.empty and int(hub.n.iloc[0]) > 0
