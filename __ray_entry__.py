@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": events.events_tumbling_hourly,
         "sessionize": events.sessionize,
         "user_activity_topk": events.user_activity_topk,
+        "props_key_stats": events.props_key_stats,
         # --- text analysis ----------------------------------------------
         "token_count": text.token_count,
         "word_freq_topk": text.word_freq_topk,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "user_activity_topk": events.USER_ACTIVITY_SQL,
+        "props_key_stats": events.PROPS_KEY_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,

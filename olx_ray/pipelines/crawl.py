@@ -216,6 +216,12 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         frontier = storage.read_dataset(frontier_path)
         lineage: list[dict] = []
         rdir = ckpt.round_dir(cfg.out_dir, r)
+        if os.path.isdir(rdir) and not os.path.exists(
+                ckpt.manifest_path(cfg.out_dir, r)):
+            # partial leftovers from a crashed attempt at this round —
+            # wipe so retried writes can't append duplicate fragments
+            import shutil
+            shutil.rmtree(rdir)
         os.makedirs(rdir, exist_ok=True)
 
         # ---- budget: priority-sorted prefix fetches now, rest carries --
@@ -404,7 +410,7 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         else:
             storage.write_table(_frontier_table([]), frontier_path)
         next_digest = 0
-        if cfg.lineage_level == "full":
+        if cfg.lineage_level == "full" and n_next > 0:
             n_next, next_digest = ckpt.dataset_digest(
                 storage.read_dataset(frontier_path))
         pending_count = n_next
@@ -573,6 +579,9 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
     import math
 
     t0 = time.monotonic()
+    import shutil
+    if os.path.isdir(os.path.join(cfg.out_dir, "documents")):
+        shutil.rmtree(os.path.join(cfg.out_dir, "documents"))
     os.makedirs(cfg.out_dir, exist_ok=True)
     fetch_kwargs = {"pages_dir": cfg.pages_dir, "gates": None,
                     "latency_scale": cfg.latency_scale}

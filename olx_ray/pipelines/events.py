@@ -152,3 +152,32 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
 ORDER BY n_events DESC, round(sum(value), 2) DESC, user_id LIMIT 25
 """
+
+
+def props_key_stats(sf_dir: str):
+    """JSON column extraction: parse ``props`` (a JSON object string),
+    pull key "k", aggregate per event_type. Vectorized via pandas
+    json-normalize-free fast path (orjson-less: stdlib json per row is
+    the hot loop — amortized per batch, and props are tiny)."""
+    import json
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [json.loads(p).get("k") for p in b["props"]]
+        out = pd.DataFrame({"event_type": b["event_type"], "k": ks})
+        return out.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+
+    ds = _read(sf_dir, ["event_type", "props"]) \
+        .map_batches(extract, batch_format="pandas", batch_size=65536)
+    return _finish_small(ds, ["event_type"],
+                         dict(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                              max_k=("max_k", "max"))) \
+        .sort("event_type")
+
+
+PROPS_KEY_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -71,7 +71,10 @@ def read_dataset(path: str, columns: list[str] | None = None):
 
 
 def write_dataset(ds, path: str) -> None:
-    """Streaming sink for a ``ray.data.Dataset``."""
+    """Streaming sink for a ``ray.data.Dataset``. The directory is
+    created even when the dataset is empty (writes zero files), so a
+    later read of the table location never hits FileNotFound."""
+    os.makedirs(path, exist_ok=True)
     if HAVE_LANCE:  # pragma: no cover
         ds.write_lance(path)
         return

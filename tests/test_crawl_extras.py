@@ -67,7 +67,8 @@ def test_raw_html_sidecar(site_t2x, tmp_root):
     raws = []
     for d in sorted(os.listdir(out)):
         p = os.path.join(out, d, "raw_html")
-        if os.path.isdir(p):
+        if os.path.isdir(p) and any(f.endswith(".parquet")
+                                    for f in os.listdir(p)):
             raws.append(storage.read_table(p))
     import pyarrow as pa
 

@@ -1,0 +1,54 @@
+"""Multi-tenant crawl: several search jobs sharing one frontier.
+
+Engine-defined semantics (the reference runs jobs as independent
+fibers — that path is the JobRegistry; this one is the shared-frontier
+variant): global first-discovery dedup across searches, per-search ad
+caps enforced in discovered order."""
+
+import datetime
+import os
+
+import pyarrow as pa
+import pytest
+
+from olx_ray.pipelines.crawl import CrawlConfig, crawl_native, read_documents
+from olx_ray.schema import SEEDS
+from olx_ray.sources.sitegen import SiteSpec, write_site
+
+
+@pytest.fixture(scope="module")
+def site(ray_session, tmp_root):
+    return write_site("t2", os.path.join(tmp_root, "site_multi"))
+
+
+def _two_seeds():
+    s = SiteSpec("t2")
+    return pa.table({
+        "search_id": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["front", "middle"]),
+        "url": pa.array([s.listing(0).url, s.listing(10).url]),
+        "max_count": pa.array([30, 12], pa.int32()),
+        "started_at": pa.array([datetime.datetime(2024, 12, 20)] * 2,
+                               pa.timestamp("us")),
+    }, schema=SEEDS)
+
+
+def test_per_search_caps_and_determinism(site, tmp_root):
+    outs = []
+    for tag in ("a", "b"):
+        out = os.path.join(tmp_root, f"multi_{tag}")
+        crawl_native(CrawlConfig(pages_dir=site["pages"], out_dir=out,
+                                 fetch_batch_size=32 if tag == "a" else 256),
+                     _two_seeds())
+        docs = read_documents(out).sort(["round", "fetched_seq"]).take_all()
+        outs.append([(r["doc_id"], r["search_id"]) for r in docs])
+    # determinism across batch sizes
+    assert outs[0] == outs[1]
+    # per-search caps respected
+    by_sid = {}
+    for _, sid in outs[0]:
+        by_sid[sid] = by_sid.get(sid, 0) + 1
+    assert by_sid.get(1, 0) <= 30 and by_sid.get(2, 0) <= 12
+    # cap reached: 30 admitted; one admitted URL is the planted dead
+    # link (page-1 slot 5) → 29 or 30 documents depending on reach order
+    assert by_sid.get(1, 0) >= 29
