@@ -181,3 +181,40 @@ SELECT event_type, count(*) AS n,
        max(json_extract(props, '$.k')::BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def purchase_attribution_asof(sf_dir: str):
+    """AS-OF JOIN (custom operator — Ray Data has none): each purchase
+    event is attributed to the user's most recent prior click. Sort
+    both sides by ts within user groups and ``pd.merge_asof`` per group
+    (ray_guide "As-of / range join"). Partitioning assumption: one
+    user's events fit one group task."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"][["user_id", "ts", "event_id"]] \
+            .sort_values("ts").rename(columns={"event_id": "purchase_id"})
+        clicks = g[g["event_type"] == "click"][["ts", "event_id"]] \
+            .sort_values("ts").rename(columns={"event_id": "click_id"})
+        if purchases.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "purchase_id": pd.Series([], dtype="int64"),
+                                 "click_id": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(purchases, clicks, on="ts",
+                          allow_exact_matches=False)
+        m["click_id"] = m["click_id"].astype("Int64").fillna(-1).astype("int64")
+        return m[["user_id", "purchase_id", "click_id"]]
+
+    return (_read(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .sort(["user_id", "purchase_id"]))
+
+
+PURCHASE_ASOF_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       coalesce(c.event_id, -1) AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY p.user_id, purchase_id
+"""
