@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_mktsegments": relational.distinct_mktsegments,
         "union_distinct_keys": relational.union_distinct_keys,
         "nation_order_stats": relational.nation_order_stats,
+        "segment_order_stats_native_join": relational.segment_order_stats_native_join,
         "part_type_volume": relational.part_type_volume,
         # --- events / windows ------------------------------------------
         "events_by_type": events.events_by_type,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_mktsegments": relational.DISTINCT_SEGMENTS_SQL,
         "union_distinct_keys": relational.UNION_DISTINCT_SQL,
         "nation_order_stats": relational.NATION_ORDER_SQL,
+        "segment_order_stats_native_join": relational.SEGMENT_ORDER_NATIVE_SQL,
         "part_type_volume": relational.PART_TYPE_SQL,
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,

@@ -449,3 +449,29 @@ SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
 FROM lineitem, part WHERE l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
 """
+
+
+def segment_order_stats_native_join(sf_dir: str):
+    """Same shape as ``nation_order_stats`` but via Ray Data's NATIVE
+    hash join (``Dataset.join``, Ray ≥2.46) — included alongside the
+    broadcast/bucket strategies to cover the built-in API path. The
+    join is hash-partitioned on the key across ``num_partitions``."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=16,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    agg = _partial_small_agg(
+        j, ["c_mktsegment"],
+        dict(n_orders=("o_totalprice", "size"),
+             total_volume=("o_totalprice", "sum")),
+        dict(n_orders=("n_orders", "sum"),
+             total_volume=("total_volume", "sum")))
+    return _round_col(agg, ["total_volume"]).sort("c_mktsegment")
+
+
+SEGMENT_ORDER_NATIVE_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_volume
+FROM orders, customer WHERE o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

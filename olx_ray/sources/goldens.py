@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from urllib.parse import urljoin
 
 from ..functions.urls import absolutize, canonicalize
-from .sitegen import AdSpec, ListingSpec, SiteSpec
+from .sitegen import SiteSpec
 
 
 @dataclass
