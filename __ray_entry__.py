@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_topk": events.user_activity_topk,
         "props_key_stats": events.props_key_stats,
         "purchase_attribution_asof": events.purchase_attribution_asof,
+        "events_sliding_2h": events.events_sliding_2h,
         # --- text analysis ----------------------------------------------
         "token_count": text.token_count,
         "word_freq_topk": text.word_freq_topk,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_topk": events.USER_ACTIVITY_SQL,
         "props_key_stats": events.PROPS_KEY_SQL,
         "purchase_attribution_asof": events.PURCHASE_ASOF_SQL,
+        "events_sliding_2h": events.EVENTS_SLIDING_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,

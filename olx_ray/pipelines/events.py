@@ -218,3 +218,41 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts > c.ts
 ORDER BY p.user_id, purchase_id
 """
+
+
+def events_sliding_2h(sf_dir: str):
+    """SLIDING window (2h wide, 1h step) per event_type: each event maps
+    to exactly two windows — assignment exploded vectorized per batch
+    (combiner), then the small finish. Window = [start, start+2h)."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        w0 = b["ts"].dt.floor("h")
+        a = pd.DataFrame({"event_type": b["event_type"],
+                          "window_start": w0, "value": b["value"]})
+        c = pd.DataFrame({"event_type": b["event_type"],
+                          "window_start": w0 - pd.Timedelta(hours=1),
+                          "value": b["value"]})
+        both = pd.concat([a, c], ignore_index=True)
+        return both.groupby(["event_type", "window_start"],
+                            as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum"))
+
+    ds = _read(sf_dir, ["ts", "event_type", "value"]) \
+        .map_batches(explode, batch_format="pandas", batch_size=65536)
+    return _finish_small(ds, ["event_type", "window_start"],
+                         dict(n=("n", "sum"),
+                              total_value=("total_value", "sum"))) \
+        .map_batches(_round2(["total_value"]), batch_format="pandas") \
+        .sort(["event_type", "window_start"])
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type, window_start, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM (SELECT event_type, date_trunc('hour', ts) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
+      FROM events)
+GROUP BY event_type, window_start ORDER BY event_type, window_start
+"""
