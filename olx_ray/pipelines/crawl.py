@@ -266,7 +266,9 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         fetched = fetch_list.map_batches(
             fetch_batch, fn_kwargs={
                 "pages_dir": cfg.pages_dir, "gates": gates,
-                "latency_scale": cfg.latency_scale},
+                "latency_scale": cfg.latency_scale,
+                "parse_ads_inline": True, "native_parse": True,
+                "keep_html": cfg.keep_raw_html},
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
             # stateless tasks + per-worker-process shard cache: zero pool
             # spin-up per round, elastic to whatever CPUs are free; each
@@ -288,12 +290,9 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
             storage.write_dataset(trace_ds, os.path.join(rdir, "trace"))
         _mark("trace")
 
-        # ---- documents -------------------------------------------------
+        # ---- documents (spans parsed INSIDE the fetch tasks) -----------
         ads_fetched = fetched.filter(expr="kind == 'ad' and status == 'fetched'")
-        docs = (ads_fetched
-                .map_batches(ParseAds(native=True), batch_format="pyarrow",
-                             batch_size=cfg.parse_batch_size)
-                .map_batches(_doc_finalize(r), batch_format="pyarrow"))
+        docs = ads_fetched.map_batches(_doc_finalize(r), batch_format="pyarrow")
         storage.write_dataset(docs, os.path.join(rdir, "documents"))
         if cfg.keep_raw_html:
             # sidecar of the fetched page body per doc (the reference
@@ -467,7 +466,7 @@ def _resolve_links(batch: pa.Table) -> pa.Table:
 def _doc_finalize(round_: int):
     def fin(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {"doc_id": batch["doc_id"], "spans": batch["spans"],
+        cols = {"doc_id": batch["url"], "spans": batch["spans"],
                 "search_id": batch["search_id"],
                 "fetched_seq": batch["discovered_seq"],
                 "round": pa.array([round_] * n, pa.int32())}

@@ -70,8 +70,16 @@ def _lookup(pages_dir: str, url: str):
 
 def fetch_batch(batch: pa.Table, *, pages_dir: str, gates: list | None = None,
                 latency_scale: float = 0.0, parallel_connections: int = 10,
-                url_col: str = "url", keep_html: bool = True) -> pa.Table:
-    """Stateless fetch task over one Arrow batch (see module docstring)."""
+                url_col: str = "url", keep_html: bool = True,
+                parse_ads_inline: bool = False,
+                native_parse: bool = True) -> pa.Table:
+    """Stateless fetch task over one Arrow batch (see module docstring).
+
+    ``parse_ads_inline=True`` fuses the ad→spans parse into the fetch
+    task (SURVEY.md §7 "wide rows": parse in the fetch stage, drop the
+    heavy html before anything is materialized or shuffled): ad rows get
+    a ``spans`` column and empty html; listing html is kept for the
+    listing-parse stage (and everything is kept when ``keep_html``)."""
     urls = batch[url_col].to_pylist()
     n = len(urls)
     allowed = [True] * n
@@ -112,7 +120,19 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, gates: list | None = None,
                    / max(1, parallel_connections))
     cols = {name: batch[name] for name in batch.column_names}
     cols["kind"] = pa.array(kinds, pa.string())
-    if keep_html:
+    if parse_ads_inline:
+        from ..schema import SPAN
+        from .parse import ad_to_spans
+
+        spans = [ad_to_spans(h, native=native_parse)
+                 if k == "ad" and st == "fetched" else None
+                 for h, k, st in zip(htmls, kinds, statuses)]
+        cols["spans"] = pa.array(spans, type=pa.list_(SPAN))
+        if not keep_html:
+            # heavy column dropped for parsed ads before materialization
+            htmls = ["" if k == "ad" else h for h, k in zip(htmls, kinds)]
+        cols["html"] = pa.array(htmls, pa.string())
+    elif keep_html:
         cols["html"] = pa.array(htmls, pa.string())
     cols["status"] = pa.array(statuses, pa.string())
     cols["fetch_bytes"] = pa.array(sizes, pa.int64())
