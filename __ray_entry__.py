@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "neardup_groups": dedup.neardup_groups,
+        "dedup_keep_representatives": dedup.dedup_keep_representatives,
         # --- similarity search -------------------------------------------
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,

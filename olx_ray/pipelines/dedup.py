@@ -331,3 +331,62 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 ORDER BY vec_a, vec_b
 """
+
+
+def neardup_groups(sf_dir: str, threshold: float = 0.6):
+    """Connected components over verified near-dup pairs → (doc_id,
+    group_id, group_size, is_representative). Pairs are collected on
+    the driver for the union-find (ray_guide: valid because the
+    candidate-pair set is provably small — bounded by LSH bucket
+    collisions, not corpus size); label assignment back onto the corpus
+    is a broadcast map. Representative = min doc_id of the group."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    group_of = {x: find(x) for x in list(parent)}
+    sizes: dict[int, int] = {}
+    for g in group_of.values():
+        sizes[g] = sizes.get(g, 0) + 1
+    ref = ray.put((group_of, sizes))
+
+    def label(b: pa.Table) -> pa.Table:
+        g_of, sz = ray.get(ref)
+        ids = b["doc_id"].to_pylist()
+        gids = [g_of.get(i, i) for i in ids]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "group_id": pa.array(gids, pa.int64()),
+            "group_size": pa.array([sz.get(g, 1) for g in gids], pa.int64()),
+            "is_representative": pa.array([g == i for g, i in zip(gids, ids)],
+                                          pa.bool_()),
+        })
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        label, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6):
+    """THE corpus-dedup operator: drop every non-representative member
+    of each near-dup group; survivors keep their text."""
+    groups = neardup_groups(sf_dir, threshold)
+    keep = {r["doc_id"] for r in groups.take_all() if r["is_representative"]}
+    ref = ray.put(keep)
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep_set = ray.get(ref)  # zero-copy plasma fetch, once per batch
+        ids = b["doc_id"].to_pylist()
+        return b.filter(pa.array([i in keep_set for i in ids]))
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        filt, batch_format="pyarrow").sort("doc_id")
