@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_pairs": dedup.simhash_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "neardup_groups": dedup.neardup_groups,
         "dedup_keep_representatives": dedup.dedup_keep_representatives,
         # --- similarity search -------------------------------------------

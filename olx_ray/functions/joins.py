@@ -96,10 +96,19 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
     lt = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow")
     rt = right.map_batches(tag(1, set(rcols)), batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0][lcols]
-        r = g[g["_side"] == 1][rcols]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        # Split sides in ARROW, then convert each side to pandas
+        # separately: the null padding added for the union lives only in
+        # the OTHER side's rows, so each side's own columns convert with
+        # their native dtypes (an int64 column null-padded on one side
+        # would widen to float64 if the union were converted whole —
+        # 834.0 vs 834 breaks value-hash parity downstream).
+        import pyarrow.compute as pc
+
+        side = g["_side"]
+        l = g.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select(rcols).to_pandas()
         return l.merge(r, on=on, how=how, suffixes=("", "_r"))
 
     return lt.union(rt).groupby("_bucket").map_groups(
-        join_bucket, batch_format="pandas")
+        join_bucket, batch_format="pyarrow")

@@ -10,8 +10,12 @@ First-class training-data operators:
 - ``simhash_pairs``     — 64-bit simhash + banded hamming candidates.
 - ``ngram_jaccard_verify`` — the exact word-3-gram Jaccard used as the
   verifier (exposed for candidate pairs).
-- ``embedding_neardup_pairs`` — cosine ≥ τ pairs over the embeddings
-  table (oracle via DuckDB list_cosine_similarity).
+- ``embedding_neardup_pairs`` — EXACT cosine ≥ τ pairs over the
+  embeddings table (oracle via DuckDB list_cosine_similarity) as a
+  chunked all-pairs scan: plasma-resident normalized chunks, one in a
+  worker heap at a time, upper-triangle pruning via chunk id ranges.
+- ``embedding_neardup_lsh`` — the approximate hyperplane-LSH variant
+  (band buckets → in-bucket exact verify); recall-tested vs exact.
 
 Scale notes: minhash/simhash signatures are fixed-width columns; band
 explosion multiplies rows by n_bands (not data size); candidate
@@ -39,25 +43,37 @@ def _read_docs(sf_dir: str, columns=None):
 
 
 # ------------------------------------------------------------------ exact
-def dedup_exact(sf_dir: str):
-    """Exact dedup: content hash → groupby(hash) → keep min doc_id.
-    At scale the groupby shuffle moves (hash, doc_id) pairs only — text
-    never leaves the first map stage."""
+def dedup_exact(sf_dir: str, n_buckets: int = 32):
+    """Exact dedup: content hash → per-batch partial (min doc_id, count)
+    per hash → one vectorized finish per HASH BUCKET (never one Python
+    call per distinct hash). The groupby shuffle moves one row per
+    (batch, distinct-hash) — text never leaves the first map stage."""
 
-    def hash_stage(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         h = np.array([hash64(t or "") for t in b["text"].to_pylist()],
                      dtype=np.uint64)
-        return pa.table({"doc_id": b["doc_id"],
-                         "text_hash": pa.array(h, pa.uint64())})
+        df = pd.DataFrame({"text_hash": h,
+                           "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("text_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return pa.table({
+            "text_hash": pa.array(g["text_hash"].to_numpy(), pa.uint64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "n_copies": pa.array(g["n_copies"].to_numpy(), pa.int64()),
+            "bucket": pa.array((g["text_hash"].to_numpy()
+                                % np.uint64(n_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()],
-                             "n_copies": [len(g)]})
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+        return out[["doc_id", "n_copies"]]
 
     return (_read_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(hash_stage, batch_format="pyarrow")
-            .groupby("text_hash")
-            .map_groups(keep_first, batch_format="pandas")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(finish_bucket, batch_format="pandas")
             .sort("doc_id"))
 
 
@@ -150,9 +166,22 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
 
     pairs = bands.map_batches(key_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(self_join, batch_format="pandas")
-    # a pair can still fire in bands landing in different buckets
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    # a pair can still fire in bands landing in different buckets →
+    # distinct via ONE drop_duplicates per pair-hash bucket (vectorized;
+    # never one Python task per candidate pair)
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(n_buckets)
+        return b.append_column("pair_bucket",
+                               pa.array(pb.astype(np.int32), pa.int32()))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return pairs.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("pair_bucket").map_groups(distinct, batch_format="pandas")
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
@@ -181,11 +210,22 @@ class JaccardVerify:
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
-    The doc-text broadcast is test-scale convenience; at 100 TB the
-    verify stage joins candidate ids back to the corpus by hash bucket."""
-    cands = minhash_candidates(sf_dir)
-    docs = {r["doc_id"]: r["text"] for r in
-            _read_docs(sf_dir, ["doc_id", "text"]).take_all()}
+
+    The verify stage broadcasts only the id→text subset for docs that
+    appear in a candidate pair — the candidate set is LSH-bounded
+    (bucket collisions), NOT corpus-sized, so the driver/broadcast
+    footprint stays O(candidates) while the corpus streams through a
+    distributed semi-join filter."""
+    cands = minhash_candidates(sf_dir).materialize()
+    cand_ids: set[int] = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    from ..functions.joins import broadcast_semi
+
+    docs = {r["doc_id"]: r["text"]
+            for r in broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
+                                    cand_ids, "doc_id").take_all()}
     ref = ray.put(docs)
     return cands.map_batches(
         JaccardVerify, fn_constructor_kwargs={"docs_ref": ref,
@@ -289,39 +329,169 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 # ----------------------------------------------------- embedding near-dup
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
-    """Pairs of embeddings with cosine ≥ τ. Per batch: normalized rows ×
-    broadcast normalized matrix (numpy matmul) — brute force, the
-    LSH-bucketed variant is in pipelines.similarity."""
+def _emb_chunk_specs(path: str, chunk_rows: int):
+    """Chunk specs ``(file, row_group, offset, length)`` straight from
+    parquet metadata — no vector data flows through the driver."""
+    import pyarrow.dataset as pads
+
+    specs = []
+    for frag in pads.dataset(path).get_fragments():
+        for rg in frag.row_groups:
+            for off in range(0, rg.num_rows, chunk_rows):
+                specs.append((frag.path, rg.id, off,
+                              min(chunk_rows, rg.num_rows - off)))
+    return specs
+
+
+@ray.remote(num_returns=2, num_cpus=0.5)
+def _load_emb_chunk(file: str, rg: int, off: int, length: int):
+    """→ ((min_id, max_id), (ids, normalized matrix)); the matrix lives
+    in plasma owned by the driver, fetched zero-copy by scan tasks."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = tbl["vec_id"].to_numpy()
-    m = np.vstack(tbl["embedding"].to_pylist()).astype(np.float64)
+    t = pq.ParquetFile(file).read_row_group(
+        rg, columns=["vec_id", "embedding"]).slice(off, length)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((ids, m))
+    return (int(ids.min()), int(ids.max())), (ids, m)
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
+                            chunk_rows: int = 8192):
+    """EXACT pairs of embeddings with cosine ≥ τ, as a chunked all-pairs
+    scan: the corpus is loaded once into plasma as normalized chunks
+    (one task per parquet row-group slice), and every batch of the scan
+    side streams the chunks sequentially — worker heap holds ONE chunk
+    at a time, never the whole matrix, and chunks wholly below the
+    batch's min id are skipped (upper-triangle pruning via chunk id
+    ranges). O(N²/2) similarity work is inherent to the exact operator;
+    hyperplane LSH at τ=0.45 (θ≈63°) needs ~48 band tables for recall≈1
+    and does MORE pair work than this scan — the approximate LSH path
+    (`embedding_neardup_lsh`) wins only at high thresholds."""
+    path = f"{sf_dir}/embeddings.parquet"
+    meta_refs, data_refs = [], []
+    for spec in _emb_chunk_specs(path, chunk_rows):
+        meta, data = _load_emb_chunk.remote(*spec)
+        meta_refs.append(meta)
+        data_refs.append(data)
+    ranges = ray.get(meta_refs)   # tiny: (min, max) per chunk
 
     class Scan:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+        def __init__(self, chunks, ranges, threshold):
+            self.chunks = chunks
+            self.ranges = ranges
+            self.threshold = threshold
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            q_ids = b["vec_id"].to_numpy()
+            q_ids = b["vec_id"].to_numpy().astype(np.int64)
             q = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            cos = q @ self.m.T
-            qi, mi = np.nonzero(cos >= threshold)
-            keep = q_ids[qi] < self.ids[mi]   # upper triangle only
-            return pa.table({
-                "vec_a": pa.array(q_ids[qi][keep], pa.int64()),
-                "vec_b": pa.array(self.ids[mi][keep], pa.int64()),
-            })
+            qmin = int(q_ids.min())
+            out_a, out_b = [], []
+            for (lo, hi), ref in zip(self.ranges, self.chunks):
+                if hi <= qmin:        # no id in chunk can be a 'b' side
+                    continue
+                ids, m = ray.get(ref)  # zero-copy plasma, one chunk in heap
+                cos = q @ m.T
+                qi, ci = np.nonzero(cos >= self.threshold)
+                keep = q_ids[qi] < ids[ci]     # upper triangle only
+                out_a.append(q_ids[qi][keep])
+                out_b.append(ids[ci][keep])
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            c = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            return pa.table({"vec_a": pa.array(a, pa.int64()),
+                             "vec_b": pa.array(c, pa.int64())})
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"]) \
-        .map_batches(Scan, batch_format="pyarrow", batch_size=256,
-                     concurrency=(1, 4), num_cpus=1) \
+    return rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+        .map_batches(Scan, batch_format="pyarrow", batch_size=1024,
+                     fn_constructor_kwargs={"chunks": data_refs,
+                                            "ranges": ranges,
+                                            "threshold": threshold},
+                     concurrency=(1, 8), num_cpus=1) \
+        .sort(["vec_a", "vec_b"])
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
+                          n_tables: int = 24, n_bits: int = 4):
+    """APPROXIMATE embedding near-dup: random-hyperplane band buckets →
+    in-bucket exact cosine verify → pair distinct. Band rows multiply
+    the corpus by n_tables, the only all-to-all is the (table, key)
+    groupby, and verification is a vectorized matmul per bucket. At
+    τ=0.45 (θ≈63°) recall≈1 needs r=4 bits × 24 tables (measured 1.0 at
+    sf0.01), which is MORE pair work than the exact chunked scan — so
+    this is the scale path only for higher thresholds / when candidate
+    pruning matters; recall vs the exact scan is measured in tests; no
+    oracle entry (probabilistic recall)."""
+    planes = None  # lazily sized from the first batch's dim (fixed seed
+    #                → every worker derives the identical planes)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+
+    def explode(b: pa.Table) -> pa.Table:
+        nonlocal planes
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        if planes is None:
+            planes = np.random.RandomState(7).standard_normal(
+                (n_tables, n_bits, m.shape[1]))
+        out_id, out_t, out_k, out_v = [], [], [], []
+        for t in range(n_tables):
+            key = (((m @ planes[t].T) > 0).astype(np.uint64) @ weights)
+            out_id.append(ids)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_k.append(key.astype(np.int64))
+            out_v.append(m)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "tbl": pa.array(np.concatenate(out_t), pa.int32()),
+            "key": pa.array(np.concatenate(out_k), pa.int64()),
+            "vec": pa.array(list(np.concatenate(out_v, axis=0))),
+        })
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in g.groupby(["tbl", "key"], sort=False):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            m = np.vstack(sub["vec"].to_numpy())
+            cos = m @ m.T
+            qi, ci = np.nonzero(cos >= threshold)
+            keep = ids[qi] < ids[ci]
+            out_a.append(ids[qi][keep])
+            out_b.append(ids[ci][keep])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        c = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame({"vec_a": pd.Series(a, dtype="int64"),
+                             "vec_b": pd.Series(c, dtype="int64")})
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = b["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((key * np.uint64(0x9E3779B97F4A7C15)) ^ t) % np.uint64(64)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int32),
+                                                  pa.int32()))
+
+    pairs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(explode, batch_format="pyarrow", batch_size=2048) \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(32)
+        return b.append_column("pair_bucket",
+                               pa.array(pb.astype(np.int32), pa.int32()))
+
+    return pairs.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("pair_bucket").map_groups(distinct, batch_format="pandas") \
         .sort(["vec_a", "vec_b"])
 
 
@@ -333,13 +503,12 @@ ORDER BY vec_a, vec_b
 """
 
 
-def neardup_groups(sf_dir: str, threshold: float = 0.6):
-    """Connected components over verified near-dup pairs → (doc_id,
-    group_id, group_size, is_representative). Pairs are collected on
-    the driver for the union-find (ray_guide: valid because the
-    candidate-pair set is provably small — bounded by LSH bucket
-    collisions, not corpus size); label assignment back onto the corpus
-    is a broadcast map. Representative = min doc_id of the group."""
+def _neardup_unionfind(sf_dir: str, threshold: float):
+    """Union-find over verified near-dup pairs. Pairs are collected on
+    the driver (ray_guide: valid because the verified-pair set is
+    provably small — bounded by LSH bucket collisions, not corpus
+    size). Returns ``(group_of, sizes)`` where ``group_of`` maps only
+    docs that appear in SOME pair (everything else is its own group)."""
     pairs = minhash_lsh_pairs(sf_dir, threshold).to_pandas()
 
     parent: dict[int, int] = {}
@@ -358,18 +527,26 @@ def neardup_groups(sf_dir: str, threshold: float = 0.6):
     sizes: dict[int, int] = {}
     for g in group_of.values():
         sizes[g] = sizes.get(g, 0) + 1
-    ref = ray.put((group_of, sizes))
+    return group_of, sizes
+
+
+def neardup_groups(sf_dir: str, threshold: float = 0.6):
+    """Connected components over verified near-dup pairs → (doc_id,
+    group_id, group_size, is_representative). Label assignment back
+    onto the corpus is a broadcast map (the group dict is pair-bounded);
+    representative = min doc_id of the group."""
+    ref = ray.put(_neardup_unionfind(sf_dir, threshold))
 
     def label(b: pa.Table) -> pa.Table:
         g_of, sz = ray.get(ref)
-        ids = b["doc_id"].to_pylist()
-        gids = [g_of.get(i, i) for i in ids]
+        ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
+        gids = ids.map(g_of).fillna(ids).astype("int64")
+        gsz = gids.map(sz).fillna(1).astype("int64")
         return pa.table({
             "doc_id": b["doc_id"],
-            "group_id": pa.array(gids, pa.int64()),
-            "group_size": pa.array([sz.get(g, 1) for g in gids], pa.int64()),
-            "is_representative": pa.array([g == i for g, i in zip(gids, ids)],
-                                          pa.bool_()),
+            "group_id": pa.array(gids.to_numpy(), pa.int64()),
+            "group_size": pa.array(gsz.to_numpy(), pa.int64()),
+            "is_representative": pa.array((gids == ids).to_numpy(), pa.bool_()),
         })
 
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
@@ -378,15 +555,14 @@ def neardup_groups(sf_dir: str, threshold: float = 0.6):
 
 def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6):
     """THE corpus-dedup operator: drop every non-representative member
-    of each near-dup group; survivors keep their text."""
-    groups = neardup_groups(sf_dir, threshold)
-    keep = {r["doc_id"] for r in groups.take_all() if r["is_representative"]}
-    ref = ray.put(keep)
+    of each near-dup group; survivors keep their text.
 
-    def filt(b: pa.Table) -> pa.Table:
-        keep_set = ray.get(ref)  # zero-copy plasma fetch, once per batch
-        ids = b["doc_id"].to_pylist()
-        return b.filter(pa.array([i in keep_set for i in ids]))
+    Distributed anti-join: only the NON-representative id set (strictly
+    pair-bounded, tiny) is broadcast; the corpus streams through the
+    filter — never collected on the driver."""
+    group_of, _ = _neardup_unionfind(sf_dir, threshold)
+    drop_ids = {x for x, g in group_of.items() if g != x}
+    from ..functions.joins import broadcast_semi
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        filt, batch_format="pyarrow").sort("doc_id")
+    return broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
+                          drop_ids, "doc_id", anti=True).sort("doc_id")

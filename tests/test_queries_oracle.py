@@ -26,16 +26,15 @@ def _duck(sql: str) -> pd.DataFrame:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns/rows; round floats. Deliberately does NOT cast ints —
+    an integer column that widened to float64 through a join (null
+    padding) must FAIL here, mirroring the driver's value-hash gate."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c])
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
-        elif df[c].dtype == object:
-            pass
-        else:
-            df[c] = df[c].astype("int64", errors="ignore")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -68,6 +67,11 @@ def test_query_vs_oracle(name, ray_session):
     assert list(got.columns) == list(want.columns), \
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    for c in got.columns:
+        # int32 vs int64 is fine; int vs FLOAT is the q10-class dtype bug
+        assert (pd.api.types.is_float_dtype(got[c])
+                == pd.api.types.is_float_dtype(want[c])), \
+            f"{name}.{c}: dtype kind {got[c].dtype} != {want[c].dtype}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-6, atol=1e-6)
 
