@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_stats": relational.nation_order_stats,
         "segment_order_stats_native_join": relational.segment_order_stats_native_join,
         "part_type_volume": relational.part_type_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q12_priority_lines": relational.q12_priority_lines,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
         # --- events / windows ------------------------------------------
         "events_by_type": events.events_by_type,
         "events_tumbling_hourly": events.events_tumbling_hourly,
@@ -158,6 +162,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_order_stats": relational.NATION_ORDER_SQL,
         "segment_order_stats_native_join": relational.SEGMENT_ORDER_NATIVE_SQL,
         "part_type_volume": relational.PART_TYPE_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "q12_priority_lines": relational.Q12_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
+        "q18_large_orders": relational.Q18_SQL,
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,

@@ -128,16 +128,38 @@ class MakeCandidates:
         self.depth = depth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # columnar assembly: canonicalize/hash are per-URL string ops,
+        # but everything else (shard math, seq packing, table build) is
+        # vectorized — no per-row dict construction in the hot path
         urls = batch["url"].to_pylist()
         pages = batch["page_url"].to_pylist()
         poss = batch["position"].to_pylist()
         sids = batch["search_id"].to_pylist() if "search_id" in batch.column_names \
             else [1] * len(urls)
-        rows = [_frontier_row(u, self.depth,
-                              pack_seq(self.round, self.page_rank[p], pos),
-                              self.round, sid, self.salt, self.n_gates)
-                for u, p, pos, sid in zip(urls, pages, poss, sids)]
-        return _frontier_table(rows) if rows else _frontier_table([])
+        n = len(urls)
+        if n == 0:
+            return _frontier_table([])
+        uh = np.array([hash64(canonicalize(u)) for u in urls], dtype=np.uint64)
+        hosts = [host_of(u) for u in urls]
+        hh = np.array([hash64(h) for h in hosts], dtype=np.uint64)
+        salt = np.uint64(self.salt)
+        shard = ((hh * salt + uh % salt)
+                 % np.uint64(max(1, self.n_gates))).astype(np.int64)
+        rank = np.array([self.page_rank[p] for p in pages], dtype=np.int64)
+        seqs = np.array([pack_seq(self.round, r, p)
+                         for r, p in zip(rank, poss)], dtype=np.int64)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(uh, pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "host_shard": pa.array(shard.astype(np.int32), pa.int32()),
+            "depth": pa.array(np.full(n, self.depth, dtype=np.int32), pa.int32()),
+            "priority": pa.array(np.full(n, self.depth, dtype=np.int64), pa.int64()),
+            "discovered_seq": pa.array(seqs, pa.int64()),
+            "status": pa.array(["pending"] * n, pa.string()),
+            "round": pa.array(np.full(n, self.round, dtype=np.int32), pa.int32()),
+            "search_id": pa.array(sids, pa.int64()),
+        })
 
 
 # ================================================================ native
@@ -309,14 +331,23 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         _mark("parse_docs")
 
         # ---- listing parse (ONE pass) + next-round candidates ----------
-        links_full = (fetched
-                      .filter(expr="kind == 'listing' and status == 'fetched'")
-                      .map_batches(ParseListingsFull(), batch_format="pyarrow",
-                                   batch_size=cfg.parse_batch_size)
-                      .materialize())
-        # per-page meta = position<=0 rows (first link or zero-card
-        # sentinel); driver-side size = listings this round, never frontier
-        meta = links_full.filter(expr="position <= 0").take_all()
+        # cheap in-memory count guard first: ad-only rounds (every other
+        # BFS round) skip the listing-parse execution entirely
+        n_listings_fetched = fetched.filter(
+            expr="kind == 'listing' and status == 'fetched'").count()
+        if n_listings_fetched:
+            links_full = (fetched
+                          .filter(expr="kind == 'listing' and status == 'fetched'")
+                          .map_batches(ParseListingsFull(),
+                                       batch_format="pyarrow",
+                                       batch_size=cfg.parse_batch_size)
+                          .materialize())
+            # per-page meta = position<=0 rows (first link or zero-card
+            # sentinel); driver-side size = listings this round, never
+            # frontier
+            meta = links_full.filter(expr="position <= 0").take_all()
+        else:
+            links_full, meta = None, []
         meta.sort(key=lambda m: m["discovered_seq"])
         page_rank = {m["page_url"]: i for i, m in enumerate(meta)}
         np_rows = []
@@ -413,7 +444,6 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
             n_next, next_digest = ckpt.dataset_digest(
                 storage.read_dataset(frontier_path))
         pending_count = n_next
-        _mark("seal")
         _mark("seal")
         lineage.append({"round": r, "partition_id": -1, "stage": "frontier_out",
                         "input_digest": cand_digest, "output_digest": next_digest,

@@ -475,3 +475,166 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM orders, customer WHERE o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered scan + scalar aggregate — per-batch
+    partial sums, one row out, no shuffle at all."""
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+             & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+             & (b["l_quantity"] < 24))
+        return pd.DataFrame({"revenue":
+                             [(b.loc[m, "l_extendedprice"]
+                               * b.loc[m, "l_discount"]).sum()]})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [round(b["revenue"].sum(), 2)]})
+
+    return li.map_batches(partial, batch_format="pandas", batch_size=131072) \
+        .repartition(1).map_batches(finish, batch_format="pandas")
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape (adapted to the available columns): lineitem ⋈
+    orders via the bucketed hash join, conditional counts per
+    l_linestatus — the CASE-aggregation pattern."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+    li = _filter_ts(li, "l_shipdate", ">=", "1996-01-01")
+    li = _filter_ts(li, "l_shipdate", "<", "1997-01-01")
+
+    def prep(b: pa.Table) -> pa.Table:
+        # arrow out: keeps the string column's Arrow type visible to
+        # bucket_hash_join's schema alignment (pandas blocks would
+        # report it as `object`)
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_linestatus": b["l_linestatus"]})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
+                         columns_left=["o_orderkey", "l_linestatus"],
+                         columns_right=["o_orderkey", "o_orderpriority"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame({"l_linestatus": b["l_linestatus"],
+                             "high_line_count": hi.astype("int64"),
+                             "low_line_count": (~hi).astype("int64")})
+
+    agg = _partial_small_agg(
+        j.map_batches(flags, batch_format="pandas"), ["l_linestatus"],
+        dict(high_line_count=("high_line_count", "sum"),
+             low_line_count=("low_line_count", "sum")),
+        dict(high_line_count=("high_line_count", "sum"),
+             low_line_count=("low_line_count", "sum")))
+    return agg.sort("l_linestatus")
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: lineitem ⋈ part (broadcast dimension) → global
+    promo-revenue ratio, one row out."""
+    part = _read_pd(sf_dir, "part", ["p_partkey", "p_type"])
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = _filter_ts(li, "l_shipdate", ">=", "1996-01-01")
+    li = _filter_ts(li, "l_shipdate", "<", "1996-07-01")
+    j = broadcast_join(li, part, on="l_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        promo = rev.where(b["p_type"].str.startswith("PROMO"), 0.0)
+        return pd.DataFrame({"promo": [promo.sum()], "total": [rev.sum()]})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"promo_revenue":
+                             [round(100.0 * b["promo"].sum()
+                                    / b["total"].sum(), 2)]})
+
+    return j.map_batches(partial, batch_format="pandas", batch_size=131072) \
+        .repartition(1).map_batches(finish, batch_format="pandas")
+
+
+Q14_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+"""
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 150.0):
+    """TPC-H Q18 shape: LARGE-cardinality groupby (one group per order)
+    done as per-batch partials + a vectorized finish per KEY BUCKET
+    (never one Python call per order), HAVING filter, then a bucketed
+    join back to orders and a broadcast customer lookup, top 100."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        g["bucket"] = (g["l_orderkey"] % n_buckets).astype("int32")
+        return g
+
+    def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        out = out[out["l_quantity"] > min_qty]
+        return out.rename(columns={"l_orderkey": "o_orderkey",
+                                   "l_quantity": "sum_qty"})
+
+    agg = li.map_batches(partial, batch_format="pandas", batch_size=131072) \
+        .groupby("bucket").map_groups(finish_bucket, batch_format="pandas")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = bucket_hash_join(agg, orders, on="o_orderkey", n_buckets=16,
+                         columns_left=["o_orderkey", "sum_qty"],
+                         columns_right=["o_orderkey", "o_custkey",
+                                        "o_orderdate", "o_totalprice"])
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    j = broadcast_join(j, cust, on="o_custkey")
+    return _round_col(j, ["sum_qty"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(100)
+
+
+Q18_SQL = """
+SELECT o_orderkey, round(sum(l_quantity), 2) AS sum_qty, o_custkey,
+       o_orderdate, o_totalprice, c_name
+FROM customer, orders, lineitem
+WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+GROUP BY o_orderkey, o_custkey, o_orderdate, o_totalprice, c_name
+HAVING sum(l_quantity) > 150
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""

@@ -120,18 +120,36 @@ class SeenFilterClient:
         return batch.filter(pa.array(keep))
 
 
-def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq"):
+def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq",
+                  mode: str = "bucketed", n_buckets: int = 64):
     """Deterministic within-round exact dedup: keep, per key, the row with
     the smallest ``seq`` (first discovery in the LOGICAL order — not
     arrival order, so any parallelism yields the same survivors).
 
-    Implementation: vectorized per-batch partial mins (pandas groupby —
-    the combiner), merged into one dict on the driver, then a broadcast
-    semi-join filter ``seq == min_seq[key]`` over the full rows. The
-    dict is O(distinct keys THIS round) — budget-bounded, never the
-    frontier history; for rounds beyond ~10M candidates swap the
-    broadcast for a bucket join on ``key`` (functions.joins)."""
+    ``mode="bucketed"`` (default): one key-hash bucket column + groupby
+    shuffle; each bucket task keeps its keys' min-seq rows with a
+    vectorized pandas idxmin — fully distributed, nothing driver-sized,
+    the 100 TB path.
+
+    ``mode="driver"``: vectorized per-batch partial mins merged into one
+    driver dict, then a broadcast keep-min filter. Saves the shuffle but
+    the dict is O(distinct keys this round) — only sound for
+    budget-bounded rounds."""
     import pandas as pd
+
+    if mode == "bucketed":
+        def add_bucket(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return b.append_column(
+                "_kb", pa.array((k % np.uint64(n_buckets)).astype(np.int32),
+                                pa.int32()))
+
+        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+            idx = g.groupby(key)[seq].idxmin()
+            return g.loc[idx.sort_values()].drop(columns=["_kb"])
+
+        return ds.map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("_kb").map_groups(keep_min, batch_format="pandas")
 
     def partial_min(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),

@@ -80,3 +80,32 @@ def test_missing_seed_listing(ray_session, tmp_path):
     assert [(u, a) for _, u, a in res.trace] == [("https://h.ua/nope",
                                                   "fetch_404")]
     assert res.n_documents == 0
+
+
+def test_conformance_rerun_no_resume(ray_session, tmp_path):
+    """Pin the documented trade-off (SCALE.md "Known trade-offs"):
+    conformance mode mirrors the reference's crash-loses-position
+    behavior — NO checkpoint/resume machinery. A re-run over the same
+    out_dir starts from scratch and REPLACES the documents table
+    (never appends duplicates), and no round manifests are written, so
+    a native-mode --resume over this out_dir finds nothing to resume."""
+    from olx_ray.state import checkpoint as ckpt
+
+    listing = ("<html><body>"
+               "<div data-testid='l-card' data-cy='l-card'><a href='/ad-1'>x</a></div>"
+               "<div data-testid='l-card' data-cy='l-card'><a href='/ad-2'>x</a></div>"
+               "</body></html>")
+    pages = _write_pages([
+        {"url": "https://h.ua/list", "kind": "listing", "html": listing},
+        {"url": "https://h.ua/ad-1", "kind": "ad", "html": AD_HTML},
+        {"url": "https://h.ua/ad-2", "kind": "ad", "html": AD_HTML},
+    ], str(tmp_path))
+    cfg = CrawlConfig(pages_dir=pages, out_dir=str(tmp_path / "out"),
+                      mode="conformance")
+    r1 = crawl_conformance(cfg, "https://h.ua/list", 2)
+    docs1 = sorted(r["doc_id"] for r in read_documents(cfg.out_dir).take_all())
+    r2 = crawl_conformance(cfg, "https://h.ua/list", 2)
+    docs2 = sorted(r["doc_id"] for r in read_documents(cfg.out_dir).take_all())
+    assert docs1 == docs2 == ["https://h.ua/ad-1", "https://h.ua/ad-2"]
+    assert r1.trace == r2.trace          # identical from-scratch runs
+    assert ckpt.latest_complete_round(cfg.out_dir) is None  # no manifests
