@@ -84,12 +84,41 @@ FROM documents GROUP BY text ORDER BY min(doc_id)
 
 
 # ---------------------------------------------------------------- minhash
-def shingles(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingle hashes."""
+_POLY = np.uint64(0x100000001B3)      # FNV-1a prime: odd → bijective mod 2^64
+_FIN1 = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 constants
+_FIN2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _finalize_u64(h: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64: full-avalanche finisher for poly-combined lanes."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * _FIN1
+    h = h ^ (h >> np.uint64(33))
+    h = h * _FIN2
+    return h ^ (h >> np.uint64(33))
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hashes, vectorized: one blake2b per TOKEN,
+    then an order-sensitive polynomial combine over each n-window in
+    numpy (uint64 wraparound) + an avalanche finisher. ~3× cheaper than
+    hashing each joined n-gram string."""
     toks = (text or "").split()
-    if len(toks) < n:
-        return {hash64(" ".join(toks))} if toks else set()
-    return {hash64(" ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)}
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((hash64(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    w = min(n, len(th))
+    m = len(th) - w + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        acc = acc * _POLY + th[j:j + m]
+    return _finalize_u64(acc)
+
+
+def shingles(text: str, n: int = 3) -> set[int]:
+    """Word n-gram shingle hash SET (the Jaccard universe)."""
+    return set(shingle_hashes(text, n).tolist())
 
 
 class MinHasher:
@@ -107,30 +136,35 @@ class MinHasher:
         self.n_bands = n_bands
         self.rows = n_perm // n_bands
 
-    def signature(self, sh: set[int]) -> np.ndarray:
-        if not sh:
+    def signature(self, sh) -> np.ndarray:
+        """``sh``: shingle-hash ndarray (or any iterable of ints —
+        min-hash is identical over multiset and set)."""
+        if not isinstance(sh, np.ndarray):
+            sh = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        if sh.size == 0:
             return np.zeros(self.n_perm, dtype=np.uint64)
         # fold 64-bit shingle hashes to 31 bits; (a*x+b) mod (2^31-1) is
         # exact in int64 and fully vectorized: (n_perm × n_shingles) → min
-        x = (np.fromiter(sh, dtype=np.uint64, count=len(sh))
-             % np.uint64(self._P31)).astype(np.int64)[None, :]
+        x = (sh % np.uint64(self._P31)).astype(np.int64)[None, :]
         return ((self.a * x + self.b) % self._P31).min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = self.signature(shingles(text))
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows:(band + 1) * self.rows]
-                doc_ids.append(doc_id)
-                band_ids.append(band)
-                band_hashes.append(hash64(chunk.tobytes()))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.stack([self.signature(shingle_hashes(t))
+                         for t in batch["text"].to_pylist()])  # (docs, perm)
+        n_docs = len(ids)
+        # vectorized banding: order-sensitive poly combine of each
+        # band's rows across ALL docs at once, then avalanche
+        bands = sigs.reshape(n_docs, self.n_bands, self.rows)
+        acc = np.zeros((n_docs, self.n_bands), dtype=np.uint64)
+        for j in range(self.rows):
+            acc = acc * _POLY + bands[:, :, j]
+        band_hash = _finalize_u64(acc)                 # (docs, n_bands)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(np.array(band_hashes, dtype=np.uint64),
-                                  pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int32),
+                                        n_docs), pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1), pa.uint64()),
         })
 
 
@@ -194,14 +228,25 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 class JaccardVerify:
     """Actor-pool verify stage: exact word-3-gram Jaccard per candidate
-    pair; docs fetched once per actor from a broadcast id→text dict."""
+    pair; candidate docs' shingle sets computed ONCE per actor from the
+    broadcast id→text dict (a doc in k pairs is shingled once, not k
+    times)."""
 
     def __init__(self, docs_ref, threshold: float):
-        self.docs: dict[int, str] = ray.get(docs_ref)
+        docs: dict[int, str] = ray.get(docs_ref)
+        self.sets = {i: shingles(t) for i, t in docs.items()}
         self.threshold = threshold
 
+    def _jaccard(self, a: int, b: int) -> float:
+        sa = self.sets.get(a, set())
+        sb = self.sets.get(b, set())
+        if not sa and not sb:
+            return 1.0
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        j = [ngram_jaccard(self.docs.get(a, ""), self.docs.get(b, ""))
+        j = [self._jaccard(a, b)
              for a, b in zip(batch["doc_a"], batch["doc_b"])]
         batch = batch.copy()
         batch["jaccard"] = np.round(j, 6)
@@ -221,11 +266,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
     for b in cands.iter_batches(batch_format="pyarrow"):
         cand_ids.update(b["doc_a"].to_pylist())
         cand_ids.update(b["doc_b"].to_pylist())
-    from ..functions.joins import broadcast_semi
+    # candidate-bounded filtered read (predicate pushdown): only docs in
+    # some candidate pair are loaded — the subset is what gets broadcast
+    # anyway, so the driver-side read is O(candidates), not O(corpus)
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
-    docs = {r["doc_id"]: r["text"]
-            for r in broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
-                                    cand_ids, "doc_id").take_all()}
+    sub = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(list(cand_ids)))
+    docs = dict(zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()))
     ref = ray.put(docs)
     return cands.map_batches(
         JaccardVerify, fn_constructor_kwargs={"docs_ref": ref,
