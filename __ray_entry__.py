@@ -86,7 +86,8 @@ def _listing_extract(_sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from olx_ray.pipelines import dedup, events, relational, similarity, text
+    from olx_ray.pipelines import (corpus, dedup, events, relational,
+                                   similarity, text)
 
     return {
         # --- relational (SURVEY.md §2.5-2.8 generalized) ---------------
@@ -122,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
+        # --- corpus preparation ------------------------------------------
+        "train_val_split": corpus.train_val_split,
+        "build_vocab": corpus.build_vocab,
+        "length_histogram": corpus.length_histogram,
+        "contamination_13gram": corpus.contamination_13gram,
+        "pack_sequences": corpus.pack_sequences,
         # --- dedup -------------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -146,7 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from olx_ray.pipelines import dedup, events, relational, similarity, text
+    from olx_ray.pipelines import (corpus, dedup, events, relational,
+                                   similarity, text)
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -176,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,
+        "train_val_split": corpus.TRAIN_VAL_SPLIT_SQL,
+        "build_vocab": corpus.BUILD_VOCAB_SQL,
+        "length_histogram": corpus.LENGTH_HISTOGRAM_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "embedding_neardup_pairs": dedup.EMBEDDING_NEARDUP_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),

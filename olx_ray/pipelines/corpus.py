@@ -1,0 +1,217 @@
+"""Corpus-preparation pipelines over the ``documents`` table — the
+operators a training-data pipeline runs AFTER cleaning/dedup:
+
+- ``train_val_split``     — deterministic fingerprint-based split
+  (Knuth multiplicative hash, SQL-replicable → DuckDB oracle).
+- ``build_vocab``         — top-V vocabulary with dense ids
+  (combiner word counts → deterministic rank; DuckDB oracle).
+- ``length_histogram``    — token-length distribution in fixed
+  buckets (DuckDB oracle).
+- ``contamination_13gram``— benchmark decontamination: flags corpus
+  docs sharing any 13-gram with a benchmark set (the standard
+  eval-leak check). The benchmark n-gram hash set is the ONLY
+  broadcast (benchmark-bounded, never corpus-bounded).
+- ``pack_sequences``      — greedy token packing of documents into
+  fixed-capacity training sequences, packed per batch so the
+  operator streams (no global state); invariants pinned in tests.
+
+All per-batch kernels are vectorized; stateful setup happens once per
+actor / task closure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .dedup import shingle_hashes
+
+
+def _read_docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ split
+_KNUTH = 2654435761
+
+
+def train_val_split(sf_dir: str, val_pct: int = 10):
+    """Deterministic doc_id-fingerprint split: stable across runs,
+    machines and engines (pure integer arithmetic — the SQL oracle
+    computes the identical assignment)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = (ids * _KNUTH) % 4294967296 % 100
+        split = np.where(f < 100 - val_pct, "train", "val")
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow").sort("doc_id")
+
+
+TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ vocab
+def build_vocab(sf_dir: str, k: int = 1000):
+    """Top-V vocabulary with dense ids: per-batch partial word counts
+    (combiner) → small groupby → deterministic (count desc, word asc)
+    rank. The shuffle carries one row per (batch, distinct word)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.split().explode()
+        return words.value_counts().rename_axis("word").reset_index(name="n")
+
+    def add_ids(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["vocab_id"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(k)
+            .repartition(1)                      # order-preserving
+            .map_batches(add_ids, batch_format="pandas"))
+
+
+BUILD_VOCAB_SQL = """
+SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS vocab_id FROM
+  (SELECT word, count(*)::BIGINT AS n FROM
+     (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents)
+   GROUP BY word)
+ORDER BY n DESC, word LIMIT 1000
+"""
+
+
+# -------------------------------------------------------------- histogram
+def length_histogram(sf_dir: str, bucket: int = 10):
+    """Token-length distribution: per-doc token count → fixed-width
+    bucket → per-batch partial counts → tiny final groupby."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split().str.len().fillna(0).astype("int64")
+        lo = n // bucket * bucket
+        return lo.value_counts().rename_axis("bucket_lo") \
+            .reset_index(name="n_docs")
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+            .groupby("bucket_lo").aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort("bucket_lo"))
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT (len(regexp_split_to_array(trim(text), '\\s+')) // 10 * 10)::BIGINT
+         AS bucket_lo,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------- contamination
+def contamination_13gram(sf_dir: str, n: int = 13,
+                         benchmark_max_id: int = 50):
+    """Eval-set decontamination: flag corpus docs that share ANY word
+    n-gram (default 13, the common contamination window) with the
+    benchmark set (here: docs with doc_id < ``benchmark_max_id``,
+    standing in for an external eval suite).
+
+    The benchmark's n-gram hash set is built once from a filtered
+    (predicate-pushdown) read — O(benchmark), broadcast via ray.put;
+    the corpus streams through a vectorized membership probe. Not
+    SQL-expressible (hash-based n-grams) → invariants pinned in
+    tests."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["text"], filter=pc.field("doc_id") < benchmark_max_id)
+    grams: set[int] = set()
+    for t in bench["text"].to_pylist():
+        toks = (t or "").split()
+        if len(toks) >= n:                      # short docs have no n-gram
+            grams.update(shingle_hashes(t, n).tolist())
+    ref = ray.put(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+
+    class Probe:
+        def __init__(self):
+            self.grams = np.sort(ray.get(ref))  # zero-copy; sorted probe
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            hits = np.zeros(b.num_rows, dtype=np.int64)
+            if len(self.grams) == 0:
+                return pa.table({
+                    "doc_id": b["doc_id"],
+                    "n_contaminated": pa.array(hits, pa.int64()),
+                    "is_contaminated": pa.array(hits > 0, pa.bool_()),
+                })
+            for i, t in enumerate(b["text"].to_pylist()):
+                toks = (t or "").split()
+                if len(toks) < n:
+                    continue
+                h = shingle_hashes(t, n)
+                idx = np.searchsorted(self.grams, h)
+                idx[idx == len(self.grams)] = 0
+                hits[i] = int((self.grams[idx] == h).sum())
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_contaminated": pa.array(hits, pa.int64()),
+                "is_contaminated": pa.array(hits > 0, pa.bool_()),
+            })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Probe, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 4), num_cpus=1).sort("doc_id")
+
+
+# ---------------------------------------------------------------- packing
+def pack_sequences(sf_dir: str, seq_len: int = 512):
+    """Greedy token packing: documents (in doc_id order within each
+    batch) are packed into fixed-capacity training sequences. Packing
+    is BATCH-LOCAL so the operator streams with no global state — at
+    most one underfull pack per batch, the standard trade-off. A doc
+    longer than ``seq_len`` gets its own pack, truncated (flagged).
+
+    Output: one row per packed doc — (pack_id, doc_id, start_tok,
+    n_tokens, truncated); pack_id = doc_id of the pack's first doc
+    (globally unique, deterministic)."""
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("doc_id")
+        ids = b["doc_id"].to_numpy()
+        counts = b["text"].str.split().str.len().fillna(0) \
+            .astype("int64").to_numpy()
+        pack_ids, starts, ntoks, trunc = [], [], [], []
+        cur_pack, cur_fill = -1, seq_len  # force new pack on first doc
+        for did, cnt in zip(ids, counts):
+            take = min(int(cnt), seq_len)
+            if cur_fill + take > seq_len:
+                cur_pack, cur_fill = int(did), 0
+            pack_ids.append(cur_pack)
+            starts.append(cur_fill)
+            ntoks.append(take)
+            trunc.append(cnt > seq_len)
+            cur_fill += take
+        return pd.DataFrame({
+            "pack_id": pd.Series(pack_ids, dtype="int64"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "start_tok": pd.Series(starts, dtype="int64"),
+            "n_tokens": pd.Series(ntoks, dtype="int64"),
+            "truncated": pd.Series(trunc, dtype="bool"),
+        })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pack, batch_format="pandas", batch_size=4096).sort("doc_id")

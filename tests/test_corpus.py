@@ -1,0 +1,82 @@
+"""Corpus-preparation operators: oracle-checked ones run through
+test_queries_oracle; here the non-SQL ops' invariants are pinned."""
+
+import numpy as np
+
+from olx_ray.pipelines.corpus import (contamination_13gram, pack_sequences,
+                                      train_val_split)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contamination_flags_benchmark_itself(ray_session):
+    """Every benchmark doc long enough to HAVE a 13-gram must be
+    flagged (it trivially shares all its own n-grams), and its hit
+    count must equal its distinct-13-gram count; short docs must not
+    be flagged by their own absence of n-grams."""
+    from olx_ray.pipelines.dedup import shingle_hashes
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    out = contamination_13gram(SF).to_pandas().set_index("doc_id")
+    bench = pads.dataset(f"{SF}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id") < 50)
+    for did, text in zip(bench["doc_id"].to_pylist(),
+                         bench["text"].to_pylist()):
+        n_toks = len((text or "").split())
+        if n_toks >= 13:
+            assert out.loc[did, "is_contaminated"], did
+            own = len(set(shingle_hashes(text, 13).tolist()))
+            assert out.loc[did, "n_contaminated"] >= own, did
+    assert (out["n_contaminated"] > 0).equals(out["is_contaminated"])
+
+
+def test_contamination_planted_copy(ray_session, tmp_path):
+    """A corpus doc that contains a benchmark doc's text verbatim must
+    be flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    clean_text = " ".join(f"x{i}" for i in range(20))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 100, 101], pa.int64()),
+        "text": pa.array([bench_text,
+                          "prefix " + bench_text + " suffix",
+                          clean_text], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = contamination_13gram(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[100, "is_contaminated"]
+    assert not out.loc[101, "is_contaminated"]
+
+
+def test_pack_sequences_invariants(ray_session):
+    out = pack_sequences(SF, seq_len=512).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    # every doc packed exactly once
+    assert len(out) == docs and out["doc_id"].is_unique
+    # capacity respected per pack; offsets contiguous in doc order
+    for pid, g in out.groupby("pack_id"):
+        g = g.sort_values("start_tok")
+        assert g["start_tok"].iloc[0] == 0
+        assert (g["start_tok"] + g["n_tokens"]).iloc[-1] <= 512
+        assert (g["start_tok"].to_numpy()[1:]
+                == (g["start_tok"] + g["n_tokens"]).to_numpy()[:-1]).all()
+        assert g["doc_id"].iloc[0] == pid  # pack named by first doc
+    # truncation flag ⟺ doc longer than capacity
+    assert ((out["n_tokens"] == 512) | ~out["truncated"]).all()
+
+
+def test_train_val_split_deterministic_and_sized(ray_session):
+    a = train_val_split(SF).to_pandas()
+    b = train_val_split(SF).to_pandas()
+    assert a.equals(b)
+    frac = (a["split"] == "val").mean()
+    assert 0.03 < frac < 0.25  # ~10% with hash noise at 500 docs
