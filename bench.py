@@ -30,9 +30,11 @@ SITE_ROOT = os.path.join(tempfile.gettempdir(), "olx_ray_bench_site")
 
 QUERY_NAMES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_supplier_volume",
+    "q6_forecast_revenue", "q18_large_orders",
     "events_tumbling_hourly", "sessionize", "word_freq_topk",
     "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
-    "knn_bruteforce", "embedding_neardup_pairs", "token_count",
+    "knn_bruteforce", "embedding_neardup_pairs", "embedding_neardup_lsh",
+    "token_count", "build_vocab", "contamination_13gram", "pack_sequences",
 ]
 
 

@@ -98,15 +98,28 @@ def _finalize_u64(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(33))
 
 
+_TOK_CACHE: dict[str, int] = {}   # per-process token-hash memo (tokens
+_TOK_CACHE_CAP = 2_000_000        # repeat heavily in any real corpus)
+
+
+def _token_hash(t: str) -> int:
+    h = _TOK_CACHE.get(t)
+    if h is None:
+        if len(_TOK_CACHE) >= _TOK_CACHE_CAP:
+            _TOK_CACHE.clear()
+        h = _TOK_CACHE[t] = hash64(t)
+    return h
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes, vectorized: one blake2b per TOKEN,
-    then an order-sensitive polynomial combine over each n-window in
-    numpy (uint64 wraparound) + an avalanche finisher. ~3× cheaper than
-    hashing each joined n-gram string."""
+    """Word n-gram shingle hashes, vectorized: one (memoized) blake2b
+    per TOKEN, then an order-sensitive polynomial combine over each
+    n-window in numpy (uint64 wraparound) + an avalanche finisher.
+    ~3× cheaper than hashing each joined n-gram string."""
     toks = (text or "").split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    th = np.fromiter((hash64(t) for t in toks), dtype=np.uint64,
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
                      count=len(toks))
     w = min(n, len(th))
     m = len(th) - w + 1
@@ -295,7 +308,8 @@ class SimHasher:
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.array([hash64(t) for t in toks], dtype=np.uint64)
+            hs = np.fromiter((_token_hash(t) for t in toks),
+                             dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
