@@ -319,32 +319,36 @@ class SimHasher:
                          "simhash": pa.array(out, pa.uint64())})
 
 
-def simhash_signatures(sf_dir: str):
+def _simhash_sigs(sf_dir: str):
+    """Unsorted signature stream (the pair pipeline doesn't need the
+    corpus-wide sort the query output does)."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4), num_cpus=1).sort("doc_id")
+        concurrency=(1, 4), num_cpus=1)
+
+
+def simhash_signatures(sf_dir: str):
+    return _simhash_sigs(sf_dir).sort("doc_id")
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Hamming-≤k candidate pairs via 4-way band buckets (any pair with
     ≤3 differing bits shares at least one of 4 16-bit bands) + exact
     hamming verify inside the bucket."""
-    sigs = simhash_signatures(sf_dir)
+    sigs = _simhash_sigs(sf_dir)
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_ids, bands, keys, full = [], [], [], []
-        for band in range(4):
-            part = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-            doc_ids.extend(ids)
-            bands.extend([band] * len(ids))
-            keys.extend(part.tolist())
-            full.extend(sh.tolist())
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
-                         "simhash": pa.array(np.array(full, dtype=np.uint64), pa.uint64())})
+        n = len(ids)
+        keys = np.concatenate([(sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+                               for band in range(4)])
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n),
+                             pa.int32()),
+            "key": pa.array(keys, pa.uint64()),
+            "simhash": pa.array(np.tile(sh, 4), pa.uint64())})
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One task per HASH BUCKET of (band, key): within the bucket,
