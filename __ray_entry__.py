@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": corpus.length_histogram,
         "contamination_13gram": corpus.contamination_13gram,
         "pack_sequences": corpus.pack_sequences,
+        "training_corpus": corpus.training_corpus,
         # --- dedup -------------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,

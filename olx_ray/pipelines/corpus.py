@@ -177,6 +177,71 @@ def contamination_13gram(sf_dir: str, n: int = 13,
         concurrency=(1, 4), num_cpus=1).sort("doc_id")
 
 
+# ------------------------------------------------------------- end-to-end
+def training_corpus(sf_dir: str, quality_min: float = 0.45,
+                    seq_len: int = 512):
+    """THE composed training-data pipeline — what a real corpus build
+    runs end-to-end, as ONE streaming Dataset:
+
+        quality score → filter → exact dedup (keep min doc_id per
+        content hash, bucketed vectorized) → deterministic train/val
+        split → greedy token packing
+
+    Text is dropped after the first pass (hash + token count carry
+    forward), so the only shuffle — the dedup groupby — moves narrow
+    rows. Output: one row per surviving doc with its split and pack
+    assignment. Invariants pinned in tests; components individually
+    oracle-checked via their own queries."""
+    from ..functions.hashing import hash64
+    from .text import QualityScore
+
+    scorer = QualityScore()
+
+    def featurize(b: pd.DataFrame) -> pd.DataFrame:
+        out = scorer(b)
+        out["text_hash"] = np.fromiter(
+            (hash64(t or "") for t in b["text"]), dtype=np.uint64,
+            count=len(b))
+        out["bucket"] = (out["text_hash"] % np.uint64(32)).astype("int32")
+        return out[["doc_id", "n_tokens", "quality", "text_hash", "bucket"]]
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("text_hash")["doc_id"].idxmin()
+        return g.loc[idx.sort_values()].drop(columns=["bucket", "text_hash"])
+
+    def assign_and_pack(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("doc_id")
+        ids = b["doc_id"].to_numpy()
+        f = (ids * _KNUTH) % 4294967296 % 100
+        split = np.where(f < 90, "train", "val")
+        counts = b["n_tokens"].to_numpy()
+        pack_ids, starts = [], []
+        fill = {"train": (-1, seq_len), "val": (-1, seq_len)}  # per-split
+        for did, cnt, sp in zip(ids, counts, split):
+            take = min(int(cnt), seq_len)
+            pack, used = fill[sp]
+            if used + take > seq_len:
+                pack, used = int(did), 0
+            pack_ids.append(pack)
+            starts.append(used)
+            fill[sp] = (pack, used + take)
+        out = b[["doc_id", "n_tokens", "quality"]].copy()
+        out["split"] = split
+        out["pack_id"] = pd.Series(pack_ids, index=b.index, dtype="int64")
+        out["start_tok"] = pd.Series(starts, index=b.index, dtype="int64")
+        return out
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return (docs
+            .map_batches(featurize, batch_format="pandas", batch_size=2048)
+            .filter(expr=f"quality >= {quality_min}")
+            .groupby("bucket").map_groups(keep_min, batch_format="pandas")
+            .map_batches(assign_and_pack, batch_format="pandas",
+                         batch_size=4096)
+            .sort("doc_id"))
+
+
 # ---------------------------------------------------------------- packing
 def pack_sequences(sf_dir: str, seq_len: int = 512):
     """Greedy token packing: documents (in doc_id order within each

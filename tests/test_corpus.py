@@ -80,3 +80,31 @@ def test_train_val_split_deterministic_and_sized(ray_session):
     assert a.equals(b)
     frac = (a["split"] == "val").mean()
     assert 0.03 < frac < 0.25  # ~10% with hash noise at 500 docs
+
+
+def test_training_corpus_invariants(ray_session):
+    """The composed pipeline must agree with its component operators:
+    survivors are quality-filtered, exactly deduped (min doc_id per
+    text), split identically to train_val_split, and packed within
+    capacity per (split, pack)."""
+    import duckdb
+
+    from olx_ray.pipelines.corpus import training_corpus
+
+    out = training_corpus(SF).to_pandas()
+    con = duckdb.connect()
+    dedup = con.sql(
+        f"SELECT min(doc_id) AS keep FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY text"
+    ).df()
+    keepers = set(dedup["keep"])
+    # survivors ⊆ exact-dedup representatives, quality ≥ threshold
+    assert set(out["doc_id"]) <= keepers
+    assert (out["quality"] >= 0.45).all()
+    assert out["doc_id"].is_unique
+    # split agrees with the standalone operator
+    split = train_val_split(SF).to_pandas().set_index("doc_id")["split"]
+    assert (out.set_index("doc_id")["split"] == split).all()
+    # packing capacity per (split, pack)
+    for (_, _), g in out.groupby(["split", "pack_id"]):
+        assert (g["start_tok"] + g["n_tokens"].clip(upper=512)).max() <= 512
