@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         # --- multimodal (stubbed decode, real plumbing; rows-only) -------
         "media_image_decode": _media("image"),
         "media_frame_sample": _media("video"),

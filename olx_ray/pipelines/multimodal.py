@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The engine treats media as ``large_binary`` payload columns with typed
-metadata, processed by actor-pool ``map_batches`` stages. The image
-/audio/video DECODE itself is **STUBBED** in this container (no
-PIL/ffmpeg/torchaudio installed): each stage first tries the real
-library and otherwise falls back to a deterministic fake decoder that
-parses the synthetic payload header (see ``synthesize_media``). The
-Ray-side plumbing — schemas, batch sizing for wide rows, actor
-signatures, output layout — is real and tested; swapping in a real
-decoder is a one-function change per stage.
+metadata, processed by actor-pool ``map_batches`` stages. Decode
+status per modality in this container:
+
+- **image: REAL** for PPM (P6) — a from-scratch stdlib parser; PIL is
+  used instead when importable (it is not here), and the legacy FIMG
+  synthetic header remains as a fallback. ``synthesize_media`` emits
+  real PPM payloads.
+- **audio: REAL** for WAV (PCM16) via the stdlib ``wave`` module;
+  FAUD synthetic fallback kept. ``synthesize_media`` emits real WAV.
+- **video: STUBBED** — no stdlib-decodable video format exists; the
+  frame sampler parses the synthetic FVID header and raises
+  ``NotImplementedError`` on anything else (ffmpeg absent here).
 
 Scale notes (wide binary rows): batches are kept SMALL
 (``batch_size≈32``) and stages run ``batch_format="pyarrow"`` so
@@ -16,7 +20,7 @@ payloads stay in Arrow buffers; when payloads are ~MB-scale, also
 raise ``DataContext.target_max_block_size`` so blocks aren't split
 absurdly small (ray_guide "Pitfalls").
 
-Synthetic payload formats (deterministic, seed-stable):
+Synthetic fallback payload formats (deterministic, seed-stable):
 - image: ``b"FIMG" + u16 width + u16 height + u8 channels + bytes``
 - audio: ``b"FAUD" + u32 sample_rate + u32 n_samples + bytes``
 - video: ``b"FVID" + u16 n_frames + u16 width + u16 height + bytes``
@@ -40,24 +44,51 @@ MEDIA = pa.schema([
 ])
 
 
+def _make_ppm(w: int, h: int, seed: int) -> bytes:
+    """Real PPM (P6) payload with deterministic pixels."""
+    rng = np.random.RandomState(seed % (1 << 32))
+    body = rng.randint(0, 256, w * h * 3, dtype=np.int64).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + body.tobytes()
+
+
+def _make_wav(sr: int, ns: int, seed: int) -> bytes:
+    """Real WAV (PCM16 mono) payload: seeded sine + noise."""
+    import io
+    import wave
+
+    rng = np.random.RandomState(seed % (1 << 32))
+    t = np.arange(ns, dtype=np.float64) / sr
+    freq = 200 + (seed % 800)
+    sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(ns)
+    pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synthesize_media(n: int = 64, seed_tag: str = "media") -> pa.Table:
-    """Deterministic fake media table (counter-based like sitegen)."""
+    """Deterministic media table (counter-based like sitegen): REAL PPM
+    images and WAV audio; video uses the synthetic FVID header."""
     rows = {k: [] for k in ("media_id", "doc_id", "kind", "payload", "mime")}
     for i in range(n):
         kind = ("image", "audio", "video")[hash64(f"{seed_tag}:k:{i}") % 3]
-        body = bytes((hash64(f"{seed_tag}:b:{i}:{j}") % 256)
-                     for j in range(64))
         if kind == "image":
             w = 16 + hash64(f"{seed_tag}:w:{i}") % 48
             h = 16 + hash64(f"{seed_tag}:h:{i}") % 48
-            payload = b"FIMG" + struct.pack("<HHB", w, h, 3) + body
-            mime = "image/x-fake"
+            payload = _make_ppm(w, h, hash64(f"{seed_tag}:px:{i}"))
+            mime = "image/x-portable-pixmap"
         elif kind == "audio":
             sr = 8000 * (1 + hash64(f"{seed_tag}:sr:{i}") % 3)
             ns = 1000 + hash64(f"{seed_tag}:ns:{i}") % 9000
-            payload = b"FAUD" + struct.pack("<II", sr, ns) + body
-            mime = "audio/x-fake"
+            payload = _make_wav(sr, ns, hash64(f"{seed_tag}:au:{i}"))
+            mime = "audio/wav"
         else:
+            body = bytes((hash64(f"{seed_tag}:b:{i}:{j}") % 256)
+                         for j in range(64))
             nf = 8 + hash64(f"{seed_tag}:nf:{i}") % 56
             payload = b"FVID" + struct.pack("<HHH", nf, 32, 24) + body
             mime = "video/x-fake"
@@ -84,10 +115,35 @@ def _fake_pixels(payload: bytes) -> np.ndarray:
     return np.tile(body, reps)[: h * w * c].reshape(h, w, c)
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL PPM (P6) decode, stdlib-only: parse the ASCII header
+    (whitespace/comment tolerant), view the raster as (h, w, 3)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":           # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                       # single ws after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
 class ImageDecode:
     """Actor-pool stage: payload → (height, width, channels, mean_pixel).
-    Real decoder used when PIL is importable (it is not in this
-    container); otherwise the deterministic fake above."""
+    PPM (P6) decoded for REAL by the stdlib parser above; PIL handles
+    other formats when importable (not in this container); the
+    synthetic FIMG fallback covers legacy fixtures."""
 
     def __init__(self):
         try:  # pragma: no cover - PIL absent in this sandbox
@@ -98,15 +154,17 @@ class ImageDecode:
             self._real = None
 
     def decode(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"P6"):
+            return _decode_ppm(payload)
+        if payload.startswith(b"FIMG"):
+            return _fake_pixels(payload)
         if self._real is not None:  # pragma: no cover
             import io
 
             return np.asarray(self._real.open(io.BytesIO(payload)))
-        if not payload.startswith(b"FIMG"):
-            raise NotImplementedError(
-                "real image decode unavailable in this container and "
-                "payload is not the synthetic FIMG format")
-        return _fake_pixels(payload)
+        raise NotImplementedError(
+            "image format not decodable in this container (PPM and the "
+            "synthetic FIMG header are; PIL would handle the rest)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs, ws, cs, means = [], [], [], []
@@ -174,19 +232,40 @@ class FrameSample:
 
 class AudioFeatures:
     """Actor-pool stage: audio payload → (sample_rate, n_samples,
-    duration_sec, rms) from the fake decode."""
+    duration_sec, rms). WAV (PCM16) decoded for REAL via the stdlib
+    ``wave`` module; FAUD synthetic fallback kept."""
+
+    @staticmethod
+    def decode(payload: bytes):
+        """→ (sample_rate, n_samples, float samples in [-1, 1])."""
+        if payload.startswith(b"RIFF"):
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                sr = wf.getframerate()
+                ns = wf.getnframes()
+                raw = wf.readframes(ns)
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only PCM16 WAV supported")
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                if wf.getnchannels() > 1:
+                    x = x.reshape(-1, wf.getnchannels()).mean(axis=1)
+            return sr, ns, x
+        if payload.startswith(b"FAUD"):
+            sr, ns = struct.unpack("<II", payload[4:12])
+            x = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float64)
+            return sr, ns, x
+        raise NotImplementedError("audio format not decodable here "
+                                  "(WAV/PCM16 and synthetic FAUD are)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srs, nss, durs, rms = [], [], [], []
         for payload in batch["payload"].to_pylist():
-            if not payload.startswith(b"FAUD"):
-                raise NotImplementedError("real audio decode unavailable; "
-                                          "payload is not synthetic FAUD")
-            sr, ns = struct.unpack("<II", payload[4:12])
-            body = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float64)
+            sr, ns, x = self.decode(payload)
             srs.append(sr); nss.append(ns)
             durs.append(round(ns / sr, 6))
-            rms.append(round(float(np.sqrt((body ** 2).mean())), 4))
+            rms.append(round(float(np.sqrt((x ** 2).mean())), 4))
         return pa.table({
             "media_id": batch["media_id"],
             "sample_rate": pa.array(srs, pa.int32()),

@@ -100,6 +100,81 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
+            seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd's k-means on a (normalized) sample — the IVF coarse
+    quantizer. Runs on the driver over a BOUNDED sample, never the
+    corpus; fully deterministic."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    return cents
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
+            n_cells: int = 16, n_probe: int = 8, train_rows: int = 4096):
+    """ANN via an IVF (inverted-file) coarse quantizer: k-means cells
+    trained on a bounded sample; each corpus vector scores only the
+    queries probing its cell (queries probe their ``n_probe`` nearest
+    cells). The broadcast is queries + centroids — O(Q·d + C·d), never
+    corpus-sized; at scale the cell id doubles as the partition key for
+    a cell-pruned layout. Recall vs brute force measured in tests
+    (the SYNTHETIC embeddings are near-uniform, so cells separate
+    poorly and n_probe/n_cells must be high for recall — clustered
+    real-world embeddings give the usual 10-50× pruning)."""
+    import pyarrow.parquet as pq
+
+    ids, q = _load_queries(sf_dir, n_queries)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_tbl = next(pf.iter_batches(batch_size=train_rows,
+                                      columns=["embedding"]))
+    sample = np.vstack(sample_tbl["embedding"].to_pylist()).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = _kmeans(sample, n_cells)
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
+    cell_queries: dict[int, list[int]] = {}
+    for qi in range(len(ids)):
+        for c in probe[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((ids, q, cents, cell_queries))
+
+    class CellScan:
+        def __init__(self):
+            self.q_ids, self.q, self.cents, self.cells = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy()
+            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cell = (m @ self.cents.T).argmax(axis=1)
+            rows_q, rows_n, rows_c = [], [], []
+            for c in np.unique(cell):
+                qis = self.cells.get(int(c))
+                if not qis:
+                    continue
+                sub = np.nonzero(cell == c)[0]
+                cos = self.q[qis] @ m[sub].T          # (probing Q, sub)
+                for row, qi in enumerate(qis):
+                    rows_q.extend([int(self.q_ids[qi])] * len(sub))
+                    rows_n.extend(int(vids[s]) for s in sub)
+                    rows_c.extend(cos[row].tolist())
+            return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                             "neighbor_id": pa.array(rows_n, pa.int64()),
+                             "cos": pa.array(rows_c, pa.float64())})
+
+    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(CellScan, batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    return _global_topk(local, k)
+
+
 def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
             n_tables: int = 16, n_bits: int = 4):
     """ANN: random-hyperplane signatures; candidates = corpus vectors

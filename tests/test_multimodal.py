@@ -55,3 +55,28 @@ def test_decode_rejects_unknown_format():
     dec = ImageDecode()
     with pytest.raises(NotImplementedError):
         dec.decode(b"\x89PNG not really")
+
+
+def test_ppm_roundtrip_real_decode():
+    """The PPM payload is a REAL image format: decode must return the
+    exact pixels that were encoded."""
+    from olx_ray.pipelines.multimodal import _decode_ppm, _make_ppm
+
+    px = _decode_ppm(_make_ppm(5, 3, seed=7))
+    assert px.shape == (3, 5, 3)
+    again = _decode_ppm(_make_ppm(5, 3, seed=7))
+    assert (px == again).all()
+    # comment + whitespace tolerant header
+    manual = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    assert (_decode_ppm(manual).ravel() == np.arange(12, dtype=np.uint8)).all()
+
+
+def test_wav_real_decode():
+    """WAV payloads decode through the stdlib wave module with correct
+    rate/frames and near-sine RMS (~0.5/sqrt(2))."""
+    from olx_ray.pipelines.multimodal import AudioFeatures, _make_wav
+
+    sr, ns, x = AudioFeatures.decode(_make_wav(16000, 8000, seed=3))
+    assert sr == 16000 and ns == 8000 and len(x) == 8000
+    assert abs(x).max() <= 1.0
+    assert 0.25 < np.sqrt((x ** 2).mean()) < 0.55

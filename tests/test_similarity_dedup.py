@@ -113,3 +113,17 @@ def test_neardup_groups_invariants(ray_session):
     # corpus dedup keeps exactly the representatives
     kept = dedup_keep_representatives(SF).to_pandas()
     assert set(kept.doc_id) == set(groups[groups.is_representative].doc_id)
+
+
+def test_knn_ivf_recall(ray_session):
+    from olx_ray.pipelines.similarity import knn_ivf
+
+    bf = knn_bruteforce(SF).to_pandas()
+    ivf = knn_ivf(SF).to_pandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ivf_set = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # deterministic across runs (seeded k-means)
+    again = knn_ivf(SF).to_pandas()
+    assert ivf.equals(again)
