@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_13gram": corpus.contamination_13gram,
         "pack_sequences": corpus.pack_sequences,
         "training_corpus": corpus.training_corpus,
+        "stratified_sample": corpus.stratified_sample,
+        "token_quantiles": corpus.token_quantiles,
         # --- dedup -------------------------------------------------------
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -189,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": corpus.TRAIN_VAL_SPLIT_SQL,
         "build_vocab": corpus.BUILD_VOCAB_SQL,
         "length_histogram": corpus.LENGTH_HISTOGRAM_SQL,
+        "stratified_sample": corpus.STRATIFIED_SAMPLE_SQL,
+        "token_quantiles": corpus.TOKEN_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "embedding_neardup_pairs": dedup.EMBEDDING_NEARDUP_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),

@@ -121,6 +121,67 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- sampling
+def stratified_sample(sf_dir: str, pct: int = 20):
+    """Deterministic per-language stratified sample: within every
+    ``lang`` stratum, keep docs whose id-fingerprint lands under
+    ``pct`` — reproducible across engines (DuckDB oracle computes the
+    identical membership), no RNG state, streams with no shuffle."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = (ids * _KNUTH) % 4294967296 % 100
+        return b.filter(pa.array(f < pct))
+
+    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow").sort("doc_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------- quantiles
+def token_quantiles(sf_dir: str, qs=(25, 50, 75, 95)):
+    """EXACT token-count quantiles, distributed: per-batch VALUE
+    histograms (distinct token counts are bounded, unlike rows) → small
+    groupby → driver-side cumulative rank pick. Matches DuckDB
+    ``quantile_disc`` (value at rank ⌈q·N⌉)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split().str.len().fillna(0).astype("int64")
+        return n.value_counts().rename_axis("n_tokens") \
+            .reset_index(name="cnt")
+
+    hist = (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+            .groupby("n_tokens").aggregate(Sum("cnt", alias_name="cnt"))
+            .sort("n_tokens").to_pandas())
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q / 100 * total))
+        out_q.append(q)
+        out_v.append(int(hist.loc[cum >= rank, "n_tokens"].iloc[0]))
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="int64"),
+                         "n_tokens": pd.Series(out_v, dtype="int64")})
+
+
+TOKEN_QUANTILES_SQL = """
+WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n
+           FROM documents)
+SELECT 25 AS q, quantile_disc(n, 0.25)::BIGINT AS n_tokens FROM n
+UNION ALL SELECT 50, quantile_disc(n, 0.50)::BIGINT FROM n
+UNION ALL SELECT 75, quantile_disc(n, 0.75)::BIGINT FROM n
+UNION ALL SELECT 95, quantile_disc(n, 0.95)::BIGINT FROM n
+ORDER BY q
+"""
+
+
 # ---------------------------------------------------------- contamination
 def contamination_13gram(sf_dir: str, n: int = 13,
                          benchmark_max_id: int = 50):
