@@ -36,3 +36,31 @@ def test_parse_robots():
     assert r["disallow"] == ["/admin/"]
     assert r["crawl_delay"] == 2.0
     assert parse_robots("")["disallow"] == []
+
+
+def test_dedup_min_seq_modes_equivalent(ray_session):
+    """Both dedup_min_seq paths (distributed bucketed default, driver
+    dict for budget-bounded rounds) must keep the identical winner set:
+    per key, the row with the smallest seq."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.stages.seen import dedup_min_seq
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    keys = rng.randint(0, 3000, n).astype(np.uint64)
+    t = pa.table({
+        "url_hash": pa.array(keys, pa.uint64()),
+        "discovered_seq": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array([f"u{k}" for k in keys], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(8).materialize()
+    a = dedup_min_seq(ds, mode="bucketed").to_pandas() \
+        .sort_values("discovered_seq").reset_index(drop=True)
+    b = dedup_min_seq(ds, mode="driver").to_pandas() \
+        .sort_values("discovered_seq").reset_index(drop=True)
+    assert a.equals(b)
+    # winner = min seq per key, every key present exactly once
+    assert a["url_hash"].is_unique and len(a) == len(set(keys.tolist()))
