@@ -64,22 +64,17 @@ FROM documents ORDER BY doc_id
 
 # ------------------------------------------------------------------ vocab
 def build_vocab(sf_dir: str, k: int = 1000):
-    """Top-V vocabulary with dense ids: per-batch partial word counts
-    (combiner) → small groupby → deterministic (count desc, word asc)
-    rank. The shuffle carries one row per (batch, distinct word)."""
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        words = b["text"].str.split().explode()
-        return words.value_counts().rename_axis("word").reset_index(name="n")
+    """Top-V vocabulary with dense ids: bucketed combiner word counts
+    (see ``text.word_counts`` — no bare string-key Dataset.aggregate)
+    → deterministic (count desc, word asc) rank."""
+    from .text import word_counts
 
     def add_ids(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["vocab_id"] = np.arange(1, len(b) + 1, dtype=np.int64)
         return b
 
-    return (_read_docs(sf_dir, ["text"])
-            .map_batches(partial, batch_format="pandas", batch_size=4096)
-            .groupby("word").aggregate(Sum("n", alias_name="n"))
+    return (word_counts(sf_dir)
             .sort(["n", "word"], descending=[True, False])
             .limit(k)
             .repartition(1)                      # order-preserving
@@ -91,6 +86,7 @@ SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS vocab_id FROM
   (SELECT word, count(*)::BIGINT AS n FROM
      (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
       FROM documents)
+   WHERE word IS NOT NULL AND word != ''
    GROUP BY word)
 ORDER BY n DESC, word LIMIT 1000
 """
@@ -114,8 +110,9 @@ def length_histogram(sf_dir: str, bucket: int = 10):
 
 
 LENGTH_HISTOGRAM_SQL = """
-SELECT (len(regexp_split_to_array(trim(text), '\\s+')) // 10 * 10)::BIGINT
-         AS bucket_lo,
+SELECT (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        // 10 * 10)::BIGINT AS bucket_lo,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1 ORDER BY 1
 """
@@ -123,23 +120,34 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 # ---------------------------------------------------------------- sampling
 def stratified_sample(sf_dir: str, pct: int = 20):
-    """Deterministic per-language stratified sample: within every
-    ``lang`` stratum, keep docs whose id-fingerprint lands under
-    ``pct`` — reproducible across engines (DuckDB oracle computes the
-    identical membership), no RNG state, streams with no shuffle."""
+    """TRUE stratified sample: within every ``lang`` stratum, take
+    exactly ⌈pct% · |stratum|⌉ docs — the ones ranked lowest by a
+    deterministic id-fingerprint (no RNG state; the DuckDB oracle
+    computes the identical membership via a window rank). Guarantees
+    every stratum is represented, which a plain uniform hash filter
+    does not. One groupby shuffle on ``lang``; strata (languages) are
+    bounded, so one vectorized task per stratum is the right shape."""
 
-    def fn(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = (ids * _KNUTH) % 4294967296 % 100
-        return b.filter(pa.array(f < pct))
+    def take_stratum(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(np.ceil(len(g) * pct / 100))
+        f = (g["doc_id"].to_numpy().astype(np.int64) * _KNUTH) % 4294967296
+        return g.assign(_f=f).sort_values(["_f", "doc_id"]).head(k) \
+            .drop(columns="_f")
 
-    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        fn, batch_format="pyarrow").sort("doc_id")
+    return _read_docs(sf_dir, ["doc_id", "lang"]) \
+        .groupby("lang").map_groups(take_stratum, batch_format="pandas") \
+        .sort("doc_id")
 
 
 STRATIFIED_SAMPLE_SQL = """
-SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE rk <= ceil(n * 0.20)
 ORDER BY doc_id
 """
 
@@ -172,7 +180,9 @@ def token_quantiles(sf_dir: str, qs=(25, 50, 75, 95)):
 
 
 TOKEN_QUANTILES_SQL = """
-WITH n AS (SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n
+WITH n AS (SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS n
            FROM documents)
 SELECT 25 AS q, quantile_disc(n, 0.25)::BIGINT AS n_tokens FROM n
 UNION ALL SELECT 50, quantile_disc(n, 0.50)::BIGINT FROM n
@@ -277,11 +287,11 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
         split = np.where(f < 90, "train", "val")
         counts = b["n_tokens"].to_numpy()
         pack_ids, starts = [], []
-        fill = {"train": (-1, seq_len), "val": (-1, seq_len)}  # per-split
+        fill = {"train": (-1, 0), "val": (-1, 0)}  # per-split
         for did, cnt, sp in zip(ids, counts, split):
             take = min(int(cnt), seq_len)
             pack, used = fill[sp]
-            if used + take > seq_len:
+            if pack == -1 or used + take > seq_len:
                 pack, used = int(did), 0
             pack_ids.append(pack)
             starts.append(used)
@@ -321,10 +331,12 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
         counts = b["text"].str.split().str.len().fillna(0) \
             .astype("int64").to_numpy()
         pack_ids, starts, ntoks, trunc = [], [], [], []
-        cur_pack, cur_fill = -1, seq_len  # force new pack on first doc
+        cur_pack, cur_fill = -1, 0
         for did, cnt in zip(ids, counts):
             take = min(int(cnt), seq_len)
-            if cur_fill + take > seq_len:
+            # open a new pack on the first doc ALWAYS (a zero-token doc
+            # must not ride the -1 sentinel) and on overflow after
+            if cur_pack == -1 or cur_fill + take > seq_len:
                 cur_pack, cur_fill = int(did), 0
             pack_ids.append(cur_pack)
             starts.append(cur_fill)

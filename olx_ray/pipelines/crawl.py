@@ -141,10 +141,13 @@ class MakeCandidates:
             return _frontier_table([])
         uh = np.array([hash64(canonicalize(u)) for u in urls], dtype=np.uint64)
         hosts = [host_of(u) for u in urls]
-        hh = np.array([hash64(h) for h in hosts], dtype=np.uint64)
-        salt = np.uint64(self.salt)
-        shard = ((hh * salt + uh % salt)
-                 % np.uint64(max(1, self.n_gates))).astype(np.int64)
+        # shard math in PYTHON ints — exact match with _frontier_row's
+        # formula (a uint64-wrapping numpy product diverges from the
+        # arbitrary-precision spec whenever n_gates isn't a power of 2)
+        ng = max(1, self.n_gates)
+        shard = np.fromiter(
+            ((hash64(h) * self.salt + int(u) % self.salt) % ng
+             for h, u in zip(hosts, uh)), dtype=np.int64, count=n)
         rank = np.array([self.page_rank[p] for p in pages], dtype=np.int64)
         seqs = np.array([pack_seq(self.round, r, p)
                          for r, p in zip(rank, poss)], dtype=np.int64)

@@ -163,9 +163,13 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(ids)
+        if n_docs == 0:     # np.stack rejects an empty list
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64())})
         sigs = np.stack([self.signature(shingle_hashes(t))
                          for t in batch["text"].to_pylist()])  # (docs, perm)
-        n_docs = len(ids)
         # vectorized banding: order-sensitive poly combine of each
         # band's rows across ALL docs at once, then avalanche
         bands = sigs.reshape(n_docs, self.n_bands, self.rows)
@@ -453,6 +457,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             q_ids = b["vec_id"].to_numpy().astype(np.int64)
+            if len(q_ids) == 0:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64())})
             q = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             qmin = int(q_ids.min())
@@ -608,12 +615,20 @@ def neardup_groups(sf_dir: str, threshold: float = 0.6):
     def label(b: pa.Table) -> pa.Table:
         g_of, sz = ray.get(ref)
         ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
-        gids = ids.map(g_of).fillna(ids).astype("int64")
-        gsz = gids.map(sz).fillna(1).astype("int64")
+        # int-exact path: map only MEMBER rows (every key hits → the
+        # map stays int64); a whole-column map would produce float64
+        # (NaN for non-members) and corrupt ids above 2^53
+        gids = ids.copy()
+        m = ids.isin(g_of).to_numpy()
+        if m.any():
+            gids[m] = ids[m].map(g_of)
+        gsz = pd.Series(np.ones(len(ids), dtype=np.int64))
+        if m.any():
+            gsz[m] = gids[m].map(sz)
         return pa.table({
             "doc_id": b["doc_id"],
-            "group_id": pa.array(gids.to_numpy(), pa.int64()),
-            "group_size": pa.array(gsz.to_numpy(), pa.int64()),
+            "group_id": pa.array(gids.to_numpy().astype(np.int64), pa.int64()),
+            "group_size": pa.array(gsz.to_numpy().astype(np.int64), pa.int64()),
             "is_representative": pa.array((gids == ids).to_numpy(), pa.bool_()),
         })
 

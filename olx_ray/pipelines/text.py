@@ -78,7 +78,9 @@ def token_count(sf_dir: str):
 
 
 TOKEN_COUNT_SQL = """
-SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -133,26 +135,42 @@ def fingerprint(sf_dir: str):
         .map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
-def word_freq_topk(sf_dir: str, k: int = 50):
-    """Corpus word frequency, top-k: per-batch partial counts (combiner)
-    → small groupby → deterministic (count desc, word asc) top-k."""
+def word_counts(sf_dir: str, n_buckets: int = 32):
+    """Corpus word counts, combiner-first: per-batch partial counts →
+    word-hash bucket groupby → ONE vectorized pandas sum per bucket.
+    Unbounded key cardinality (words), so neither a bare string-key
+    ``Dataset.aggregate`` (CLAUDE.md: Ray 2.49 sort-aggregate is slow)
+    nor the bounded-keys ``_partial_small_agg`` applies — this is the
+    bucketed pattern dedup_exact/q18 use."""
+    from ..functions.hashing import hash64_array
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        words = b["text"].str.split().explode()
+        words = b["text"].str.split().explode().dropna()
         g = words.value_counts().rename_axis("word").reset_index(name="n")
+        g["bucket"] = (hash64_array(g["word"].tolist())
+                       % np.uint64(n_buckets)).astype("int32")
         return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["n"].sum()
 
     return (_read_docs(sf_dir, ["text"])
             .map_batches(partial, batch_format="pandas", batch_size=4096)
-            .groupby("word").aggregate(Sum("n", alias_name="n"))
-            .sort(["n", "word"], descending=[True, False])
-            .limit(k))
+            .groupby("bucket").map_groups(finish, batch_format="pandas"))
+
+
+def word_freq_topk(sf_dir: str, k: int = 50):
+    """Corpus word frequency, top-k, deterministic (count desc, word
+    asc) over the bucketed word counts."""
+    return word_counts(sf_dir) \
+        .sort(["n", "word"], descending=[True, False]).limit(k)
 
 
 WORD_FREQ_SQL = """
 SELECT word, count(*)::BIGINT AS n FROM
   (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
    FROM documents)
+WHERE word IS NOT NULL AND word != ''
 GROUP BY word ORDER BY n DESC, word LIMIT 50
 """
 

@@ -108,3 +108,34 @@ def test_training_corpus_invariants(ray_session):
     # packing capacity per (split, pack)
     for (_, _), g in out.groupby(["split", "pack_id"]):
         assert (g["start_tok"] + g["n_tokens"].clip(upper=512)).max() <= 512
+
+
+def test_pack_sequences_zero_token_doc(ray_session, tmp_path):
+    """A zero-token doc at the head of a batch must open a real pack
+    (not ride the -1 sentinel with start_tok=seq_len)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "a b c", "d e"], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = pack_sequences(str(tmp_path), seq_len=512).to_pandas()
+    assert (out["pack_id"] >= 0).all()
+    assert out.loc[out["doc_id"] == 1, "start_tok"].iloc[0] == 0
+    assert (out["start_tok"] + out["n_tokens"] <= 512).all()
+
+
+def test_stratified_sample_covers_every_stratum(ray_session):
+    import duckdb
+
+    from olx_ray.pipelines.corpus import stratified_sample
+
+    out = stratified_sample(SF).to_pandas()
+    con = duckdb.connect()
+    pop = con.sql(f"SELECT lang, count(*) n FROM "
+                  f"read_parquet('{SF}/documents.parquet') GROUP BY lang").df()
+    got = out.groupby("lang").size()
+    for _, row in pop.iterrows():
+        assert got.get(row["lang"], 0) == int(np.ceil(row["n"] * 0.20)), row

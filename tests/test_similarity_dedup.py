@@ -127,3 +127,16 @@ def test_knn_ivf_recall(ray_session):
     # deterministic across runs (seeded k-means)
     again = knn_ivf(SF).to_pandas()
     assert ivf.equals(again)
+
+
+def test_minhash_scan_kernels_handle_empty_batch():
+    """Streaming can hand any kernel a zero-row block; the vectorized
+    paths must return empty tables, not crash in np.stack/vstack."""
+    import pyarrow as pa
+
+    from olx_ray.pipelines.dedup import MinHasher, SimHasher
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert MinHasher()(empty).num_rows == 0
+    assert SimHasher()(empty).num_rows == 0
