@@ -33,14 +33,14 @@ def _merge_task(batch: pd.DataFrame, *, ref, on, how, suffix) -> pd.DataFrame:
 
 
 def broadcast_join(ds, small: pd.DataFrame, on: list[str] | str,
-                   how: str = "inner", *, concurrency: int = 4,
+                   how: str = "inner", *, concurrency: int | None = None,
                    batch_size: int = 65536, suffix: str = "_r"):
     """ds ⋈ small on ``on``; small ships once via the object store."""
     ref = ray.put(small)
     return ds.map_batches(_merge_task, batch_format="pandas",
                           fn_kwargs={"ref": ref, "on": on, "how": how,
                                      "suffix": suffix},
-                          batch_size=batch_size)
+                          batch_size=batch_size, concurrency=concurrency)
 
 
 def _semi_task(batch: pd.DataFrame, *, ref, key, anti) -> pd.DataFrame:
@@ -50,11 +50,12 @@ def _semi_task(batch: pd.DataFrame, *, ref, key, anti) -> pd.DataFrame:
 
 
 def broadcast_semi(ds, keys, key: str, *, anti: bool = False,
-                   concurrency: int = 4):
+                   concurrency: int | None = None):
     """Semi (or anti) join: keep rows whose ``key`` is (not) in ``keys``."""
     ref = ray.put(set(keys) if not isinstance(keys, (set, frozenset)) else keys)
     return ds.map_batches(_semi_task, batch_format="pandas",
-                          fn_kwargs={"ref": ref, "key": key, "anti": anti})
+                          fn_kwargs={"ref": ref, "key": key, "anti": anti},
+                          concurrency=concurrency)
 
 
 def bucket_hash_join(left, right, on: str, n_buckets: int = 32,

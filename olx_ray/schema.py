@@ -83,7 +83,8 @@ SEEN_SEGMENTS = pa.schema(
     [
         ("shard", pa.int32()),
         ("bloom_bits", pa.large_binary()),
-        ("exact_hashes", pa.large_binary()),  # uint64 LE array; empty in bloom-only mode
+        ("exact_hashes", pa.large_binary()),  # uint64 LE array
+        ("exact_alive", pa.bool_()),          # False = degraded bloom-only
         ("n_items", pa.int64()),
     ]
 )

@@ -87,16 +87,25 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, gates: list | None = None,
         by_host: dict[str, list[int]] = {}
         for i, u in enumerate(urls):
             by_host.setdefault(urlsplit(u).hostname or "", []).append(i)
-        waits, verdict_refs = [], []
-        now = time.monotonic()
+        # verdicts FIRST (all hosts in parallel), then reserve clock
+        # slots only for the ALLOWED urls — robots-denied urls are never
+        # fetched and must not advance the host's crawl-delay clock
+        verdict_refs = []
         for host, idxs in by_host.items():
-            g = gate_for(gates, host)
             paths = [urlsplit(urls[i]).path for i in idxs]
-            verdict_refs.append((idxs, g.allowed.remote(host, paths)))
-            waits.append(g.acquire.remote(host, len(idxs), now))
-        for idxs, ref in verdict_refs:
-            for i, ok in zip(idxs, ray.get(ref)):
+            verdict_refs.append((host, idxs,
+                                 gate_for(gates, host).allowed.remote(host, paths)))
+        waits = []
+        now = time.monotonic()
+        for (host, idxs, ref), oks in zip(verdict_refs,
+                                          ray.get([r for _, _, r in verdict_refs])):
+            n_allowed = 0
+            for i, ok in zip(idxs, oks):
                 allowed[i] = ok
+                n_allowed += bool(ok)
+            if n_allowed:
+                waits.append(gate_for(gates, host).acquire.remote(
+                    host, n_allowed, now))
         wait = max(ray.get(waits), default=0.0)
         if wait > 0:
             time.sleep(wait)

@@ -145,7 +145,9 @@ class ParseListingsFull:
         cols: dict[str, list] = {k: [] for k in
                                  ("url", "href_raw", "position", "page_url",
                                   "next_page", "n_links")}
-        carried_vals: dict[str, list] = {n: [] for n in carried}
+        src_idx: list[int] = []   # source row per emitted row — carried
+        #                           cols come via ONE Arrow take, never
+        #                           per-cell .as_py() in the hot kernel
 
         def emit(i, url, raw, pos, purl, nxt, n_links):
             cols["url"].append(url)
@@ -154,8 +156,7 @@ class ParseListingsFull:
             cols["page_url"].append(purl)
             cols["next_page"].append(nxt)
             cols["n_links"].append(n_links)
-            for n in carried:
-                carried_vals[n].append(batch[n][i].as_py())
+            src_idx.append(i)
 
         for i, (purl, html) in enumerate(zip(batch[self.url_col].to_pylist(),
                                              batch[self.html_col].to_pylist())):
@@ -172,8 +173,10 @@ class ParseListingsFull:
             "next_page": pa.array(cols["next_page"], pa.string()),
             "n_links": pa.array(cols["n_links"], pa.int32()),
         }
-        for n in carried:
-            out[n] = pa.array(carried_vals[n], type=batch.schema.field(n).type)
+        if carried:
+            taken = batch.select(carried).take(pa.array(src_idx, pa.int64()))
+            for n in carried:
+                out[n] = taken[n]
         return pa.table(out)
 
 
@@ -242,7 +245,7 @@ class ParseListings:
         carried = [n for n in batch.column_names
                    if n not in (self.url_col, self.html_col)]
         urls, raws, positions, page_urls, next_pages = [], [], [], [], []
-        carried_vals: dict[str, list] = {n: [] for n in carried}
+        src_idx: list[int] = []
         page_url_arr = batch[self.url_col].to_pylist()
         html_arr = batch[self.html_col].to_pylist()
         for i, (purl, html) in enumerate(zip(page_url_arr, html_arr)):
@@ -253,8 +256,7 @@ class ParseListings:
                 positions.append(pos)
                 page_urls.append(purl)
                 next_pages.append(nxt)
-                for n in carried:
-                    carried_vals[n].append(batch[n][i].as_py())
+                src_idx.append(i)
         cols = {
             "url": pa.array(urls, type=pa.string()),
             "href_raw": pa.array(raws, type=pa.string()),
@@ -262,6 +264,8 @@ class ParseListings:
             "page_url": pa.array(page_urls, type=pa.string()),
             "next_page": pa.array(next_pages, type=pa.string()),
         }
-        for n in carried:
-            cols[n] = pa.array(carried_vals[n], type=batch.schema.field(n).type)
+        if carried:
+            taken = batch.select(carried).take(pa.array(src_idx, pa.int64()))
+            for n in carried:
+                cols[n] = taken[n]
         return pa.table(cols)

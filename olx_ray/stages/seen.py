@@ -43,6 +43,13 @@ class SeenShard:
         self.exact_cap = exact_cap
 
     def contains(self, hashes: np.ndarray, mode: str = "both") -> np.ndarray:
+        if mode == "exact" and self.exact is None:
+            # the oracle path must FAIL loudly, not silently answer from
+            # the bloom filter (false positives would drop novel URLs
+            # while the caller believes membership is exact)
+            raise RuntimeError(
+                f"seen shard {self.shard_id}: exact mode requested but the "
+                f"exact set degraded past exact_cap; use mode='both'/'bloom'")
         if mode != "bloom" and self.exact is not None:
             ex = self.exact
             return np.fromiter((int(h) in ex for h in hashes), dtype=bool,
@@ -58,18 +65,24 @@ class SeenShard:
         return len(hashes)
 
     def segment(self) -> dict:
-        """Checkpointable state (SEEN_SEGMENTS row)."""
+        """Checkpointable state (SEEN_SEGMENTS row). ``exact_alive``
+        distinguishes an EMPTY exact set from the degraded bloom-only
+        state — both serialize the hash payload as b""."""
         exact_bytes = b""
         if self.exact is not None:
             exact_bytes = np.fromiter(self.exact, dtype=np.uint64,
                                       count=len(self.exact)).tobytes()
         return {"shard": self.shard_id, "bloom_bits": self.bloom.to_bytes(),
-                "exact_hashes": exact_bytes, "n_items": self.bloom.n_items}
+                "exact_hashes": exact_bytes,
+                "exact_alive": self.exact is not None,
+                "n_items": self.bloom.n_items}
 
     def restore(self, segment: dict) -> None:
         self.bloom = Bloom.from_bytes(segment["bloom_bits"])
         raw = segment["exact_hashes"]
-        self.exact = set(np.frombuffer(raw, dtype=np.uint64).tolist()) if raw else None
+        alive = segment.get("exact_alive", bool(raw))
+        self.exact = set(np.frombuffer(raw, dtype=np.uint64).tolist()) \
+            if alive else None
 
     def stats(self) -> dict:
         return {"shard": self.shard_id, "n_items": self.bloom.n_items,
@@ -134,7 +147,8 @@ def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq",
     ``mode="driver"``: vectorized per-batch partial mins merged into one
     driver dict, then a broadcast keep-min filter. Saves the shuffle but
     the dict is O(distinct keys this round) — only sound for
-    budget-bounded rounds."""
+    budget-bounded rounds. The input is materialized first so the
+    upstream lineage executes once, not once per traversal."""
     import pandas as pd
 
     if mode == "bucketed":
@@ -159,6 +173,7 @@ def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq",
                                        pa.uint64()),
                          seq: pa.array(g[seq].to_numpy(), pa.int64())})
 
+    ds = ds.materialize()   # two traversals below — execute lineage once
     table: dict[int, int] = {}
     for r in ds.map_batches(partial_min, batch_format="pyarrow").take_all():
         k, s = int(r[key]), int(r[seq])

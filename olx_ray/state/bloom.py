@@ -9,8 +9,12 @@ across ≥16 shards held by stateful actors and checkpointed as
 ``m``.
 
 Index derivation uses standard double hashing (Kirsch–Mitzenmacher):
-``idx_i = (h1 + i*h2) mod m`` with h1/h2 the low/high 32 bits of the
-64-bit key hash — no per-probe rehash, fully vectorized per batch.
+``idx_i = (h1 + i*h2) mod m`` with h1 the FULL 64-bit key hash and h2
+an odd 64-bit mix of it — both must span 64 bits because a per-shard
+filter at the north-star scale exceeds 2^32 bits (6e9 bits/shard at
+10^10 keys over 16 shards), and 32-bit probe components would confine
+probe i to the first (i+1)·2^32 bits, skewing placement and inflating
+the realized fpr. No per-probe rehash, fully vectorized per batch.
 """
 
 from __future__ import annotations
@@ -35,9 +39,10 @@ class Bloom:
 
     def _indices(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64)
-        h1 = h & np.uint64(0xFFFFFFFF)
-        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd-ish, never 0
+        h1 = h
+        h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)  # odd 64-bit
         i = np.arange(self.k, dtype=np.uint64)[:, None]
+        # uint64 wraparound before mod m: standard double-hash practice
         return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)  # (k, n)
 
     def add(self, hashes: np.ndarray) -> None:

@@ -41,7 +41,7 @@ def latest_complete_round(out_dir: str) -> int | None:
         return None
     best = None
     for name in os.listdir(out_dir):
-        m = re.fullmatch(r"round-(\d{4})", name)
+        m = re.fullmatch(r"round-(\d{4,})", name)  # {r:04d} grows past 4 digits
         if m and os.path.exists(manifest_path(out_dir, int(m.group(1)))):
             best = max(best or -1, int(m.group(1)))
     return best
@@ -57,6 +57,7 @@ def commit_round(out_dir: str, r: int, *, counters: dict,
         "shard": pa.array([s["shard"] for s in segs], pa.int32()),
         "bloom_bits": pa.array([s["bloom_bits"] for s in segs], pa.large_binary()),
         "exact_hashes": pa.array([s["exact_hashes"] for s in segs], pa.large_binary()),
+        "exact_alive": pa.array([s["exact_alive"] for s in segs], pa.bool_()),
         "n_items": pa.array([s["n_items"] for s in segs], pa.int64()),
     }, schema=SEEN_SEGMENTS)
     storage.write_table(seg_tbl, os.path.join(rd_, "seen"))

@@ -64,3 +64,34 @@ def test_dedup_min_seq_modes_equivalent(ray_session):
     assert a.equals(b)
     # winner = min seq per key, every key present exactly once
     assert a["url_hash"].is_unique and len(a) == len(set(keys.tolist()))
+
+
+def test_seen_segment_roundtrip_preserves_empty_exact(ray_session):
+    """An EMPTY exact set must survive checkpoint/restore as exact mode
+    (not silently degrade to bloom-only, whose false positives would
+    break resume determinism), while a genuinely degraded shard must
+    restore as degraded — and exact-mode queries on it must fail loudly
+    rather than answer from the bloom filter."""
+    import numpy as np
+    import pytest as _pytest
+
+    from olx_ray.stages.seen import SeenShard
+
+    fresh = SeenShard.remote(0, 1000)
+    seg = __import__("ray").get(fresh.segment.remote())
+    assert seg["exact_alive"] and seg["exact_hashes"] == b""
+    restored = SeenShard.remote(0, 1000)
+    __import__("ray").get(restored.restore.remote(seg))
+    # exact mode still answers (empty set => nothing seen)
+    out = __import__("ray").get(restored.contains.remote(
+        np.array([1, 2], dtype=np.uint64), "exact"))
+    assert not out.any()
+
+    degraded = SeenShard.remote(1, 1000, 1e-6, 0)   # exact_cap=0 → None
+    seg2 = __import__("ray").get(degraded.segment.remote())
+    assert not seg2["exact_alive"]
+    restored2 = SeenShard.remote(1, 1000)
+    __import__("ray").get(restored2.restore.remote(seg2))
+    with _pytest.raises(Exception, match="exact"):
+        __import__("ray").get(restored2.contains.remote(
+            np.array([1], dtype=np.uint64), "exact"))
