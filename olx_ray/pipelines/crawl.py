@@ -189,6 +189,16 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
                   seen: list) -> CrawlResult:
     t0 = time.monotonic()
     os.makedirs(cfg.out_dir, exist_ok=True)
+    if not cfg.resume:
+        # fresh run into a reused out_dir: wipe prior rounds, or their
+        # committed fragments would sit beside this run's appends and
+        # double the frontier/documents on read
+        import re as _re
+        import shutil as _shutil
+        for name in os.listdir(cfg.out_dir):
+            if name == "round-init" or _re.fullmatch(r"round-\d{4,}", name):
+                _shutil.rmtree(os.path.join(cfg.out_dir, name),
+                               ignore_errors=True)
 
     robots = _load_robots(cfg.pages_dir)
     gates.extend(make_gates(cfg.n_gates, robots))
@@ -200,15 +210,17 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
 
     start_round = 0
     frontier_path = None
+    resumed_fetch_total = 0
     done = ckpt.latest_complete_round(cfg.out_dir) if cfg.resume else None
     if done is not None:
         man = storage.read_manifest(ckpt.manifest_path(cfg.out_dir, done))
         ads_admitted = {int(k): v for k, v in man["ads_admitted"].items()}
         ckpt.restore_seen(cfg.out_dir, done, seen)
         start_round = done + 1
+        resumed_fetch_total = int(man.get("n_fetched_total", 0))
         frontier_path = os.path.join(ckpt.round_dir(cfg.out_dir, done), "frontier")
         if man.get("frontier_empty"):
-            return _result(cfg, start_round, t0, man.get("n_fetched_total", 0))
+            return _result(cfg, start_round, t0, resumed_fetch_total)
     else:
         # round 0 frontier = the seeds; seed their hashes into the seen set
         rows = []
@@ -222,7 +234,7 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         frontier_path = os.path.join(cfg.out_dir, "round-init", "frontier")
         storage.write_table(tbl, frontier_path)
 
-    n_fetched_total = 0
+    n_fetched_total = resumed_fetch_total   # cumulative across resumes
     pending_count = None   # carried across rounds (next round's frontier size)
     for r in range(start_round, cfg.max_rounds):
         phases: dict[str, float] = {}
@@ -466,6 +478,9 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
 
 def _partial_max(batch: pa.Table) -> pa.Table:
     """Per-batch lexicographic max of (priority, discovered_seq)."""
+    if batch.num_rows == 0:   # sort+limit can hand truncated empty blocks
+        return pa.table({"priority": pa.array([], pa.int64()),
+                         "discovered_seq": pa.array([], pa.int64())})
     pr = batch["priority"].to_pylist()
     sq = batch["discovered_seq"].to_pylist()
     p, s = max(zip(pr, sq))

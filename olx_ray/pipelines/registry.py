@@ -48,8 +48,12 @@ class JobRegistry:
         self._next_id = 1
 
     def start(self, name: str, cfg: CrawlConfig, seeds: pa.Table) -> Job:
+        import dataclasses
+
         stop = threading.Event()
-        cfg.should_stop = stop.is_set
+        # copy: mutating the CALLER's cfg would alias stop flags when
+        # one cfg object is reused across start() calls
+        cfg = dataclasses.replace(cfg, should_stop=stop.is_set)
 
         def run(job: "Job"):
             try:

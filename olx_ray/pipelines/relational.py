@@ -335,9 +335,11 @@ def order_priority_count(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
     ds = _filter_ts(ds, "o_orderdate", ">=", "1996-01-01")
     ds = _filter_ts(ds, "o_orderdate", "<", "1997-01-01")
-    return (ds.groupby("o_orderpriority")
-            .aggregate(Count(alias_name="order_count"))
-            .sort("o_orderpriority"))
+    agg = _partial_small_agg(
+        ds, ["o_orderpriority"],
+        dict(order_count=("o_orderdate", "size")),
+        dict(order_count=("order_count", "sum")))
+    return agg.sort("o_orderpriority")
 
 
 ORDER_PRIORITY_SQL = """
@@ -370,9 +372,12 @@ FROM lineitem
 
 def distinct_mktsegments(sf_dir: str):
     """Set op: distinct values (D-class)."""
-    return _read(sf_dir, "customer", ["c_mktsegment"]) \
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n")) \
-        .sort("c_mktsegment")
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    agg = _partial_small_agg(
+        ds, ["c_mktsegment"],
+        dict(n=("c_custkey", "size")),
+        dict(n=("n", "sum")))
+    return agg.sort("c_mktsegment")
 
 
 DISTINCT_SEGMENTS_SQL = """

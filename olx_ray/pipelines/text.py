@@ -12,7 +12,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from ..functions.hashing import hash64
 
@@ -176,11 +175,20 @@ GROUP BY word ORDER BY n DESC, word LIMIT 50
 
 
 def docs_per_lang(sf_dir: str):
-    """Simple grouped stats over document metadata."""
+    """Simple grouped stats over document metadata — combiner partials
+    + bounded-key finish (CLAUDE.md: no bare string-key aggregate)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+
     return (_read_docs(sf_dir, ["lang", "n_chars"])
-            .groupby("lang")
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("n_chars", alias_name="total_chars"))
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .repartition(1).map_batches(finish, batch_format="pandas")
             .sort("lang"))
 
 

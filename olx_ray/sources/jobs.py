@@ -47,14 +47,17 @@ def _read_field(form: dict[str, list[str] | str], field: str) -> str | None:
 
 def _java_to_int(s: str) -> int | None:
     """Java ``Integer.parseInt`` semantics: optional sign, decimal digits
-    only — no whitespace, no underscores, no floats."""
+    only — no whitespace, no underscores, no floats — and the 32-bit
+    Integer range (parseInt throws on overflow → job rejected, not a
+    crash in the Arrow int32 cast downstream)."""
     s2 = s[1:] if s[:1] in "+-" else s
     if not s2 or not s2.isascii() or not s2.isdigit():
         return None
     try:
-        return int(s)
+        v = int(s)
     except ValueError:
         return None
+    return v if -(1 << 31) <= v < (1 << 31) else None
 
 
 def search_from_form(form: dict, *, now: datetime.datetime | None = None) -> Search | None:

@@ -74,6 +74,13 @@ def commit_round(out_dir: str, r: int, *, counters: dict,
 def restore_seen(out_dir: str, r: int, seen_actors: list) -> None:
     tbl = storage.read_table(os.path.join(round_dir(out_dir, r), "seen"))
     rows = tbl.to_pylist()
+    if len(rows) != len(seen_actors):
+        # hash routing is url_hash % n_shards — a different shard count
+        # on resume would silently mis-route membership checks
+        raise ValueError(
+            f"seen checkpoint has {len(rows)} shards but the resumed crawl "
+            f"configured n_seen_shards={len(seen_actors)}; resume must use "
+            f"the original shard count")
     by_shard = {row["shard"]: row for row in rows}
     ray.get([a.restore.remote(by_shard[i]) for i, a in enumerate(seen_actors)])
 

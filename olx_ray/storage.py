@@ -58,15 +58,23 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith(".")
     )
+    if not parts:       # write_dataset of an empty Dataset → files-less dir
+        return pa.table({})
     return pa.concat_tables(pq.read_table(p, columns=columns) for p in parts)
 
 
 def read_dataset(path: str, columns: list[str] | None = None):
-    """Read a table as a ``ray.data.Dataset`` (the streaming path)."""
+    """Read a table as a ``ray.data.Dataset`` (the streaming path).
+    A file-less directory (empty-dataset write) reads as an empty
+    Dataset, honoring write_dataset's never-FileNotFound contract."""
     import ray.data as rd
 
-    if _is_lance(path):  # pragma: no cover
-        return rd.read_lance(path, columns=columns)
+    if isinstance(path, str):
+        if _is_lance(path):  # pragma: no cover
+            return rd.read_lance(path, columns=columns)
+        if os.path.isdir(path) and not any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            return rd.from_arrow(pa.table({}))
     return rd.read_parquet(path, columns=columns)
 
 

@@ -91,3 +91,23 @@ def test_native_reaches_hot_host(site_t2x, tmp_root):
     hs = host_stats(out).to_pandas()
     hub = hs[(hs.host == "hub.olx.ua") & (hs.action == "fetch_ad")]
     assert not hub.empty and int(hub.n.iloc[0]) > 0
+
+
+def test_fresh_rerun_same_outdir_no_duplicates(ray_session, tmp_path):
+    """A non-resume crawl into an out_dir holding a previous run's
+    committed rounds must wipe them — not append fragments beside the
+    old ones and double the frontier/documents."""
+    from olx_ray.pipelines.crawl import (CrawlConfig, crawl_native,
+                                         read_documents)
+    from olx_ray.sources.sitegen import SiteSpec, write_site
+
+    site = write_site("t1", str(tmp_path / "site"))
+    out = str(tmp_path / "out")
+    cfg = CrawlConfig(pages_dir=site["pages"], out_dir=out,
+                      collect_trace=False)
+    r1 = crawl_native(cfg, SiteSpec("t1").seed_rows())
+    docs1 = sorted(r["doc_id"] for r in read_documents(out).take_all())
+    r2 = crawl_native(cfg, SiteSpec("t1").seed_rows())
+    docs2 = sorted(r["doc_id"] for r in read_documents(out).take_all())
+    assert docs1 == docs2
+    assert r1.n_documents == r2.n_documents
