@@ -162,18 +162,49 @@ def _compile_simple(s: str) -> tuple:
     return (tag, id_, tuple(classes), tuple(attrs))
 
 
+def _tokenize_selector(css: str) -> list[str]:
+    """Split a selector on whitespace / '>' OUTSIDE brackets and quotes
+    — `[attr='a b']` is one token even though its value has a space."""
+    toks: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in css.strip():
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if depth == 0 and (ch.isspace() or ch == ">"):
+            if cur:
+                toks.append("".join(cur))
+                cur = []
+            if ch == ">":
+                toks.append(">")
+            continue
+        cur.append(ch)
+    if cur:
+        toks.append("".join(cur))
+    return toks
+
+
 def _compile(css: str) -> list[tuple[str, tuple]]:
     """Compile a selector into [(combinator, simple)] left→right;
     combinator is ' ' (descendant) or '>' (child); first entry ' '."""
     prog = _selector_cache.get(css)
     if prog is not None:
         return prog
-    toks = re.split(r"\s*(>)\s*|\s+", css.strip())
     prog = []
     comb = " "
-    for t in toks:
-        if t is None or t == "":
-            continue
+    for t in _tokenize_selector(css):
         if t == ">":
             comb = ">"
             continue

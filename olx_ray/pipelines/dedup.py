@@ -168,8 +168,19 @@ class MinHasher:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.uint64())})
-        sigs = np.stack([self.signature(shingle_hashes(t))
-                         for t in batch["text"].to_pylist()])  # (docs, perm)
+        sh = [shingle_hashes(t) for t in batch["text"].to_pylist()]
+        # empty/whitespace-only docs emit NO band rows: their all-zero
+        # signatures would all collide in every band and flood the
+        # bucket self-join quadratically (empty docs are exact-dedup's
+        # job, not minhash's)
+        keep = [i for i, s in enumerate(sh) if s.size]
+        if not keep:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64())})
+        ids = ids[keep]
+        n_docs = len(ids)
+        sigs = np.stack([self.signature(sh[i]) for i in keep])  # (docs, perm)
         # vectorized banding: order-sensitive poly combine of each
         # band's rows across ALL docs at once, then avalanche
         bands = sigs.reshape(n_docs, self.n_bands, self.rows)
@@ -208,30 +219,52 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
                          "bucket": pa.array((key % np.uint64(n_buckets))
                                             .astype(np.int32), pa.int32())})
 
-    def self_join(g: pd.DataFrame) -> pd.DataFrame:
+    def self_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:
         df = g[["doc_id", "key"]].drop_duplicates()
-        m = df.merge(df, on="key", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        sizes = df.groupby("key")["doc_id"].transform("size")
+        small = df[sizes <= max_allpairs]
+        m = small.merge(small, on="key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
+        # flood guard: a key shared by >max_allpairs docs (mass exact
+        # duplicates / empty-ish docs) would emit O(n²) pairs in one
+        # heap; connect those keys as a sorted CHAIN instead — O(n)
+        # pairs, union-find connectivity (the grouping consumer)
+        # preserved, full pair enumeration documented as capped
+        big = df[sizes > max_allpairs].sort_values(["key", "doc_id"])
+        if len(big):
+            a = big["doc_id"].to_numpy()
+            same = big["key"].to_numpy()
+            chain = pd.DataFrame({"doc_id_a": a[:-1], "doc_id_b": a[1:]})
+            chain = chain[same[:-1] == same[1:]]
+            m = pd.concat([m, chain], ignore_index=True)
+        out = m.drop_duplicates()
         return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
 
     pairs = bands.map_batches(key_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(self_join, batch_format="pandas")
+    # a pair can still fire in bands landing in different buckets
+    return pair_distinct(pairs, "doc_a", "doc_b", n_buckets)
 
-    # a pair can still fire in bands landing in different buckets →
-    # distinct via ONE drop_duplicates per pair-hash bucket (vectorized;
-    # never one Python task per candidate pair)
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
+    """Global distinct over (a, b) pair rows: ONE drop_duplicates per
+    pair-hash bucket — vectorized, never one Python task per pair, and
+    genuinely global (a single-block per-batch drop_duplicates would
+    miss duplicates straddling batch boundaries). Shared by the
+    minhash, simhash and embedding-LSH candidate pipelines."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b[col_b].to_numpy(zero_copy_only=False).astype(np.uint64)
         pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(n_buckets)
         return b.append_column("pair_bucket",
                                pa.array(pb.astype(np.int32), pa.int32()))
 
     def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        keep = [c for c in g.columns if c != "pair_bucket"]
+        return g.drop_duplicates([col_a, col_b])[keep]
 
-    return pairs.map_batches(pair_bucket, batch_format="pyarrow") \
+    return pairs.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("pair_bucket").map_groups(distinct, batch_format="pandas")
 
 
@@ -391,13 +424,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         .map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
 
-    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])
-
-    # same pair can fire in several bands → distinct via one small pass
-    return pairs.repartition(1).map_batches(distinct_pairs,
-                                            batch_format="pandas") \
-        .sort(["doc_a", "doc_b"])
+    # same pair can fire in several bands → GLOBAL bucketed distinct
+    # (a per-batch drop_duplicates would miss duplicates straddling
+    # batch boundaries)
+    return pair_distinct(pairs, "doc_a", "doc_b").sort(["doc_a", "doc_b"])
 
 
 # ----------------------------------------------------- embedding near-dup
@@ -505,6 +535,11 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     def explode(b: pa.Table) -> pa.Table:
         nonlocal planes
         ids = b["vec_id"].to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "tbl": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
         m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         if planes is None:
@@ -555,19 +590,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
         .map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
-
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(32)
-        return b.append_column("pair_bucket",
-                               pa.array(pb.astype(np.int32), pa.int32()))
-
-    return pairs.map_batches(pair_bucket, batch_format="pyarrow") \
-        .groupby("pair_bucket").map_groups(distinct, batch_format="pandas") \
-        .sort(["vec_a", "vec_b"])
+    return pair_distinct(pairs, "vec_a", "vec_b").sort(["vec_a", "vec_b"])
 
 
 EMBEDDING_NEARDUP_SQL = """

@@ -254,7 +254,9 @@ class AudioFeatures:
             return sr, ns, x
         if payload.startswith(b"FAUD"):
             sr, ns = struct.unpack("<II", payload[4:12])
-            x = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float64)
+            raw = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float64)
+            x = (raw - 128.0) / 128.0   # honor the [-1, 1] contract so
+            #                             rms is comparable with WAV rows
             return sr, ns, x
         raise NotImplementedError("audio format not decodable here "
                                   "(WAV/PCM16 and synthetic FAUD are)")

@@ -34,6 +34,27 @@ def _load_queries(sf_dir: str, n_queries: int):
     return ids, q
 
 
+def _empty_topk_table() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "cos": pa.array([], pa.float64())})
+
+
+def _truncate_local_topk(rows_q, rows_n, rows_c, k: int) -> pa.Table:
+    """Keep only each query's local top-(k+1) candidate rows before the
+    shuffle (the +1 absorbs the self-match dropped in the finish). The
+    groupby then carries Q×k×batches rows — never the corpus."""
+    df = pd.DataFrame({"query_id": pd.Series(rows_q, dtype="int64"),
+                       "neighbor_id": pd.Series(rows_n, dtype="int64"),
+                       "cos": pd.Series(rows_c, dtype="float64")})
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True]) \
+        .groupby("query_id").head(k + 1)
+    return pa.table({"query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+                     "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
+                     "cos": pa.array(df["cos"].to_numpy(), pa.float64())})
+
+
 class _LocalTopK:
     """Per-batch scorer: emits each batch's local top-k per query."""
 
@@ -43,6 +64,8 @@ class _LocalTopK:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy()
+        if len(ids) == 0:
+            return _empty_topk_table()
         m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = self.q @ m.T                        # (Q, batch)
@@ -142,14 +165,17 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
     for qi in range(len(ids)):
         for c in probe[qi]:
             cell_queries.setdefault(int(c), []).append(qi)
-    ref = ray.put((ids, q, cents, cell_queries))
+    ref = ray.put((ids, q, cents, cell_queries, k))
 
     class CellScan:
         def __init__(self):
-            self.q_ids, self.q, self.cents, self.cells = ray.get(ref)
+            (self.q_ids, self.q, self.cents, self.cells,
+             self.k) = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vids = b["vec_id"].to_numpy()
+            if len(vids) == 0:
+                return _empty_topk_table()
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cell = (m @ self.cents.T).argmax(axis=1)
@@ -164,9 +190,10 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
                     rows_q.extend([int(self.q_ids[qi])] * len(sub))
                     rows_n.extend(int(vids[s]) for s in sub)
                     rows_c.extend(cos[row].tolist())
-            return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                             "neighbor_id": pa.array(rows_n, pa.int64()),
-                             "cos": pa.array(rows_c, pa.float64())})
+            # local top-k BEFORE the shuffle: candidates per batch are
+            # O(probing-queries × batch); the groupby must carry only
+            # Q×(k+1) rows per batch
+            return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
 
     local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \
@@ -195,15 +222,17 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
     for qi in range(len(ids)):
         for t in range(n_tables):
             bucket_of.setdefault((t, int(q_sigs[qi, t])), []).append(qi)
-    ref = ray.put((ids, q, bucket_of, planes, weights))
+    ref = ray.put((ids, q, bucket_of, planes, weights, k))
 
     class Candidates:
         def __init__(self):
             (self.q_ids, self.q, self.buckets, self.planes,
-             self.weights) = ray.get(ref)
+             self.weights, self.k) = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vids = b["vec_id"].to_numpy()
+            if len(vids) == 0:
+                return _empty_topk_table()
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             sigs = np.stack([((m @ self.planes[t].T) > 0) @ self.weights
@@ -218,9 +247,8 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
                     rows_q.append(int(self.q_ids[qi]))
                     rows_n.append(int(vids[i]))
                     rows_c.append(float(self.q[qi] @ mn[i]))
-            return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                             "neighbor_id": pa.array(rows_n, pa.int64()),
-                             "cos": pa.array(rows_c, pa.float64())})
+            # local top-k before the shuffle (see CellScan)
+            return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
 
     local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \

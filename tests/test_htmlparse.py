@@ -70,3 +70,17 @@ def test_void_and_unclosed_tags():
 def test_descendant_combinator_depth():
     h = "<div id='a'><section><ul><li><p>deep</p></li></ul></section></div>"
     assert [e.text() for e in hp.select(hp.parse_html(h), "div#a ul>li>p")] == ["deep"]
+
+
+def test_attr_selector_value_with_space():
+    """A quoted attribute value containing a space must stay one token
+    (the documented [attr='val'] surface, not just the reference's
+    space-free selectors)."""
+    from olx_ray.functions import htmlparse as hp
+
+    doc = hp.parse_html(
+        "<div data-cy='ad title'><span>x</span></div>"
+        "<div data-cy='other'>y</div>")
+    hits = hp.select(doc, "div[data-cy='ad title']")
+    assert len(hits) == 1
+    assert hp.select(doc, "div[data-cy='ad title'] > span")
