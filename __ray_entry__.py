@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
         "fingerprint": text.fingerprint,
+        "redact_pii": text.redact_pii,
         # --- corpus preparation ------------------------------------------
         "train_val_split": corpus.train_val_split,
         "build_vocab": corpus.build_vocab,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,
+        "redact_pii": text.REDACT_PII_SQL,
         "train_val_split": corpus.TRAIN_VAL_SPLIT_SQL,
         "build_vocab": corpus.BUILD_VOCAB_SQL,
         "length_histogram": corpus.LENGTH_HISTOGRAM_SQL,

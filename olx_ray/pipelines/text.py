@@ -174,6 +174,49 @@ GROUP BY word ORDER BY n DESC, word LIMIT 50
 """
 
 
+class RedactPII:
+    """Actor-pool stage: scrub URL / email / phone-like spans from text
+    (the standard pre-training privacy pass). Patterns compiled once
+    per actor and chosen from the regex subset where Python ``re`` and
+    DuckDB's RE2 agree exactly, so the operator is DuckDB-oracle-able.
+    Order matters: URLs first (emails can appear inside query strings),
+    then emails, then digit runs."""
+
+    def __init__(self):
+        import re
+
+        self.rules = [
+            (re.compile(r"https?://[^ \t\n]+"), "<URL>"),
+            (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+             "<EMAIL>"),
+            (re.compile(r"[0-9][0-9 ()+-]{5,}[0-9]"), "<NUM>"),
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        texts = batch["text"]
+        for pat, token in self.rules:
+            texts = texts.str.replace(pat, token, regex=True)
+        out["redacted"] = texts
+        return out
+
+
+def redact_pii(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(RedactPII, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
+REDACT_PII_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         'https?://[^ \t\n]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9 ()+-]{5,}[0-9]', '<NUM>', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
 def docs_per_lang(sf_dir: str):
     """Simple grouped stats over document metadata — combiner partials
     + bounded-key finish (CLAUDE.md: no bare string-key aggregate)."""

@@ -139,3 +139,22 @@ def test_stratified_sample_covers_every_stratum(ray_session):
     got = out.groupby("lang").size()
     for _, row in pop.iterrows():
         assert got.get(row["lang"], 0) == int(np.ceil(row["n"] * 0.20)), row
+
+
+def test_redact_pii_patterns():
+    """URL/email/number scrubbing fires on synthetic PII and leaves
+    clean text untouched (pattern subset chosen for exact Python-re /
+    DuckDB-RE2 agreement — the oracle pins corpus-level parity)."""
+    import pandas as pd
+
+    from olx_ray.pipelines.text import RedactPII
+
+    r = RedactPII()
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail a@b.co see https://x.y/z?u=1 call 0501 234 567 end",
+                 "plain words only"],
+    })
+    out = r(df)["redacted"].tolist()
+    assert out[0] == "mail <EMAIL> see <URL> call <NUM> end"
+    assert out[1] == "plain words only"
