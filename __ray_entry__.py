@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": events.props_key_stats,
         "purchase_attribution_asof": events.purchase_attribution_asof,
         "events_sliding_2h": events.events_sliding_2h,
+        "funnel_conversion": events.funnel_conversion,
+        "retention_daily": events.retention_daily,
         # --- text analysis ----------------------------------------------
         "token_count": text.token_count,
         "word_freq_topk": text.word_freq_topk,
@@ -186,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "props_key_stats": events.PROPS_KEY_SQL,
         "purchase_attribution_asof": events.PURCHASE_ASOF_SQL,
         "events_sliding_2h": events.EVENTS_SLIDING_SQL,
+        "funnel_conversion": events.FUNNEL_SQL,
+        "retention_daily": events.RETENTION_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,

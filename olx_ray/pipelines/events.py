@@ -256,3 +256,94 @@ FROM (SELECT event_type, date_trunc('hour', ts) AS window_start, value
       FROM events)
 GROUP BY event_type, window_start ORDER BY event_type, window_start
 """
+
+
+def funnel_conversion(sf_dir: str):
+    """Ordered funnel view → click → purchase: a user converts a stage
+    only with an event strictly AFTER their first event of the previous
+    stage (the classic sequential-funnel semantics — a click before the
+    first view doesn't count). Per-user evaluation inside one group
+    task (same partitioning assumption as sessionize); one summary
+    row out."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        t1 = g.loc[g["event_type"] == "view", "ts"].min()
+        has_v = pd.notna(t1)
+        t2 = g.loc[(g["event_type"] == "click") & (g["ts"] > t1), "ts"].min() \
+            if has_v else pd.NaT
+        has_c = pd.notna(t2)
+        t3 = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t2), "ts"].min() \
+            if has_c else pd.NaT
+        return pd.DataFrame({"v": [int(has_v)], "c": [int(has_c)],
+                             "p": [int(pd.notna(t3))]})
+
+    per = _read(sf_dir, ["user_id", "ts", "event_type"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_view": [int(b["v"].sum())],
+            "n_view_click": [int(b["c"].sum())],
+            "n_full_funnel": [int(b["p"].sum())],
+        })
+
+    return per.repartition(1).map_batches(total, batch_format="pandas")
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+"""
+
+
+def retention_daily(sf_dir: str):
+    """Day-1 cohort retention: users grouped by their FIRST active day;
+    retained = any event on the following day. Per-batch (user, day)
+    distinct partials (the combiner — the shuffle carries one row per
+    user-day per batch, never events), then per-user day sets in one
+    bounded finish (users ≪ events)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].dt.floor("D")
+        return pd.DataFrame({"user_id": b["user_id"], "d": d}) \
+            .drop_duplicates()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        d0 = b.groupby("user_id")["d"].min().rename("d0").reset_index()
+        m = d0.merge(b, on="user_id")
+        m["is_d1"] = m["d"] == m["d0"] + pd.Timedelta(days=1)
+        g = m.groupby(["user_id", "d0"], as_index=False)["is_d1"].max()
+        out = g.groupby("d0", as_index=False).agg(
+            cohort_size=("user_id", "size"),
+            retained_d1=("is_d1", "sum"))
+        out["retained_d1"] = out["retained_d1"].astype("int64")
+        return out
+
+    return (_read(sf_dir, ["user_id", "ts"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .repartition(1).map_batches(finish, batch_format="pandas")
+            .sort("d0"))
+
+
+RETENTION_SQL = """
+WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+              FROM events),
+f AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+SELECT f.d0, count(*) AS cohort_size,
+       sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS retained_d1
+FROM f LEFT JOIN days r
+  ON r.user_id = f.user_id AND r.d = f.d0 + INTERVAL 1 DAY
+GROUP BY f.d0 ORDER BY f.d0
+"""
