@@ -26,7 +26,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SITE_ROOT = os.path.join(tempfile.gettempdir(), "olx_ray_bench_site")
+def _site_root() -> str:
+    from olx_ray.sources.sitegen import SITE_VERSION
+
+    return os.path.join(tempfile.gettempdir(),
+                        f"olx_ray_bench_site_v{SITE_VERSION}")
+
+
+SITE_ROOT = None  # resolved lazily (imports olx_ray)
 
 QUERY_NAMES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_supplier_volume",
@@ -53,11 +60,12 @@ def run_crawl(ncpu: int) -> dict:
     from olx_ray.state import checkpoint as ckpt
     from olx_ray import storage
 
-    if not os.path.isdir(os.path.join(SITE_ROOT, "pages")):
-        write_site("bench", SITE_ROOT)
+    site_root = _site_root()
+    if not os.path.isdir(os.path.join(site_root, "pages")):
+        write_site("bench", site_root)
     out = tempfile.mkdtemp(prefix="olx_ray_bench_crawl_")
     cfg = CrawlConfig(
-        pages_dir=os.path.join(SITE_ROOT, "pages"), out_dir=out,
+        pages_dir=os.path.join(site_root, "pages"), out_dir=out,
         collect_trace=False, lineage_level="counts",
         n_seen_shards=16, n_gates=8,
         fetcher_concurrency=ncpu, fetch_batch_size=128,

@@ -110,6 +110,10 @@ def golden_native_trace(tier: str, max_count: int | None = None) -> Trace:
 
     Visit order within a round = discovered_seq (listings before ads via
     priority=depth)."""
+    assert tier in ("t1", "t2"), (
+        "golden_native_trace assumes the NARROW single-seed frontier "
+        "(listing 0); seed_rows() is wide for the bench tier and would "
+        "silently diverge from this golden")
     site = SiteSpec(tier)
     count = max_count if max_count is not None else site.max_count
     seed_url = site.listing(0).url

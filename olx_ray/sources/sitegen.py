@@ -44,6 +44,10 @@ _WORDS = (
     "гарнітур квартира авто колеса монітор принтер гітара"
 ).split()
 
+# Bump when generated page CONTENT changes: cached site dirs embed this
+# version so stale /tmp caches can't desync from spec-derived goldens.
+SITE_VERSION = 2
+
 _BRIEF_TEMPLATES = [
     # (p-element text, expected (key, value) or None if dropped)
     ("Стан:Вживане", ("Стан", "Вживане")),
@@ -54,7 +58,12 @@ _BRIEF_TEMPLATES = [
     ("Доставка:", ("Доставка", "true")),                     # trailing-empty dropped → "true"
     ("Гарантія:6 місяців", ("Гарантія", "6 місяців")),
     ("Бренд:OLX", ("Бренд", "OLX")),
+    ("Стан:Нове", ("Стан", "Нове")),   # second value for "Стан": ads
+    #   drawing both Стан templates now EXERCISE the last-wins quirk in
+    #   crawl-level goldens, not just the parse unit test
 ]
+
+_BRIEF_MAP = dict(_BRIEF_TEMPLATES)
 
 TIERS = {
     # tier: (n_listing_pages, ads_per_page, dup_rate_pct, max_count, hot_hub)
@@ -173,7 +182,7 @@ class AdSpec:
         pos: dict[str, int] = {}
         pairs: list[list[str]] = []
         for line in self.brief_lines:
-            exp = dict(_BRIEF_TEMPLATES)[line]
+            exp = _BRIEF_MAP[line]
             if exp is None:
                 continue
             k, v = exp
@@ -220,7 +229,6 @@ class ListingSpec:
                     ids.append(ids[_rint(tag + ":i", len(ids))])
                 else:  # cross-page duplicate: an ad from an earlier page
                     ids.append(_rint(tag + ":g", max(1, base)))
-                    continue
             else:
                 ids.append(base + j)
         return ids

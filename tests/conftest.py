@@ -9,7 +9,8 @@ import pytest
 def ray_session():
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     try:
@@ -20,7 +21,8 @@ def ray_session():
     except Exception:
         pass
     yield
-    ray.shutdown()
+    if owns:   # never shut down a session an outer caller owns
+        ray.shutdown()
 
 
 @pytest.fixture(scope="session")

@@ -111,3 +111,25 @@ def test_fresh_rerun_same_outdir_no_duplicates(ray_session, tmp_path):
     docs2 = sorted(r["doc_id"] for r in read_documents(out).take_all())
     assert docs1 == docs2
     assert r1.n_documents == r2.n_documents
+
+
+def test_native_t2_trace_vs_golden(site_t2x, tmp_root):
+    """t2 native run vs golden: exercises what t1 cannot — the dead
+    link surviving the cap (fetch_404 recorded, slot consumed), the
+    hot-hub host diversity, and cross-page dup seen-filtering at
+    25% dup rate over 20 pages."""
+    import os
+
+    from olx_ray.pipelines.crawl import CrawlConfig, crawl_native
+    from olx_ray.sources.goldens import golden_native_trace
+    from olx_ray.sources.sitegen import SiteSpec
+
+    site = SiteSpec("t2")
+    cfg = CrawlConfig(pages_dir=site_t2x["pages"],
+                      out_dir=os.path.join(tmp_root, "native_t2"))
+    res = crawl_native(cfg, site.seed_rows())
+    g = golden_native_trace("t2")
+    assert [(u, a) for _, u, a in res.trace] == [(u, a) for _, u, a in g.visits]
+    # the dead link IS in the native t2 trace as fetch_404
+    assert any(a == "fetch_404" for _, _, a in res.trace)
+    assert res.n_documents == len(g.documents)

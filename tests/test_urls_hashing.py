@@ -45,3 +45,25 @@ def test_digest_order_insensitive():
     a = np.array([1, 2, 3], dtype=np.uint64)
     b = np.array([3, 1, 2], dtype=np.uint64)
     assert digest_u64(a) == digest_u64(b)
+
+
+def test_absolutize_hand_computed_reference_cases():
+    """Hand-derived expectations straight from the reference M5 spec
+    (http4s withPath: replace path, keep scheme+authority+query, drop
+    fragment) — independent of the implementation, so goldens that
+    reuse absolutize() are anchored here."""
+    from olx_ray.functions.urls import absolutize
+
+    # base query string survives; href replaces ONLY the path
+    assert absolutize("https://www.olx.ua/list/uk?p=2",
+                      "/d/obyavlenie/x") == "https://www.olx.ua/d/obyavlenie/x?p=2"
+    # relative href gets a leading slash
+    assert absolutize("https://www.olx.ua/list/uk", "d/x") == \
+        "https://www.olx.ua/d/x"
+    # the M5 bug, verbatim: a fully-qualified href becomes a PATH
+    # (leading slash added because the href does not start with '/')
+    assert absolutize("https://www.olx.ua/list", "https://hub.olx.ua/a") == \
+        "https://www.olx.ua/https://hub.olx.ua/a"
+    # base fragment dropped
+    assert absolutize("https://www.olx.ua/list#frag", "/a") == \
+        "https://www.olx.ua/a"
