@@ -9,8 +9,24 @@ function."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
+
+
+def _user_bucket(ds, n_buckets: int):
+    """Append ``_kb = user_id % n_buckets`` (Arrow, zero-copy in): the
+    groupby shuffle then co-locates each user's rows in ONE bucket task
+    where the window/asof/funnel kernel runs vectorized over the whole
+    bucket — never one Python call per user (CLAUDE.md gotcha)."""
+
+    def add(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_kb", pa.array((u % n_buckets).astype(np.int32), pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def _round2(cols):
@@ -97,24 +113,29 @@ ORDER BY event_type, window_start
 """
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user (gap > 30 min starts a new session):
-    groupby(user) → sorted pandas window per group. Assumption: one
-    user's events fit one group task (holds by construction for
-    user-keyed logs; salt by day for pathological hot users)."""
+def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64):
+    """Session windows per user (gap > 30 min starts a new session),
+    bucketed + vectorized: user-hash bucket groupby, then ONE pandas
+    pass per bucket — sort by (user, ts), a session starts where the
+    user changes or the gap exceeds the threshold (sorted diff), and
+    one groupby-sum emits all users of the bucket at once. Assumption:
+    one BUCKET of users fits one task (tune n_buckets ∝ users)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        n = int(new_session.sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n],
-                             "n_events": [len(g)]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_session = new_user | (g["ts"].diff() > gap)
+        out = pd.DataFrame({"user_id": g["user_id"], "ns": new_session}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_sessions=("ns", "sum"), n_events=("ns", "size"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return (_read(sf_dir, ["user_id", "ts"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+    return (_user_bucket(_read(sf_dir, ["user_id", "ts"]), n_buckets)
+            .groupby("_kb")
+            .map_groups(per_bucket, batch_format="pandas")
             .sort("user_id"))
 
 
@@ -130,21 +151,33 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
-def user_activity_topk(sf_dir: str, k: int = 25):
-    """Most active users by event count then total value."""
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("user_id", as_index=False).agg(
-            n_events=("value", "size"), total_value=("value", "sum"))
+def user_activity_topk(sf_dir: str, k: int = 25, n_buckets: int = 32):
+    """Most active users by event count then total value. One group per
+    USER (unbounded), so the finish is bucketed: per-batch partials →
+    user-hash bucket groupby → one vectorized sum + LOCAL top-k per
+    bucket (the global top-k is a subset of the union of per-bucket
+    top-ks) → tiny global sort over n_buckets × k rows."""
 
-    ds = _read(sf_dir, ["user_id", "value"]) \
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
-    return _finish_small(ds, ["user_id"],
-                         dict(n_events=("n_events", "sum"),
-                              total_value=("total_value", "sum"))) \
-        .map_batches(_round2(["total_value"]), batch_format="pandas") \
-        .sort(["n_events", "total_value", "user_id"],
-              descending=[True, True, False]) \
-        .limit(k)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum"))
+        g["_kb"] = (g["user_id"].to_numpy().astype(np.int64)
+                    % n_buckets).astype("int32")
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), total_value=("total_value", "sum"))
+        out["total_value"] = out["total_value"].round(2)
+        return out.sort_values(["n_events", "total_value", "user_id"],
+                               ascending=[False, False, True]).head(k)
+
+    return (_read(sf_dir, ["user_id", "value"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+            .groupby("_kb").map_groups(finish, batch_format="pandas")
+            .sort(["n_events", "total_value", "user_id"],
+                  descending=[True, True, False])
+            .limit(k))
 
 
 USER_ACTIVITY_SQL = """
@@ -185,28 +218,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def purchase_attribution_asof(sf_dir: str):
     """AS-OF JOIN (custom operator — Ray Data has none): each purchase
-    event is attributed to the user's most recent prior click. Sort
-    both sides by ts within user groups and ``pd.merge_asof`` per group
-    (ray_guide "As-of / range join"). Partitioning assumption: one
-    user's events fit one group task."""
+    event is attributed to the user's most recent prior click. User-hash
+    bucket groupby, then ONE ``pd.merge_asof(..., by="user_id")`` per
+    bucket (ray_guide "As-of / range join") — vectorized across all the
+    bucket's users, never one Python call per user. Partitioning
+    assumption: one bucket of users fits one group task."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                              "purchase_id": pd.Series([], dtype="int64"),
+                              "click_id": pd.Series([], dtype="int64")})
         purchases = g[g["event_type"] == "purchase"][["user_id", "ts", "event_id"]] \
-            .sort_values("ts").rename(columns={"event_id": "purchase_id"})
-        clicks = g[g["event_type"] == "click"][["ts", "event_id"]] \
-            .sort_values("ts").rename(columns={"event_id": "click_id"})
+            .rename(columns={"event_id": "purchase_id"})
+        clicks = g[g["event_type"] == "click"][["user_id", "ts", "event_id"]] \
+            .rename(columns={"event_id": "click_id"})
         if purchases.empty:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "purchase_id": pd.Series([], dtype="int64"),
-                                 "click_id": pd.Series([], dtype="int64")})
-        m = pd.merge_asof(purchases, clicks, on="ts",
+            return empty
+        # merge_asof(by=user) needs BOTH frames globally ts-sorted; the
+        # click_id tie-break pins determinism when clicks share a ts
+        purchases = purchases.sort_values(["ts", "purchase_id"], kind="stable")
+        clicks = clicks.sort_values(["ts", "click_id"], kind="stable")
+        m = pd.merge_asof(purchases, clicks, on="ts", by="user_id",
                           allow_exact_matches=False)
         m["click_id"] = m["click_id"].astype("Int64").fillna(-1).astype("int64")
         return m[["user_id", "purchase_id", "click_id"]]
 
-    return (_read(sf_dir, ["user_id", "ts", "event_type", "event_id"])
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+    return (_user_bucket(_read(sf_dir, ["user_id", "ts", "event_type",
+                                        "event_id"]), 64)
+            .groupby("_kb")
+            .map_groups(per_bucket, batch_format="pandas")
             .sort(["user_id", "purchase_id"]))
 
 
@@ -262,24 +302,27 @@ def funnel_conversion(sf_dir: str):
     """Ordered funnel view → click → purchase: a user converts a stage
     only with an event strictly AFTER their first event of the previous
     stage (the classic sequential-funnel semantics — a click before the
-    first view doesn't count). Per-user evaluation inside one group
-    task (same partitioning assumption as sessionize); one summary
-    row out."""
+    first view doesn't count). User-hash bucket groupby, then one
+    VECTORIZED pass per bucket: first-view per user (groupby-min), join
+    to clicks and filter strictly-after, first qualifying click, same
+    again for purchases — all users of a bucket evaluated in three
+    pandas joins; each bucket emits one partial row."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        t1 = g.loc[g["event_type"] == "view", "ts"].min()
-        has_v = pd.notna(t1)
-        t2 = g.loc[(g["event_type"] == "click") & (g["ts"] > t1), "ts"].min() \
-            if has_v else pd.NaT
-        has_c = pd.notna(t2)
-        t3 = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t2), "ts"].min() \
-            if has_c else pd.NaT
-        return pd.DataFrame({"v": [int(has_v)], "c": [int(has_c)],
-                             "p": [int(pd.notna(t3))]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g.loc[g["event_type"] == "view"] \
+            .groupby("user_id")["ts"].min().rename("t1").reset_index()
+        c = g.loc[g["event_type"] == "click", ["user_id", "ts"]] \
+            .merge(t1, on="user_id")
+        t2 = c.loc[c["ts"] > c["t1"]] \
+            .groupby("user_id")["ts"].min().rename("t2").reset_index()
+        p = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]] \
+            .merge(t2, on="user_id")
+        t3 = p.loc[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({"v": [len(t1)], "c": [len(t2)],
+                             "p": [len(t3)]})
 
-    per = _read(sf_dir, ["user_id", "ts", "event_type"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    per = _user_bucket(_read(sf_dir, ["user_id", "ts", "event_type"]), 64) \
+        .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
 
     def total(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -306,34 +349,40 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 """
 
 
-def retention_daily(sf_dir: str):
+def retention_daily(sf_dir: str, n_buckets: int = 32):
     """Day-1 cohort retention: users grouped by their FIRST active day;
     retained = any event on the following day. Per-batch (user, day)
     distinct partials (the combiner — the shuffle carries one row per
-    user-day per batch, never events), then per-user day sets in one
-    bounded finish (users ≪ events)."""
+    user-day per batch, never events) bucketed by USER hash, so each
+    bucket task resolves its users' first-day/retained flags fully
+    vectorized; the final coalesce is per COHORT DAY — bounded key
+    (calendar days), where ``_finish_small`` is sound."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b["ts"].dt.floor("D")
-        return pd.DataFrame({"user_id": b["user_id"], "d": d}) \
-            .drop_duplicates()
+        out = pd.DataFrame({"user_id": b["user_id"], "d": d}).drop_duplicates()
+        out["_kb"] = (out["user_id"].to_numpy().astype(np.int64)
+                      % n_buckets).astype("int32")
+        return out
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.drop_duplicates()
-        d0 = b.groupby("user_id")["d"].min().rename("d0").reset_index()
-        m = d0.merge(b, on="user_id")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "d"])
+        d0 = g.groupby("user_id")["d"].min().rename("d0").reset_index()
+        m = d0.merge(g, on="user_id")
         m["is_d1"] = m["d"] == m["d0"] + pd.Timedelta(days=1)
-        g = m.groupby(["user_id", "d0"], as_index=False)["is_d1"].max()
-        out = g.groupby("d0", as_index=False).agg(
+        per_user = m.groupby(["user_id", "d0"], as_index=False)["is_d1"].max()
+        out = per_user.groupby("d0", as_index=False).agg(
             cohort_size=("user_id", "size"),
             retained_d1=("is_d1", "sum"))
         out["retained_d1"] = out["retained_d1"].astype("int64")
         return out
 
-    return (_read(sf_dir, ["user_id", "ts"])
-            .map_batches(partial, batch_format="pandas", batch_size=65536)
-            .repartition(1).map_batches(finish, batch_format="pandas")
-            .sort("d0"))
+    parts = (_read(sf_dir, ["user_id", "ts"])
+             .map_batches(partial, batch_format="pandas", batch_size=65536)
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas"))
+    return _finish_small(parts, ["d0"], dict(
+        cohort_size=("cohort_size", "sum"),
+        retained_d1=("retained_d1", "sum"))).sort("d0")
 
 
 RETENTION_SQL = """

@@ -83,6 +83,29 @@ def _partial_small_agg(ds, keys, partial_spec, finish_spec, batch_size=65536):
             .repartition(1).map_batches(finish, batch_format="pandas"))
 
 
+def _partial_bucket_agg(ds, keys, bucket_from, partial_spec, finish_spec,
+                        n_buckets: int = 32, batch_size: int = 65536):
+    """Two-level aggregate for UNBOUNDED key cardinality (one group per
+    order / user / ...): vectorized pandas partials per batch, then ONE
+    vectorized groupby per key-hash BUCKET (the q18 pattern) — never a
+    single-worker ``repartition(1)`` finish and never one Python call
+    per key. ``bucket_from`` must be an int key column that determines
+    the group (all rows of a key land in one bucket task)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, as_index=False).agg(**partial_spec)
+        g["_kb"] = (g[bucket_from].to_numpy().astype(np.int64)
+                    % n_buckets).astype("int32")
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(**finish_spec)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby("_kb").map_groups(finish, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------- queries
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered scan → partial agg per batch → tiny final
@@ -167,10 +190,13 @@ def q3_shipping_priority(sf_dir: str):
                               columns_left=["o_orderkey", "revenue"],
                               columns_right=["o_orderkey", "o_orderdate",
                                              "o_orderpriority"])
-    agg = _partial_small_agg(joined,
-                             ["o_orderkey", "o_orderdate", "o_orderpriority"],
-                             dict(revenue=("revenue", "sum")),
-                             dict(revenue=("revenue", "sum")))
+    # one group per qualifying ORDER — unbounded key, so the finish is
+    # bucketed (q18 pattern), not a repartition(1) coalesce
+    agg = _partial_bucket_agg(joined,
+                              ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                              "o_orderkey",
+                              dict(revenue=("revenue", "sum")),
+                              dict(revenue=("revenue", "sum")))
     return _round_col(agg, ["revenue"]) \
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
@@ -386,14 +412,34 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
-def union_distinct_keys(sf_dir: str):
-    """Union + distinct-count across two tables."""
+def union_distinct_keys(sf_dir: str, n_buckets: int = 32):
+    """Union + distinct-count across two tables — fully distributed:
+    per-batch dedup → key-hash bucket groupby → per-bucket nunique →
+    sum of the (bounded, one per bucket) partial counts. Never pulls
+    the distinct key set to the driver (``Dataset.unique`` would)."""
     c = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow")
     s = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow")
-    n = c.union(s).unique("id")
-    return pa.table({"n_distinct": pa.array([len(n)], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(b["id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "_kb": pa.array((ids % n_buckets).astype(np.int32),
+                                         pa.int32())})
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.Series([g["id"].nunique()],
+                                            dtype="int64")})
+
+    def total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_distinct": pd.Series([int(b["n"].sum())],
+                                                     dtype="int64")})
+
+    return (c.union(s)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_kb").map_groups(nunique, batch_format="pandas")
+            .repartition(1).map_batches(total, batch_format="pandas"))
 
 
 UNION_DISTINCT_SQL = """
