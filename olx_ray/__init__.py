@@ -21,3 +21,26 @@ driver) does.
 """
 
 __version__ = "0.1.0"
+
+
+def _silence_schema_hash_warning() -> None:
+    """Drop Ray Data's per-reduce-task "Failed to hash the schemas (for
+    deduplication)" warning. It fires because ``pa.Table.from_pandas``
+    attaches ``b'pandas'`` schema metadata whose hash raises in pyarrow
+    16 ("unhashable type: 'dict'"), so EVERY sort/groupby over
+    pandas-origin blocks logs it — thousands of cosmetic lines per
+    bench run that can bury real warnings. Runs at import, which also
+    covers Ray workers (they import this package when unpickling our
+    stage callables). Only this one message is filtered; other
+    warnings from the module stay visible."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Drop())
+
+
+_silence_schema_hash_warning()
