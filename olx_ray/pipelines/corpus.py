@@ -44,8 +44,12 @@ def train_val_split(sf_dir: str, val_pct: int = 10):
     computes the identical assignment)."""
 
     def fn(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = (ids * _KNUTH) % 4294967296 % 100
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # uint64 product (wraps mod 2^64) then mod 2^32 ≡ the exact
+        # product mod 2^32 for ANY doc_id — the SQL oracle multiplies in
+        # HUGEINT for the same reason (an int64 multiply would wrap for
+        # doc_id > ~3.5e9 on this side and ERROR on DuckDB's)
+        f = (ids * np.uint64(_KNUTH)) % np.uint64(4294967296) % np.uint64(100)
         split = np.where(f < 100 - val_pct, "train", "val")
         return pa.table({"doc_id": b["doc_id"],
                          "split": pa.array(split.tolist(), pa.string())})
@@ -56,7 +60,7 @@ def train_val_split(sf_dir: str, val_pct: int = 10):
 
 TRAIN_VAL_SPLIT_SQL = """
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+       CASE WHEN (doc_id::HUGEINT * 2654435761) % 4294967296 % 100 < 90
             THEN 'train' ELSE 'val' END AS split
 FROM documents ORDER BY doc_id
 """
@@ -78,7 +82,10 @@ def build_vocab(sf_dir: str, k: int = 1000):
             .sort(["n", "word"], descending=[True, False])
             .limit(k)
             .repartition(1)                      # order-preserving
-            .map_batches(add_ids, batch_format="pandas"))
+            # batch_size=k: the rank column must be computed over ONE
+            # batch — the default batch size would restart ids at 1
+            # mid-vocabulary for k > 1024
+            .map_batches(add_ids, batch_format="pandas", batch_size=k))
 
 
 BUILD_VOCAB_SQL = """
@@ -130,7 +137,8 @@ def stratified_sample(sf_dir: str, pct: int = 20):
 
     def take_stratum(g: pd.DataFrame) -> pd.DataFrame:
         k = int(np.ceil(len(g) * pct / 100))
-        f = (g["doc_id"].to_numpy().astype(np.int64) * _KNUTH) % 4294967296
+        f = (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH)) \
+            % np.uint64(4294967296)   # uint64 wrap ≡ exact mod 2^32
         return g.assign(_f=f).sort_values(["_f", "doc_id"]).head(k) \
             .drop(columns="_f")
 
@@ -144,7 +152,7 @@ SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk,
+           ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296, doc_id) AS rk,
          count(*) OVER (PARTITION BY lang) AS n
   FROM documents)
 WHERE rk <= ceil(n * 0.20)
@@ -283,7 +291,8 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
     def assign_and_pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("doc_id")
         ids = b["doc_id"].to_numpy()
-        f = (ids * _KNUTH) % 4294967296 % 100
+        f = (ids.astype(np.uint64) * np.uint64(_KNUTH)) \
+            % np.uint64(4294967296) % np.uint64(100)
         split = np.where(f < 90, "train", "val")
         counts = b["n_tokens"].to_numpy()
         pack_ids, starts = [], []

@@ -570,23 +570,22 @@ def explode_spans(ds):
     import pyarrow as pa
 
     def explode(b: pa.Table) -> pa.Table:
-        doc_ids, offs, kinds, texts, refs, seqs = [], [], [], [], [], []
-        for doc_id, spans, seq in zip(b["doc_id"].to_pylist(),
-                                      b["spans"].to_pylist(),
-                                      b["fetched_seq"].to_pylist()):
-            for s in spans:
-                doc_ids.append(doc_id)
-                offs.append(s["offset"])
-                kinds.append(s["kind"])
-                texts.append(s["text"])
-                refs.append(s["media_ref"])
-                seqs.append(seq)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
-                         "fetched_seq": pa.array(seqs, pa.int64()),
-                         "offset": pa.array(offs, pa.int32()),
-                         "kind": pa.array(kinds, pa.string()),
-                         "text": pa.array(texts, pa.string()),
-                         "media_ref": pa.array(refs, pa.string())})
+        # fully vectorized Arrow explode: list_parent_indices gives each
+        # flattened span's source row (no Python loop over spans)
+        import pyarrow.compute as pc
+
+        spans = b["spans"].combine_chunks() if b["spans"].num_chunks > 1 \
+            else b["spans"]
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        return pa.table({
+            "doc_id": pc.take(b["doc_id"], parent).cast(pa.string()),
+            "fetched_seq": pc.take(b["fetched_seq"], parent).cast(pa.int64()),
+            "offset": pc.struct_field(flat, "offset").cast(pa.int32()),
+            "kind": pc.struct_field(flat, "kind").cast(pa.string()),
+            "text": pc.struct_field(flat, "text").cast(pa.string()),
+            "media_ref": pc.struct_field(flat, "media_ref").cast(pa.string()),
+        })
 
     return ds.map_batches(explode, batch_format="pyarrow") \
         .sort(["fetched_seq", "offset"])

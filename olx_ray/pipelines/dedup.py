@@ -205,7 +205,15 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
     hashes are co-located) — no per-LSH-bucket Python calls, which is
     what makes this scale past ~10^5 band rows. Pair dedup across bands
     is a drop_duplicates inside the same group task + a final tiny
-    distinct."""
+    distinct.
+
+    CAP (flood guard): a band key shared by more than 256 docs (mass
+    exact duplicates / boilerplate) is NOT fully pair-enumerated —
+    those docs are connected as a star around the key's min doc_id
+    (O(n) pairs instead of O(n²)). Union-find connectivity for the
+    grouping consumers is preserved; direct pair ENUMERATION between
+    two non-representative members of such a key is intentionally
+    dropped."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4), num_cpus=1)
@@ -225,18 +233,19 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
         small = df[sizes <= max_allpairs]
         m = small.merge(small, on="key", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]][["doc_id_a", "doc_id_b"]]
-        # flood guard: a key shared by >max_allpairs docs (mass exact
-        # duplicates / empty-ish docs) would emit O(n²) pairs in one
-        # heap; connect those keys as a sorted CHAIN instead — O(n)
-        # pairs, union-find connectivity (the grouping consumer)
-        # preserved, full pair enumeration documented as capped
-        big = df[sizes > max_allpairs].sort_values(["key", "doc_id"])
+        # flood guard (documented on minhash_candidates/minhash_lsh_pairs):
+        # a key shared by >max_allpairs docs (mass exact duplicates /
+        # boilerplate) would emit O(n²) pairs in one heap; connect those
+        # keys as a STAR instead — the key's min doc_id paired with every
+        # other member, O(n) pairs. Unlike a sorted chain, one failed
+        # exact-Jaccard verification detaches only THAT member, it cannot
+        # split the rest of the component in two.
+        big = df[sizes > max_allpairs]
         if len(big):
-            a = big["doc_id"].to_numpy()
-            same = big["key"].to_numpy()
-            chain = pd.DataFrame({"doc_id_a": a[:-1], "doc_id_b": a[1:]})
-            chain = chain[same[:-1] == same[1:]]
-            m = pd.concat([m, chain], ignore_index=True)
+            rep = big.groupby("key")["doc_id"].transform("min")
+            star = pd.DataFrame({"doc_id_a": rep, "doc_id_b": big["doc_id"]})
+            star = star[star["doc_id_a"] < star["doc_id_b"]]
+            m = pd.concat([m, star], ignore_index=True)
         out = m.drop_duplicates()
         return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
 

@@ -24,12 +24,22 @@ import ray.data as rd
 
 
 def _load_queries(sf_dir: str, n_queries: int):
+    """First ``n_queries`` rows as the query set — streamed via
+    ``iter_batches`` so the driver reads O(n_queries), never the whole
+    embeddings table (row groups after the prefix are not touched)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()[:n_queries]
-    q = np.vstack(t["embedding"].to_pylist()[:n_queries]).astype(np.float64)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, got = [], 0
+    for rb in pf.iter_batches(batch_size=max(n_queries, 256),
+                              columns=["vec_id", "embedding"]):
+        batches.append(rb)
+        got += rb.num_rows
+        if got >= n_queries:
+            break
+    t = pa.Table.from_batches(batches).slice(0, n_queries)
+    ids = t["vec_id"].to_numpy()
+    q = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return ids, q
 

@@ -86,6 +86,7 @@ SEEN_SEGMENTS = pa.schema(
         ("exact_hashes", pa.large_binary()),  # uint64 LE array
         ("exact_alive", pa.bool_()),          # False = degraded bloom-only
         ("n_items", pa.int64()),
+        ("seen_fmt", pa.int32()),             # bloom probe-derivation version
     ]
 )
 

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..state.bloom import Bloom
+from ..state.bloom import SEEN_FMT, Bloom
 
 
 @ray.remote(num_cpus=0.1)
@@ -75,14 +75,36 @@ class SeenShard:
         return {"shard": self.shard_id, "bloom_bits": self.bloom.to_bytes(),
                 "exact_hashes": exact_bytes,
                 "exact_alive": self.exact is not None,
-                "n_items": self.bloom.n_items}
+                "n_items": self.bloom.n_items,
+                "seen_fmt": SEEN_FMT}
 
     def restore(self, segment: dict) -> None:
-        self.bloom = Bloom.from_bytes(segment["bloom_bits"])
         raw = segment["exact_hashes"]
         alive = segment.get("exact_alive", bool(raw))
         self.exact = set(np.frombuffer(raw, dtype=np.uint64).tolist()) \
             if alive else None
+        fmt = segment.get("seen_fmt")
+        if fmt == SEEN_FMT:
+            self.bloom = Bloom.from_bytes(segment["bloom_bits"])
+            return
+        # probe derivation changed since this segment was written: its
+        # bloom_bits were SET under the old indices, so probing them with
+        # the current derivation yields false negatives (re-crawls).
+        # While the exact set survives, the bloom is REBUILT from it
+        # (same m/k, current probes); a degraded bloom-only shard cannot
+        # be trusted and the resume must fail loudly.
+        if self.exact is None:
+            raise RuntimeError(
+                f"seen shard {self.shard_id}: checkpoint seen_fmt={fmt} != "
+                f"current {SEEN_FMT} and the exact set already degraded — "
+                f"bloom bits are not portable across probe derivations; "
+                f"restart the crawl (or restore with the original engine "
+                f"version)")
+        old = Bloom.from_bytes(segment["bloom_bits"])
+        self.bloom = Bloom(old.m, old.k)
+        if self.exact:
+            self.bloom.add(np.fromiter(self.exact, dtype=np.uint64,
+                                       count=len(self.exact)))
 
     def stats(self) -> dict:
         return {"shard": self.shard_id, "n_items": self.bloom.n_items,

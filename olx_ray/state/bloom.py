@@ -21,6 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
+# Probe-derivation format version, persisted with every seen-segment
+# checkpoint (SEEN_SEGMENTS.seen_fmt). Bump whenever ``_indices`` changes
+# — serialized bloom_bits set under an older derivation would silently
+# answer false negatives if probed with a newer one. v2 = full-64-bit
+# h1/h2 double hashing (v1 was 32-bit components).
+SEEN_FMT = 2
+
 
 class Bloom:
     def __init__(self, m_bits: int, k: int = 7):

@@ -59,6 +59,7 @@ def commit_round(out_dir: str, r: int, *, counters: dict,
         "exact_hashes": pa.array([s["exact_hashes"] for s in segs], pa.large_binary()),
         "exact_alive": pa.array([s["exact_alive"] for s in segs], pa.bool_()),
         "n_items": pa.array([s["n_items"] for s in segs], pa.int64()),
+        "seen_fmt": pa.array([s["seen_fmt"] for s in segs], pa.int32()),
     }, schema=SEEN_SEGMENTS)
     storage.write_table(seg_tbl, os.path.join(rd_, "seen"))
     if lineage_rows:
