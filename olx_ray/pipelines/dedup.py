@@ -196,16 +196,16 @@ class MinHasher:
         })
 
 
-def minhash_candidates(sf_dir: str, n_buckets: int = 32):
-    """LSH candidate pairs: docs sharing a (band_id, band_hash) bucket.
+def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
+    """Band-bucket self-join candidate pairs, possibly duplicated across
+    bands (callers do the global pair-distinct — see
+    ``minhash_candidates`` / ``minhash_lsh_pairs``).
 
     Implemented as a hash-bucketed SELF-JOIN: band rows get
     ``bucket = band_key % n_buckets``; each bucket-group does ONE
     vectorized pandas self-merge on the band key (all same-bucket band
     hashes are co-located) — no per-LSH-bucket Python calls, which is
-    what makes this scale past ~10^5 band rows. Pair dedup across bands
-    is a drop_duplicates inside the same group task + a final tiny
-    distinct.
+    what makes this scale past ~10^5 band rows.
 
     CAP (flood guard): a band key shared by more than 256 docs (mass
     exact duplicates / boilerplate) is NOT fully pair-enumerated —
@@ -249,10 +249,19 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
         out = m.drop_duplicates()
         return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
 
-    pairs = bands.map_batches(key_bucket, batch_format="pyarrow") \
+    return bands.map_batches(key_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(self_join, batch_format="pandas")
-    # a pair can still fire in bands landing in different buckets
-    return pair_distinct(pairs, "doc_a", "doc_b", n_buckets)
+
+
+def minhash_candidates(sf_dir: str, n_buckets: int = 32):
+    """LSH candidate pairs: docs sharing a (band_id, band_hash) bucket.
+
+    Hash-bucketed SELF-JOIN (one vectorized pandas self-merge per band
+    bucket — see ``_candidate_pairs_raw``), then a global bucketed pair
+    distinct (a pair can fire in bands landing in different buckets).
+    Inherits the >256-docs-per-key star cap documented there."""
+    return pair_distinct(_candidate_pairs_raw(sf_dir, n_buckets),
+                         "doc_a", "doc_b", n_buckets)
 
 
 def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
@@ -285,62 +294,59 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-class JaccardVerify:
-    """Actor-pool verify stage: exact word-3-gram Jaccard per candidate
-    pair; candidate docs' shingle sets computed ONCE per actor from the
-    broadcast id→text dict (a doc in k pairs is shingled once, not k
-    times)."""
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
+                      n_buckets: int = 32):
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard,
+    FULLY DISTRIBUTED — candidate pairs are grouped by pair hash, and
+    each bucket task dedups its pairs, reads ONLY its own pairs' doc
+    texts (parquet predicate pushdown on doc_id), shingles each doc
+    once, and verifies vectorized. No driver-side candidate-id set, no
+    whole-candidate-subset broadcast: every task's footprint is
+    O(pairs-in-bucket), so a duplicate-heavy web corpus (candidates ∝
+    corpus × dup-rate) still streams. A doc appearing in pairs across k
+    buckets is re-read/shingled at most min(k, n_buckets) times.
 
-    def __init__(self, docs_ref, threshold: float):
-        docs: dict[int, str] = ray.get(docs_ref)
-        self.sets = {i: shingles(t) for i, t in docs.items()}
-        self.threshold = threshold
-
-    def _jaccard(self, a: int, b: int) -> float:
-        sa = self.sets.get(a, set())
-        sb = self.sets.get(b, set())
-        if not sa and not sb:
-            return 1.0
-        inter = len(sa & sb)
-        return inter / (len(sa) + len(sb) - inter)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        j = [self._jaccard(a, b)
-             for a, b in zip(batch["doc_a"], batch["doc_b"])]
-        batch = batch.copy()
-        batch["jaccard"] = np.round(j, 6)
-        return batch[batch["jaccard"] >= self.threshold]
-
-
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
-    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
-
-    The verify stage broadcasts only the id→text subset for docs that
-    appear in a candidate pair — the candidate set is LSH-bounded
-    (bucket collisions), NOT corpus-sized, so the driver/broadcast
-    footprint stays O(candidates) while the corpus streams through a
-    distributed semi-join filter."""
-    cands = minhash_candidates(sf_dir).materialize()
-    cand_ids: set[int] = set()
-    for b in cands.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    # candidate-bounded filtered read (predicate pushdown): only docs in
-    # some candidate pair are loaded — the subset is what gets broadcast
-    # anyway, so the driver-side read is O(candidates), not O(corpus)
+    Inherits ``_candidate_pairs_raw``'s >256-docs-per-key star cap:
+    pairs between two non-representative members of a mass-duplicate
+    band key are not enumerated."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    sub = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(list(cand_ids)))
-    docs = dict(zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()))
-    ref = ray.put(docs)
-    return cands.map_batches(
-        JaccardVerify, fn_constructor_kwargs={"docs_ref": ref,
-                                              "threshold": threshold},
-        batch_format="pandas", concurrency=(1, 4), num_cpus=1,
-    ).sort(["doc_a", "doc_b"])
+    path = f"{sf_dir}/documents.parquet"
+    pairs = _candidate_pairs_raw(sf_dir, n_buckets)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(n_buckets)
+        return b.append_column("pair_bucket",
+                               pa.array(pb.astype(np.int32), pa.int32()))
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_a", "doc_b"])  # distinct across bands
+        ids = np.unique(np.concatenate([g["doc_a"].to_numpy(),
+                                        g["doc_b"].to_numpy()]))
+        sub = pads.dataset(path).to_table(
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())))
+        sets = {i: shingles(t) for i, t in zip(sub["doc_id"].to_pylist(),
+                                               sub["text"].to_pylist())}
+        js = np.empty(len(g), dtype=np.float64)
+        for row, (a, b) in enumerate(zip(g["doc_a"].to_numpy(),
+                                         g["doc_b"].to_numpy())):
+            sa = sets.get(int(a), set())
+            sb = sets.get(int(b), set())
+            inter = len(sa & sb)
+            js[row] = 1.0 if not sa and not sb \
+                else inter / (len(sa) + len(sb) - inter)
+        out = g[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = np.round(js, 6)
+        return out[out["jaccard"] >= threshold]
+
+    return pairs.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("pair_bucket") \
+        .map_groups(verify_bucket, batch_format="pandas") \
+        .sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------- simhash
