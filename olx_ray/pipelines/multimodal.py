@@ -10,9 +10,11 @@ status per modality in this container:
   real PPM payloads.
 - **audio: REAL** for WAV (PCM16) via the stdlib ``wave`` module;
   FAUD synthetic fallback kept. ``synthesize_media`` emits real WAV.
-- **video: STUBBED** — no stdlib-decodable video format exists; the
-  frame sampler parses the synthetic FVID header and raises
-  ``NotImplementedError`` on anything else (ffmpeg absent here).
+- **video: REAL** for Y4M (YUV4MPEG2, C420) — an uncompressed
+  plain-text-header raw-frame format, parsed from scratch with
+  numpy; the legacy FVID synthetic header remains as a fallback;
+  compressed codecs raise ``NotImplementedError`` (ffmpeg absent).
+  ``synthesize_media`` emits real Y4M.
 
 Scale notes (wide binary rows): batches are kept SMALL
 (``batch_size≈32``) and stages run ``batch_format="pyarrow"`` so
@@ -70,9 +72,47 @@ def _make_wav(sr: int, ns: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
+def _make_y4m(w: int, h: int, nf: int, seed: int) -> bytes:
+    """Real Y4M (YUV4MPEG2, C420jpeg) payload: ASCII stream header,
+    ``FRAME\\n`` markers, raw 4:2:0 planes. ``w``/``h`` must be even."""
+    rng = np.random.RandomState(seed % (1 << 32))
+    fsz = w * h + 2 * ((w // 2) * (h // 2))
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode("ascii")]
+    for _ in range(nf):
+        out.append(b"FRAME\n")
+        out.append(rng.randint(0, 256, fsz, dtype=np.int64)
+                   .astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _decode_y4m(payload: bytes):
+    """REAL Y4M decode, stdlib+numpy only: → (w, h, [luma planes]) —
+    each luma plane a (h, w) uint8 array (chroma planes are skipped;
+    the feature stages only use luma)."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].decode("ascii").split()
+    if tokens[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {t[0]: t[1:] for t in tokens[1:]}
+    w, h = int(params["W"]), int(params["H"])
+    if not params.get("C", "420jpeg").startswith("420"):
+        raise NotImplementedError("only C420* Y4M supported")
+    fsz = w * h + 2 * ((w // 2) * (h // 2))
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        start = fnl + 1
+        frames.append(np.frombuffer(payload, np.uint8, count=w * h,
+                                    offset=start).reshape(h, w))
+        pos = start + fsz
+    return w, h, frames
+
+
 def synthesize_media(n: int = 64, seed_tag: str = "media") -> pa.Table:
     """Deterministic media table (counter-based like sitegen): REAL PPM
-    images and WAV audio; video uses the synthetic FVID header."""
+    images, WAV audio and Y4M video."""
     rows = {k: [] for k in ("media_id", "doc_id", "kind", "payload", "mime")}
     for i in range(n):
         kind = ("image", "audio", "video")[hash64(f"{seed_tag}:k:{i}") % 3]
@@ -87,11 +127,11 @@ def synthesize_media(n: int = 64, seed_tag: str = "media") -> pa.Table:
             payload = _make_wav(sr, ns, hash64(f"{seed_tag}:au:{i}"))
             mime = "audio/wav"
         else:
-            body = bytes((hash64(f"{seed_tag}:b:{i}:{j}") % 256)
-                         for j in range(64))
+            w = 16 + 2 * (hash64(f"{seed_tag}:vw:{i}") % 9)   # even, 16-32
+            h = 16 + 2 * (hash64(f"{seed_tag}:vh:{i}") % 9)
             nf = 8 + hash64(f"{seed_tag}:nf:{i}") % 56
-            payload = b"FVID" + struct.pack("<HHH", nf, 32, 24) + body
-            mime = "video/x-fake"
+            payload = _make_y4m(w, h, nf, hash64(f"{seed_tag}:vf:{i}"))
+            mime = "video/x-yuv4mpeg"
         rows["media_id"].append(i)
         rows["doc_id"].append(i % max(1, n // 4))
         rows["kind"].append(kind)
@@ -207,26 +247,39 @@ class ImageResize:
 
 class FrameSample:
     """Actor-pool stage: video payload → one row per sampled frame
-    (every ``stride``-th), the explode-shaped transform of the family."""
+    (every ``stride``-th), the explode-shaped transform of the family.
+    Y4M (YUV4MPEG2) decoded for REAL — sampled frames report their mean
+    luma; the legacy FVID synthetic header is a metadata-only fallback
+    (``mean_y = -1.0``); compressed codecs raise (no ffmpeg here)."""
 
     def __init__(self, stride: int = 8):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mids, fidx, hs, ws = [], [], [], []
+        mids, fidx, hs, ws, my = [], [], [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            if not payload.startswith(b"FVID"):
-                raise NotImplementedError("real video decode unavailable; "
-                                          "payload is not synthetic FVID")
-            nf, w, h = struct.unpack("<HHH", payload[4:10])
-            for f in range(0, nf, self.stride):
-                mids.append(mid); fidx.append(f); hs.append(h); ws.append(w)
+            if payload.startswith(b"YUV4MPEG2"):
+                w, h, frames = _decode_y4m(payload)
+                for f in range(0, len(frames), self.stride):
+                    mids.append(mid); fidx.append(f); hs.append(h); ws.append(w)
+                    my.append(round(float(frames[f].mean()), 4))
+            elif payload.startswith(b"FVID"):
+                nf, w, h = struct.unpack("<HHH", payload[4:10])
+                for f in range(0, nf, self.stride):
+                    mids.append(mid); fidx.append(f); hs.append(h); ws.append(w)
+                    my.append(-1.0)     # synthetic header carries no raster
+            else:
+                raise NotImplementedError(
+                    "video format not decodable in this container (Y4M and "
+                    "the synthetic FVID header are; ffmpeg would handle "
+                    "compressed codecs)")
         return pa.table({
             "media_id": pa.array(mids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "width": pa.array(ws, pa.int32()),
+            "mean_y": pa.array(my, pa.float64()),
         })
 
 

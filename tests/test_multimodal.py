@@ -80,3 +80,30 @@ def test_wav_real_decode():
     assert sr == 16000 and ns == 8000 and len(x) == 8000
     assert abs(x).max() <= 1.0
     assert 0.25 < np.sqrt((x ** 2).mean()) < 0.55
+
+
+def test_y4m_roundtrip_real_decode():
+    """Y4M is a REAL video format: the decoder must return the exact
+    luma planes that were encoded, frame count and geometry intact."""
+    from olx_ray.pipelines.multimodal import _decode_y4m, _make_y4m
+
+    w, h, nf = 16, 12, 5
+    payload = _make_y4m(w, h, nf, seed=11)
+    dw, dh, frames = _decode_y4m(payload)
+    assert (dw, dh, len(frames)) == (w, h, nf)
+    assert all(f.shape == (h, w) for f in frames)
+    # deterministic + exact: re-encode with the same seed and compare
+    _, _, again = _decode_y4m(_make_y4m(w, h, nf, seed=11))
+    assert all((a == b).all() for a, b in zip(frames, again))
+    # hand-built stream: known luma values survive the roundtrip
+    fsz = w * h + 2 * ((w // 2) * (h // 2))
+    manual = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+              + b"FRAME\n" + bytes([7] * fsz))
+    assert (_decode_y4m(manual)[2][0] == 7).all()
+
+
+def test_frame_sample_mean_luma_real(ray_session, media):
+    out = media_pipeline(media, "video", FrameSample, stride=8).to_pandas()
+    assert ((out["mean_y"] >= 0) & (out["mean_y"] <= 255)).all()
+    # random uint8 luma → mean near 127.5
+    assert (out["mean_y"] - 127.5).abs().max() < 30
