@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "events_tumbling_hourly", "sessionize", "word_freq_topk",
     "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
     "knn_bruteforce", "embedding_neardup_pairs", "embedding_neardup_lsh",
-    "token_count", "build_vocab", "contamination_13gram", "pack_sequences",
+    "token_count", "build_vocab", "training_corpus", "text_profile",
 ]
 
 

@@ -258,22 +258,37 @@ def contamination_13gram(sf_dir: str, n: int = 13,
 
 # ------------------------------------------------------------- end-to-end
 def training_corpus(sf_dir: str, quality_min: float = 0.45,
-                    seq_len: int = 512):
+                    seq_len: int = 512, benchmark_max_id: int = 50,
+                    contamination_n: int = 13):
     """THE composed training-data pipeline — what a real corpus build
     runs end-to-end, as ONE streaming Dataset:
 
-        quality score → filter → exact dedup (keep min doc_id per
-        content hash, bucketed vectorized) → deterministic train/val
-        split → greedy token packing
+        quality score + 13-gram decontamination (benchmark-bounded
+        broadcast probe, docs sharing any eval n-gram dropped) →
+        filter → exact dedup (keep min doc_id per content hash,
+        bucketed vectorized) → deterministic train/val split → greedy
+        token packing
 
     Text is dropped after the first pass (hash + token count carry
     forward), so the only shuffle — the dedup groupby — moves narrow
     rows. Output: one row per surviving doc with its split and pack
     assignment. Invariants pinned in tests; components individually
-    oracle-checked via their own queries."""
+    oracle-checked / tested via their own operators
+    (``contamination_13gram``, ``pack_sequences``)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
     from ..functions.hashing import hash64
     from .text import QualityScore
 
+    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["text"], filter=pc.field("doc_id") < benchmark_max_id)
+    grams: set[int] = set()
+    for t in bench["text"].to_pylist():
+        if len((t or "").split()) >= contamination_n:
+            grams.update(shingle_hashes(t, contamination_n).tolist())
+    gref = ray.put(np.sort(np.fromiter(grams, dtype=np.uint64,
+                                       count=len(grams))))
     scorer = QualityScore()
 
     def featurize(b: pd.DataFrame) -> pd.DataFrame:
@@ -282,6 +297,18 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
             (hash64(t or "") for t in b["text"]), dtype=np.uint64,
             count=len(b))
         out["bucket"] = (out["text_hash"] % np.uint64(32)).astype("int32")
+        g = ray.get(gref)          # zero-copy plasma, sorted on the driver
+        keep = np.ones(len(b), dtype=bool)
+        if len(g):
+            for i, t in enumerate(b["text"]):
+                toks = (t or "").split()
+                if len(toks) < contamination_n:
+                    continue
+                h = shingle_hashes(t, contamination_n)
+                idx = np.searchsorted(g, h)
+                idx[idx == len(g)] = 0
+                keep[i] = not bool((g[idx] == h).any())
+        out = out[keep]            # decontaminate before anything shuffles
         return out[["doc_id", "n_tokens", "quality", "text_hash", "bucket"]]
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:

@@ -616,14 +616,11 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _neardup_unionfind(sf_dir: str, threshold: float):
-    """Union-find over verified near-dup pairs. Pairs are collected on
-    the driver (ray_guide: valid because the verified-pair set is
-    provably small — bounded by LSH bucket collisions, not corpus
-    size). Returns ``(group_of, sizes)`` where ``group_of`` maps only
-    docs that appear in SOME pair (everything else is its own group)."""
-    pairs = minhash_lsh_pairs(sf_dir, threshold).to_pandas()
-
+def _unionfind_pairs(pairs: pd.DataFrame, col_a: str, col_b: str):
+    """Union-find over a (small, pair-bounded) verified-pair frame.
+    Returns ``(group_of, sizes)``: ``group_of`` maps only ids appearing
+    in SOME pair (everything else is its own group); representative =
+    min id of the component."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -632,7 +629,7 @@ def _neardup_unionfind(sf_dir: str, threshold: float):
             x = parent[x]
         return x
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+    for a, b in zip(pairs[col_a], pairs[col_b]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
@@ -643,19 +640,24 @@ def _neardup_unionfind(sf_dir: str, threshold: float):
     return group_of, sizes
 
 
-def neardup_groups(sf_dir: str, threshold: float = 0.6):
-    """Connected components over verified near-dup pairs → (doc_id,
-    group_id, group_size, is_representative). Label assignment back
-    onto the corpus is a broadcast map (the group dict is pair-bounded);
-    representative = min doc_id of the group."""
-    ref = ray.put(_neardup_unionfind(sf_dir, threshold))
+def _neardup_unionfind(sf_dir: str, threshold: float):
+    """Union-find over minhash-verified near-dup pairs. Pairs are
+    collected on the driver (ray_guide: valid because the verified-pair
+    set is provably small — bounded by LSH bucket collisions, not
+    corpus size)."""
+    return _unionfind_pairs(minhash_lsh_pairs(sf_dir, threshold).to_pandas(),
+                            "doc_a", "doc_b")
+
+
+def _label_components(ds, id_col: str, uf_ref):
+    """Broadcast component labeling: map only MEMBER rows through the
+    (pair-bounded) group dict — int-exact (a whole-column ``map`` would
+    produce float64 with NaN for non-members and corrupt ids above
+    2^53); everything else is its own singleton group."""
 
     def label(b: pa.Table) -> pa.Table:
-        g_of, sz = ray.get(ref)
-        ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
-        # int-exact path: map only MEMBER rows (every key hits → the
-        # map stays int64); a whole-column map would produce float64
-        # (NaN for non-members) and corrupt ids above 2^53
+        g_of, sz = ray.get(uf_ref)
+        ids = pd.Series(b[id_col].to_numpy(zero_copy_only=False))
         gids = ids.copy()
         m = ids.isin(g_of).to_numpy()
         if m.any():
@@ -664,14 +666,57 @@ def neardup_groups(sf_dir: str, threshold: float = 0.6):
         if m.any():
             gsz[m] = gids[m].map(sz)
         return pa.table({
-            "doc_id": b["doc_id"],
+            id_col: b[id_col],
             "group_id": pa.array(gids.to_numpy().astype(np.int64), pa.int64()),
             "group_size": pa.array(gsz.to_numpy().astype(np.int64), pa.int64()),
             "is_representative": pa.array((gids == ids).to_numpy(), pa.bool_()),
         })
 
-    return _read_docs(sf_dir, ["doc_id"]).map_batches(
-        label, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(label, batch_format="pyarrow").sort(id_col)
+
+
+def neardup_groups(sf_dir: str, threshold: float = 0.6):
+    """Connected components over minhash-verified near-dup pairs →
+    (doc_id, group_id, group_size, is_representative); representative =
+    min doc_id of the group. Approximate pair source (LSH recall) → no
+    SQL oracle; invariants pinned in tests. See
+    ``neardup_groups_embedding`` for the oracle-checked variant."""
+    ref = ray.put(_neardup_unionfind(sf_dir, threshold))
+    return _label_components(_read_docs(sf_dir, ["doc_id"]), "doc_id", ref)
+
+
+def neardup_groups_embedding(sf_dir: str, threshold: float = 0.45):
+    """Connected components over EXACT embedding-cosine pairs →
+    (vec_id, group_id, group_size, is_representative). Same union-find
+    + broadcast labeling as the minhash variant, but the pair source is
+    deterministic-exact (``embedding_neardup_pairs``), so the WHOLE
+    operator is DuckDB-oracle-checkable: a recursive CTE computes the
+    transitive closure over the cosine pairs and min-labels each
+    component."""
+    pairs = embedding_neardup_pairs(sf_dir, threshold).to_pandas()
+    ref = ray.put(_unionfind_pairs(pairs, "vec_a", "vec_b"))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return _label_components(ds, "vec_id", ref)
+
+
+NEARDUP_GROUPS_EMBEDDING_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.45
+), edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+SELECT id AS vec_id, group_id::BIGINT AS group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size,
+       (id = group_id) AS is_representative
+FROM comp ORDER BY vec_id
+"""
 
 
 def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6):

@@ -330,6 +330,71 @@ class AudioFeatures:
         })
 
 
+def media_features(media_path_or_table, *, stride: int = 8):
+    """ONE table over all three modalities — the driver-checked surface
+    for the media family. Each kind runs its real decoder (PPM / WAV /
+    Y4M) through the usual actor-pool pipeline, then adapts to a common
+    summary schema: (media_id, kind, width, height, n_units, feat) with
+    n_units = channels / samples / sampled-frames and feat = mean_pixel
+    / rms / mean-of-sampled-frame-luma; -1 where a field doesn't apply.
+    The per-media video aggregate coalesces one row per SAMPLED FRAME
+    into one per media item — media count is bounded here (synthetic
+    set); at corpus scale bucket it like the events finishes."""
+    import pandas as pd
+    import ray.data as rd
+
+    def img_adapt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "media_id": b["media_id"],
+            "kind": pa.array(["image"] * n, pa.string()),
+            "width": b["width"].cast(pa.int32()),
+            "height": b["height"].cast(pa.int32()),
+            "n_units": b["channels"].cast(pa.int64()),
+            "feat": b["mean_pixel"].cast(pa.float64()),
+        })
+
+    def aud_adapt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        neg = pa.array([-1] * n, pa.int32())
+        return pa.table({
+            "media_id": b["media_id"],
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "width": neg, "height": neg,
+            "n_units": b["n_samples"].cast(pa.int64()),
+            "feat": b["rms"].cast(pa.float64()),
+        })
+
+    def vid_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["media_id", "width", "height"], as_index=False) \
+            .agg(n_units=("frame_idx", "size"), feat_sum=("mean_y", "sum"))
+
+    def vid_finish(b: pd.DataFrame) -> pa.Table:
+        # Arrow out: the union with the image/audio branches must be
+        # block-type homogeneous (Ray's sort sampler asserts it)
+        g = b.groupby(["media_id", "width", "height"], as_index=False) \
+            .agg(n_units=("n_units", "sum"), feat_sum=("feat_sum", "sum"))
+        return pa.table({
+            "media_id": pa.array(g["media_id"].to_numpy(), pa.int64()),
+            "kind": pa.array(["video"] * len(g), pa.string()),
+            "width": pa.array(g["width"].to_numpy(), pa.int32()),
+            "height": pa.array(g["height"].to_numpy(), pa.int32()),
+            "n_units": pa.array(g["n_units"].to_numpy(), pa.int64()),
+            "feat": pa.array((g["feat_sum"] / g["n_units"]).round(4)
+                             .to_numpy(), pa.float64()),
+        })
+
+    img = media_pipeline(media_path_or_table, "image", ImageDecode) \
+        .map_batches(img_adapt, batch_format="pyarrow")
+    aud = media_pipeline(media_path_or_table, "audio", AudioFeatures) \
+        .map_batches(aud_adapt, batch_format="pyarrow")
+    vid = media_pipeline(media_path_or_table, "video", FrameSample,
+                         stride=stride) \
+        .map_batches(vid_partial, batch_format="pandas") \
+        .repartition(1).map_batches(vid_finish, batch_format="pandas")
+    return img.union(aud).union(vid).sort(["media_id", "kind"])
+
+
 def media_pipeline(media_path_or_table, kind: str, stage_cls, *,
                    batch_size: int = 32, concurrency: int = 4, **stage_kwargs):
     """read media → filter kind → actor-pool stage. Accepts a parquet

@@ -134,6 +134,37 @@ def fingerprint(sf_dir: str):
         .map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+class TextProfile:
+    """Actor-pool stage fusing the three per-doc profiling operators —
+    language-ID, quality scoring and fingerprinting — into ONE pass
+    over the text (one read, one tokenize amortized across features;
+    the single-operator variants remain for à-la-carte use). State
+    (regexes, stopword tables) compiled once per actor."""
+
+    def __init__(self):
+        self.langid = LangId()
+        self.quality = QualityScore()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = self.quality(batch)
+        lang = self.langid(batch)
+        out["lang"] = lang["lang"].to_numpy()
+        out["lang_pred"] = lang["lang_pred"].to_numpy()
+        out["fingerprint"] = np.fromiter(
+            (hash64(" ".join((t or "").split())) for t in batch["text"]),
+            dtype=np.uint64, count=len(batch))
+        return out
+
+
+def text_profile(sf_dir: str):
+    """Combined per-document text profile (lang_id + quality_score +
+    fingerprint in one pass) — the driver-checked surface for the
+    three heuristic operators."""
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]) \
+        .map_batches(TextProfile, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
 def word_counts(sf_dir: str, n_buckets: int = 32):
     """Corpus word counts, combiner-first: per-batch partial counts →
     word-hash bucket groupby → ONE vectorized pandas sum per bucket.

@@ -102,9 +102,18 @@ def test_training_corpus_invariants(ray_session):
     assert set(out["doc_id"]) <= keepers
     assert (out["quality"] >= 0.45).all()
     assert out["doc_id"].is_unique
-    # split agrees with the standalone operator
+    # decontamination agrees with the standalone operator: no survivor
+    # shares a 13-gram with the benchmark slice (and some doc WAS
+    # dropped for contamination — the benchmark docs flag themselves)
+    cont = contamination_13gram(SF).to_pandas()
+    contaminated = set(cont.loc[cont["is_contaminated"], "doc_id"])
+    assert not (set(out["doc_id"]) & contaminated)
+    assert contaminated - set(out["doc_id"])
+    # split agrees with the standalone operator (align on survivors —
+    # decontamination + dedup drop rows)
     split = train_val_split(SF).to_pandas().set_index("doc_id")["split"]
-    assert (out.set_index("doc_id")["split"] == split).all()
+    got_split = out.set_index("doc_id")["split"]
+    assert (got_split == split.loc[got_split.index]).all()
     # packing capacity per (split, pack)
     for (_, _), g in out.groupby(["split", "pack_id"]):
         assert (g["start_tok"] + g["n_tokens"].clip(upper=512)).max() <= 512
