@@ -668,7 +668,10 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
     fetched = rd.from_arrow(ads_tbl).map_batches(
         fetch_batch, fn_kwargs=fetch_kwargs, batch_format="pyarrow",
         batch_size=cfg.fetch_batch_size, num_cpus=1).materialize()
-    # job-death semantics: truncate at the first non-fetched status
+    # job-death semantics: truncate at the first non-fetched status.
+    # Driver-side take_all is COUNT-BOUNDED here: the stream is capped at
+    # `count` (the user-requested conformance budget, reference takes the
+    # same) and carries only (emit_idx, status) — never documents/HTML.
     status_rows = fetched.select_columns(["emit_idx", "status"]) \
         .sort("emit_idx").take_all()
     death_at = next((row["emit_idx"] for row in status_rows

@@ -247,16 +247,27 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             sigs = np.stack([((m @ self.planes[t].T) > 0) @ self.weights
                              for t in range(len(self.planes))], axis=1)
+            # vectorized candidate matching: per (table, key-in-batch) —
+            # ≤ T × 2^bits small mask ops — mark the (query, row) hit
+            # matrix, then ONE matmul per query over its candidate rows
+            # (never a Python loop over corpus rows)
+            n_q = len(self.q_ids)
+            hits = np.zeros((n_q, len(vids)), dtype=bool)
+            for t in range(sigs.shape[1]):
+                col = sigs[:, t]
+                for key in np.unique(col):
+                    qis = self.buckets.get((t, int(key)))
+                    if qis:
+                        hits[np.ix_(qis, col == key)] = True
             rows_q, rows_n, rows_c = [], [], []
-            for i in range(len(vids)):
-                hit_queries: set[int] = set()
-                for t in range(sigs.shape[1]):
-                    hit_queries.update(
-                        self.buckets.get((t, int(sigs[i, t])), ()))
-                for qi in hit_queries:
-                    rows_q.append(int(self.q_ids[qi]))
-                    rows_n.append(int(vids[i]))
-                    rows_c.append(float(self.q[qi] @ mn[i]))
+            for qi in range(n_q):
+                sel = np.nonzero(hits[qi])[0]
+                if len(sel) == 0:
+                    continue
+                cos = mn[sel] @ self.q[qi]
+                rows_q.extend([int(self.q_ids[qi])] * len(sel))
+                rows_n.extend(vids[sel].tolist())
+                rows_c.extend(cos.tolist())
             # local top-k before the shuffle (see CellScan)
             return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
 
