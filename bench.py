@@ -106,26 +106,15 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        # worker_process_setup_hook: install the schema-hash-warning
-        # filter in EVERY worker (pure-closure stages don't import
-        # olx_ray on unpickle, so its import-time filter alone misses
-        # reduce tasks). Self-contained closure → pickled by value; a
-        # module-level function would need the module on worker sys.path.
-        def _silence_workers():
-            import logging
-
-            class _Drop(logging.Filter):
-                def filter(self, record):
-                    return ("Failed to hash the schemas"
-                            not in record.getMessage())
-
-            logging.getLogger(
-                "ray.data._internal.arrow_ops.transform_pyarrow"
-            ).addFilter(_Drop())
+        # install the schema-hash-warning filter in EVERY worker
+        # (pure-closure stages don't import olx_ray on unpickle, so its
+        # import-time filter alone misses reduce tasks)
+        import olx_ray
 
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  logging_level="ERROR",
-                 runtime_env={"worker_process_setup_hook": _silence_workers})
+                 runtime_env={"worker_process_setup_hook":
+                              olx_ray.make_worker_log_silencer()})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

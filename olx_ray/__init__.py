@@ -23,24 +23,35 @@ driver) does.
 __version__ = "0.1.0"
 
 
-def _silence_schema_hash_warning() -> None:
-    """Drop Ray Data's per-reduce-task "Failed to hash the schemas (for
-    deduplication)" warning. It fires because ``pa.Table.from_pandas``
-    attaches ``b'pandas'`` schema metadata whose hash raises in pyarrow
-    16 ("unhashable type: 'dict'"), so EVERY sort/groupby over
-    pandas-origin blocks logs it — thousands of cosmetic lines per
-    bench run that can bury real warnings. Runs at import, which also
-    covers Ray workers (they import this package when unpickling our
-    stage callables). Only this one message is filtered; other
-    warnings from the module stay visible."""
-    import logging
+def make_worker_log_silencer():
+    """THE single implementation of the schema-hash-warning filter.
 
-    class _Drop(logging.Filter):
-        def filter(self, record: logging.LogRecord) -> bool:
-            return "Failed to hash the schemas" not in record.getMessage()
+    Ray Data logs "Failed to hash the schemas (for deduplication)" per
+    reduce task because ``pa.Table.from_pandas`` attaches ``b'pandas'``
+    schema metadata whose hash raises in pyarrow 16 ("unhashable type:
+    'dict'") — thousands of cosmetic lines per bench run that can bury
+    real warnings. Only this one message is filtered; other warnings
+    from the module stay visible.
 
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_Drop())
+    Returns a SELF-CONTAINED nested closure: cloudpickle serializes it
+    BY VALUE, so it is usable as ``ray.init``'s
+    ``worker_process_setup_hook`` — which unpickles before the job's
+    sys.path reaches workers, where a module-level function (pickled by
+    reference) would fail with ModuleNotFoundError."""
+
+    def _silence():
+        import logging
+
+        class _Drop(logging.Filter):
+            def filter(self, record: logging.LogRecord) -> bool:
+                return ("Failed to hash the schemas"
+                        not in record.getMessage())
+
+        logging.getLogger(
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        ).addFilter(_Drop())
+
+    return _silence
 
 
-_silence_schema_hash_warning()
+make_worker_log_silencer()()   # driver-side install at import

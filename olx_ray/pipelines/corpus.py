@@ -201,6 +201,34 @@ ORDER BY q
 
 
 # ---------------------------------------------------------- contamination
+def _benchmark_grams(sf_dir: str, n: int, benchmark_max_id: int) -> np.ndarray:
+    """SORTED uint64 n-gram hash set of the benchmark slice (docs with
+    doc_id < ``benchmark_max_id``), built from a filtered
+    predicate-pushdown read — O(benchmark), never corpus-sized. Shared
+    by ``contamination_13gram`` and ``training_corpus``."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["text"], filter=pc.field("doc_id") < benchmark_max_id)
+    grams: set[int] = set()
+    for t in bench["text"].to_pylist():
+        if len((t or "").split()) >= n:         # short docs have no n-gram
+            grams.update(shingle_hashes(t, n).tolist())
+    return np.sort(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+
+
+def _gram_hits(text: str, grams_sorted: np.ndarray, n: int) -> int:
+    """Number of ``text``'s word n-grams present in the sorted
+    benchmark-gram array (vectorized searchsorted probe)."""
+    if len(grams_sorted) == 0 or len((text or "").split()) < n:
+        return 0
+    h = shingle_hashes(text, n)
+    idx = np.searchsorted(grams_sorted, h)
+    idx[idx == len(grams_sorted)] = 0
+    return int((grams_sorted[idx] == h).sum())
+
+
 def contamination_13gram(sf_dir: str, n: int = 13,
                          benchmark_max_id: int = 50):
     """Eval-set decontamination: flag corpus docs that share ANY word
@@ -213,38 +241,16 @@ def contamination_13gram(sf_dir: str, n: int = 13,
     the corpus streams through a vectorized membership probe. Not
     SQL-expressible (hash-based n-grams) → invariants pinned in
     tests."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
-    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["text"], filter=pc.field("doc_id") < benchmark_max_id)
-    grams: set[int] = set()
-    for t in bench["text"].to_pylist():
-        toks = (t or "").split()
-        if len(toks) >= n:                      # short docs have no n-gram
-            grams.update(shingle_hashes(t, n).tolist())
-    ref = ray.put(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+    ref = ray.put(_benchmark_grams(sf_dir, n, benchmark_max_id))
 
     class Probe:
         def __init__(self):
-            self.grams = np.sort(ray.get(ref))  # zero-copy; sorted probe
+            self.grams = ray.get(ref)           # zero-copy; pre-sorted
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            hits = np.zeros(b.num_rows, dtype=np.int64)
-            if len(self.grams) == 0:
-                return pa.table({
-                    "doc_id": b["doc_id"],
-                    "n_contaminated": pa.array(hits, pa.int64()),
-                    "is_contaminated": pa.array(hits > 0, pa.bool_()),
-                })
-            for i, t in enumerate(b["text"].to_pylist()):
-                toks = (t or "").split()
-                if len(toks) < n:
-                    continue
-                h = shingle_hashes(t, n)
-                idx = np.searchsorted(self.grams, h)
-                idx[idx == len(self.grams)] = 0
-                hits[i] = int((self.grams[idx] == h).sum())
+            hits = np.fromiter(
+                (_gram_hits(t, self.grams, n) for t in b["text"].to_pylist()),
+                dtype=np.int64, count=b.num_rows)
             return pa.table({
                 "doc_id": b["doc_id"],
                 "n_contaminated": pa.array(hits, pa.int64()),
@@ -275,20 +281,11 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
     assignment. Invariants pinned in tests; components individually
     oracle-checked / tested via their own operators
     (``contamination_13gram``, ``pack_sequences``)."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
     from ..functions.hashing import hash64
     from .text import QualityScore
 
-    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["text"], filter=pc.field("doc_id") < benchmark_max_id)
-    grams: set[int] = set()
-    for t in bench["text"].to_pylist():
-        if len((t or "").split()) >= contamination_n:
-            grams.update(shingle_hashes(t, contamination_n).tolist())
-    gref = ray.put(np.sort(np.fromiter(grams, dtype=np.uint64,
-                                       count=len(grams))))
+    gref = ray.put(_benchmark_grams(sf_dir, contamination_n,
+                                    benchmark_max_id))
     scorer = QualityScore()
 
     def featurize(b: pd.DataFrame) -> pd.DataFrame:
@@ -298,16 +295,8 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
             count=len(b))
         out["bucket"] = (out["text_hash"] % np.uint64(32)).astype("int32")
         g = ray.get(gref)          # zero-copy plasma, sorted on the driver
-        keep = np.ones(len(b), dtype=bool)
-        if len(g):
-            for i, t in enumerate(b["text"]):
-                toks = (t or "").split()
-                if len(toks) < contamination_n:
-                    continue
-                h = shingle_hashes(t, contamination_n)
-                idx = np.searchsorted(g, h)
-                idx[idx == len(g)] = 0
-                keep[i] = not bool((g[idx] == h).any())
+        keep = np.fromiter((_gram_hits(t, g, contamination_n) == 0
+                            for t in b["text"]), dtype=bool, count=len(b))
         out = out[keep]            # decontaminate before anything shuffles
         return out[["doc_id", "n_tokens", "quality", "text_hash", "bucket"]]
 

@@ -264,6 +264,15 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
                          "doc_a", "doc_b", n_buckets)
 
 
+def _pair_bucket(a: np.ndarray, c: np.ndarray, n_buckets: int) -> np.ndarray:
+    """THE pair-hash bucket id for an (a, b) pair. Single definition on
+    purpose: ``minhash_lsh_pairs``' fused dedup-in-verify is only
+    correct if every band-duplicate of a pair lands in the SAME bucket
+    ``pair_distinct`` would use."""
+    return (((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ c.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+
+
 def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
     """Global distinct over (a, b) pair rows: ONE drop_duplicates per
     pair-hash bucket — vectorized, never one Python task per pair, and
@@ -272,11 +281,9 @@ def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
     minhash, simhash and embedding-LSH candidate pipelines."""
 
     def bucketize(b: pa.Table) -> pa.Table:
-        a = b[col_a].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = b[col_b].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(n_buckets)
-        return b.append_column("pair_bucket",
-                               pa.array(pb.astype(np.int32), pa.int32()))
+        pb = _pair_bucket(b[col_a].to_numpy(zero_copy_only=False),
+                          b[col_b].to_numpy(zero_copy_only=False), n_buckets)
+        return b.append_column("pair_bucket", pa.array(pb, pa.int32()))
 
     def distinct(g: pd.DataFrame) -> pd.DataFrame:
         keep = [c for c in g.columns if c != "pair_bucket"]
@@ -316,11 +323,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     pairs = _candidate_pairs_raw(sf_dir, n_buckets)
 
     def bucketize(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c) % np.uint64(n_buckets)
-        return b.append_column("pair_bucket",
-                               pa.array(pb.astype(np.int32), pa.int32()))
+        pb = _pair_bucket(b["doc_a"].to_numpy(zero_copy_only=False),
+                          b["doc_b"].to_numpy(zero_copy_only=False), n_buckets)
+        return b.append_column("pair_bucket", pa.array(pb, pa.int32()))
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_a", "doc_b"])  # distinct across bands

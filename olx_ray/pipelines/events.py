@@ -252,12 +252,18 @@ def purchase_attribution_asof(sf_dir: str):
 
 PURCHASE_ASOF_SQL = """
 SELECT p.user_id, p.event_id AS purchase_id,
-       coalesce(c.event_id, -1) AS click_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts > c.ts
+       coalesce((SELECT c.event_id FROM events c
+                 WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                   AND c.ts < p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id
+FROM events p WHERE p.event_type = 'purchase'
 ORDER BY p.user_id, purchase_id
 """
+# correlated subquery instead of DuckDB's ASOF JOIN: ASOF leaves the
+# pick among equal-ts clicks implementation-defined, while the engine
+# pins it (clicks sorted by [ts, click_id], merge_asof takes the last
+# prior row → max click_id among the tied latest) — the explicit
+# ORDER BY ts DESC, event_id DESC makes the oracle agree deterministically.
 
 
 def events_sliding_2h(sf_dir: str):

@@ -95,8 +95,13 @@ def _decode_y4m(payload: bytes):
         raise ValueError("not a YUV4MPEG2 stream")
     params = {t[0]: t[1:] for t in tokens[1:]}
     w, h = int(params["W"]), int(params["H"])
-    if not params.get("C", "420jpeg").startswith("420"):
-        raise NotImplementedError("only C420* Y4M supported")
+    # 8-BIT 4:2:0 only: C420p10/p12/p16 use 2 bytes/sample, so the 8-bit
+    # frame-size arithmetic below would land mid-frame (or return the low
+    # bytes of 10-bit samples as garbage luma) — refuse loudly instead
+    if params.get("C", "420jpeg") not in ("420", "420jpeg", "420mpeg2",
+                                          "420paldv"):
+        raise NotImplementedError(
+            f"only 8-bit C420 Y4M supported, got C{params.get('C')}")
     fsz = w * h + 2 * ((w // 2) * (h // 2))
     pos, frames = nl + 1, []
     while pos < len(payload):

@@ -11,23 +11,12 @@ def ray_session():
 
     owns = not ray.is_initialized()
     if owns:
-        # self-contained closure (pickled by value): silences Ray Data's
-        # cosmetic "Failed to hash the schemas" warning in every worker
-        def _silence_workers():
-            import logging
-
-            class _Drop(logging.Filter):
-                def filter(self, record):
-                    return ("Failed to hash the schemas"
-                            not in record.getMessage())
-
-            logging.getLogger(
-                "ray.data._internal.arrow_ops.transform_pyarrow"
-            ).addFilter(_Drop())
+        import olx_ray
 
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR",
-                 runtime_env={"worker_process_setup_hook": _silence_workers})
+                 runtime_env={"worker_process_setup_hook":
+                              olx_ray.make_worker_log_silencer()})
     try:
         from ray.data import DataContext
 

@@ -95,3 +95,47 @@ def test_seen_segment_roundtrip_preserves_empty_exact(ray_session):
     with _pytest.raises(Exception, match="exact"):
         __import__("ray").get(restored2.contains.remote(
             np.array([1], dtype=np.uint64), "exact"))
+
+
+def test_seen_fmt_mismatch_rebuilds_bloom_from_exact(ray_session):
+    """A checkpoint written under an older bloom probe derivation must
+    NOT be probed with the current one: while the exact set survives,
+    restore rebuilds the bloom from it — bloom-mode answers stay
+    correct (no false negatives → no re-crawls)."""
+    import ray as _ray
+
+    from olx_ray.stages.seen import SeenShard
+
+    keys = np.arange(1, 200, dtype=np.uint64) * np.uint64(0x9E3779B1)
+    shard = SeenShard.remote(0, 1000)
+    _ray.get(shard.add.remote(keys))
+    seg = _ray.get(shard.segment.remote())
+    for stale_fmt in (1, None):
+        old = dict(seg)
+        if stale_fmt is None:
+            old.pop("seen_fmt")          # pre-versioning checkpoint
+        else:
+            old["seen_fmt"] = stale_fmt
+        restored = SeenShard.remote(0, 1000)
+        _ray.get(restored.restore.remote(old))
+        assert _ray.get(restored.contains.remote(keys, "bloom")).all()
+        assert _ray.get(restored.contains.remote(keys, "exact")).all()
+
+
+def test_seen_fmt_mismatch_degraded_refuses_restore(ray_session):
+    """A DEGRADED (bloom-only) shard checkpointed under an older probe
+    derivation cannot be trusted — restore must fail loudly instead of
+    silently re-crawling seen URLs."""
+    import pytest as _pytest
+    import ray as _ray
+
+    from olx_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, 1000, 1e-6, 0)    # exact_cap=0 → degraded
+    _ray.get(shard.add.remote(np.arange(5, dtype=np.uint64)))
+    seg = _ray.get(shard.segment.remote())
+    assert not seg["exact_alive"]
+    seg["seen_fmt"] = 1
+    restored = SeenShard.remote(0, 1000)
+    with _pytest.raises(Exception, match="seen_fmt"):
+        _ray.get(restored.restore.remote(seg))
