@@ -356,22 +356,41 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
 
 # ---------------------------------------------------------------- simhash
 class SimHasher:
-    """64-bit simhash over word features (frequency-weighted)."""
+    """64-bit simhash over word features (frequency-weighted),
+    vectorized across the WHOLE batch: all docs' token hashes go into
+    one bit matrix, per-doc bit sums come out of a single
+    ``np.add.reduceat`` over the doc boundaries (no per-doc numpy
+    calls). Chunked by token count so the bit matrix stays ~32 MB."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            toks = (text or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.fromiter((_token_hash(t) for t in toks),
-                             dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((v > 0).astype(np.uint64)
-                          << np.arange(64, dtype=np.uint64)).sum())
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
+    def _sigs(self, tok_lists: list[list[str]]) -> np.ndarray:
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        hs = np.fromiter((_token_hash(t) for toks in tok_lists
+                          for t in toks), dtype=np.uint64,
+                         count=int(lens.sum()))
+        bits = ((hs[:, None] >> self._SHIFTS[None, :])
+                & np.uint64(1)).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        s = np.add.reduceat(bits, bounds, axis=0)          # (docs, 64)
+        v = 2 * s - lens[:, None]
+        return ((v > 0).astype(np.uint64)
+                << self._SHIFTS[None, :]).sum(axis=1)
+
+    def __call__(self, batch: pa.Table, chunk_tokens: int = 65536) -> pa.Table:
+        toks = [(t or "").split() for t in batch["text"].to_pylist()]
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        nz = [i for i, t in enumerate(toks) if t]  # reduceat needs len>0
+        pos = 0
+        while pos < len(nz):
+            end, budget = pos, chunk_tokens
+            while end < len(nz) and budget > 0:
+                budget -= len(toks[nz[end]])
+                end += 1
+            idx = nz[pos:end]
+            out[idx] = self._sigs([toks[i] for i in idx])
+            pos = end
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(out, pa.uint64())})
 
