@@ -53,6 +53,24 @@ def hash64_array(values) -> np.ndarray:
     return out
 
 
+def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """KEY-HASH bucket ids for integer keys: xor-shift + multiply +
+    xor-shift (murmur3-fmix style) BEFORE the modulo. A raw
+    ``key % n_buckets`` — or even an odd-constant multiply alone —
+    leaves the low bits a function of the key's low bits, so strided /
+    shard-tagged id spaces (snowflake ids, ids stepped by a multiple of
+    n_buckets) collapse into one bucket task. Shared by every bucketed
+    aggregate/join partitioner; bucket assignment is pure partitioning,
+    results never depend on it."""
+    h = keys.astype(np.uint64, copy=False)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)   # full fmix64: one round is
+    h = h ^ (h >> np.uint64(33))            # not avalanche for big strides
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
 def digest_u64(arr: np.ndarray) -> int:
     """Order-insensitive 64-bit digest of a uint64 array (sum mod 2^64) —
     used for per-partition lineage digests (LINEAGE schema): cheap,

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import ray
 
+from .hashing import bucket_of
+
 
 def _merge_task(batch: pd.DataFrame, *, ref, on, how, suffix) -> pd.DataFrame:
     # ray.get of an in-plasma object is zero-copy after the worker's
@@ -63,10 +65,11 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
                      columns_right: list[str] | None = None):
     """Partitioned hash join of two Datasets on an integer key column.
 
-    Both sides get ``_bucket = key % n_buckets`` (int keys assumed well
-    distributed — TPC-H surrogate keys are; salt externally for skewed
-    keys), are tagged with a side marker, unioned, and each bucket is
-    joined inside one ``map_groups`` task. One all-to-all shuffle total.
+    Both sides get ``_bucket = bucket_of(key)`` (mixed key hash, so
+    strided/shard-tagged id spaces still spread; salt externally for
+    VALUE-skewed keys), are tagged with a side marker, unioned, and each
+    bucket is joined inside one ``map_groups`` task. One all-to-all
+    shuffle total.
 
     Schema alignment for the union uses Arrow TYPED null columns — a
     pandas ``pd.NA`` widen turns columns to object dtype and makes the
@@ -89,7 +92,7 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
             out = {}
             for c in all_cols:
                 out[c] = b[c] if c in cols else pa.nulls(n, types[c])
-            out["_bucket"] = pa.array((key % n_buckets).astype(np.int32))
+            out["_bucket"] = pa.array(bucket_of(key, n_buckets))
             out["_side"] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(out)
         return fn

@@ -8,7 +8,7 @@ First-class training-data operators:
   the only all-to-all is the groupby on (band, band_hash); signatures
   are computed vectorized per batch.
 - ``simhash_pairs``     — 64-bit simhash + banded hamming candidates.
-- ``ngram_jaccard_verify`` — the exact word-3-gram Jaccard used as the
+- ``ngram_jaccard``     — the exact word-3-gram Jaccard used as the
   verifier (exposed for candidate pairs).
 - ``embedding_neardup_pairs`` — EXACT cosine ≥ τ pairs over the
   embeddings table (oracle via DuckDB list_cosine_similarity) as a
@@ -19,8 +19,9 @@ First-class training-data operators:
 
 Scale notes: minhash/simhash signatures are fixed-width columns; band
 explosion multiplies rows by n_bands (not data size); candidate
-verification re-reads only candidate docs via broadcast of the (small)
-candidate id set.
+verification streams the corpus once through an id semi-filter and
+bucket-joins the candidate texts to their pairs — driver state is the
+candidate-id array only (see ``minhash_lsh_pairs``).
 """
 
 from __future__ import annotations
@@ -304,53 +305,106 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
                       n_buckets: int = 32):
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard,
-    FULLY DISTRIBUTED — candidate pairs are grouped by pair hash, and
-    each bucket task dedups its pairs, reads ONLY its own pairs' doc
-    texts (parquet predicate pushdown on doc_id), shingles each doc
-    once, and verifies vectorized. No driver-side candidate-id set, no
-    whole-candidate-subset broadcast: every task's footprint is
-    O(pairs-in-bucket), so a duplicate-heavy web corpus (candidates ∝
-    corpus × dup-rate) still streams. A doc appearing in pairs across k
-    buckets is re-read/shingled at most min(k, n_buckets) times.
+    FULLY DISTRIBUTED with CANDIDATE-BOUNDED I/O:
 
+    1. distinct candidate pairs (``minhash_candidates``);
+    2. the corpus streams ONCE through a vectorized id semi-filter
+       (sorted candidate-id array via ``ray.put``, searchsorted probe) —
+       only candidate ``(doc_id, text)`` rows survive, so the text
+       column is decoded exactly once, never per bucket;
+    3. candidate texts are delivered to their pairs by two
+       ``bucket_hash_join``s (doc_a side, then doc_b side) — both
+       shuffles move only candidate-bounded rows;
+    4. per-batch vectorized verify with a per-batch shingle memo.
+
+    Driver state is the candidate-id ARRAY only (8 B/id — no texts, no
+    shingle sets; at ≥10^9 candidates swap the exact array for a bloom
+    from ``state/bloom.py``). Per-task memory is bucket-bounded.
     Inherits ``_candidate_pairs_raw``'s >256-docs-per-key star cap:
     pairs between two non-representative members of a mass-duplicate
     band key are not enumerated."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
+    from ..functions.joins import bucket_hash_join
 
-    path = f"{sf_dir}/documents.parquet"
-    pairs = _candidate_pairs_raw(sf_dir, n_buckets)
+    pairs = minhash_candidates(sf_dir, n_buckets).materialize()
 
-    def bucketize(b: pa.Table) -> pa.Table:
-        pb = _pair_bucket(b["doc_a"].to_numpy(zero_copy_only=False),
-                          b["doc_b"].to_numpy(zero_copy_only=False), n_buckets)
-        return b.append_column("pair_bucket", pa.array(pb, pa.int32()))
+    def ids_of(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["doc_a", "doc_b"])  # distinct across bands
-        ids = np.unique(np.concatenate([g["doc_a"].to_numpy(),
-                                        g["doc_b"].to_numpy()]))
-        sub = pads.dataset(path).to_table(
-            columns=["doc_id", "text"],
-            filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())))
-        sets = {i: shingles(t) for i, t in zip(sub["doc_id"].to_pylist(),
-                                               sub["text"].to_pylist())}
-        js = np.empty(len(g), dtype=np.float64)
-        for row, (a, b) in enumerate(zip(g["doc_a"].to_numpy(),
-                                         g["doc_b"].to_numpy())):
-            sa = sets.get(int(a), set())
-            sb = sets.get(int(b), set())
+    id_parts = pairs.map_batches(ids_of, batch_format="pyarrow").to_pandas()
+    cand_ids = np.unique(id_parts["doc_id"].to_numpy())
+    ref = ray.put(cand_ids)                       # sorted by construction
+
+    def semi(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        probe = ray.get(ref)                      # zero-copy plasma
+        idx = np.searchsorted(probe, ids)
+        idx[idx == len(probe)] = 0
+        keep = probe[idx] == ids if len(probe) else np.zeros(len(ids), bool)
+        return b.filter(pa.array(keep))
+
+    cand_texts = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(semi, batch_format="pyarrow").materialize()
+
+    def side(col: str):
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col, f"text_{col[-1]}"])
+        return cand_texts.map_batches(rename, batch_format="pyarrow")
+
+    j = bucket_hash_join(pairs, side("doc_a"), on="doc_a",
+                         n_buckets=n_buckets,
+                         columns_left=["doc_a", "doc_b"],
+                         columns_right=["doc_a", "text_a"])
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        # join output is pandas blocks; the next bucket_hash_join reads
+        # Arrow types off the schema, so convert explicitly
+        return pa.table({
+            "doc_a": pa.array(b["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy(), pa.int64()),
+            "text_a": pa.array(b["text_a"], pa.string()),
+        })
+
+    j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
+                         side("doc_b"), on="doc_b",
+                         n_buckets=n_buckets,
+                         columns_left=["doc_a", "doc_b", "text_a"],
+                         columns_right=["doc_b", "text_b"])
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        memo: dict[int, set] = {}      # a doc in k pairs of this batch
+        #                                is shingled once, not k times
+
+        def sset(i: int, t: str) -> set:
+            s = memo.get(i)
+            if s is None:
+                s = memo[i] = shingles(t)
+            return s
+
+        js = np.empty(len(b), dtype=np.float64)
+        rows = zip(b["doc_a"].to_numpy(), b["doc_b"].to_numpy(),
+                   b["text_a"], b["text_b"])
+        for row, (a, c, ta, tb) in enumerate(rows):
+            sa, sb = sset(int(a), ta), sset(int(c), tb)
             inter = len(sa & sb)
             js[row] = 1.0 if not sa and not sb \
                 else inter / (len(sa) + len(sb) - inter)
-        out = g[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = np.round(js, 6)
-        return out[out["jaccard"] >= threshold]
+        js = np.round(js, 6)
+        keep = js >= threshold
+        # Arrow out with pinned types: empty join buckets yield pandas
+        # blocks whose int columns degrade, and the final sort would
+        # promote doc ids to float64 across the union
+        return pa.table({
+            "doc_a": pa.array(b["doc_a"].to_numpy()[keep].astype(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy()[keep].astype(np.int64),
+                              pa.int64()),
+            "jaccard": pa.array(js[keep], pa.float64()),
+        })
 
-    return pairs.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("pair_bucket") \
-        .map_groups(verify_bucket, batch_format="pandas") \
+    return j.map_batches(verify, batch_format="pandas", batch_size=4096) \
         .sort(["doc_a", "doc_b"])
 
 

@@ -14,17 +14,21 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import bucket_of
+
 
 def _user_bucket(ds, n_buckets: int):
-    """Append ``_kb = user_id % n_buckets`` (Arrow, zero-copy in): the
+    """Append ``_kb = bucket_of(user_id)`` (Arrow, zero-copy in): the
     groupby shuffle then co-locates each user's rows in ONE bucket task
     where the window/asof/funnel kernel runs vectorized over the whole
-    bucket — never one Python call per user (CLAUDE.md gotcha)."""
+    bucket — never one Python call per user (CLAUDE.md gotcha). The
+    mixed hash (not a raw modulo) keeps strided/shard-tagged id spaces
+    spread across buckets."""
 
     def add(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
         return b.append_column(
-            "_kb", pa.array((u % n_buckets).astype(np.int32), pa.int32()))
+            "_kb", pa.array(bucket_of(u, n_buckets), pa.int32()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
@@ -161,8 +165,7 @@ def user_activity_topk(sf_dir: str, k: int = 25, n_buckets: int = 32):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("user_id", as_index=False).agg(
             n_events=("value", "size"), total_value=("value", "sum"))
-        g["_kb"] = (g["user_id"].to_numpy().astype(np.int64)
-                    % n_buckets).astype("int32")
+        g["_kb"] = bucket_of(g["user_id"].to_numpy(), n_buckets)
         return g
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -367,8 +370,7 @@ def retention_daily(sf_dir: str, n_buckets: int = 32):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b["ts"].dt.floor("D")
         out = pd.DataFrame({"user_id": b["user_id"], "d": d}).drop_duplicates()
-        out["_kb"] = (out["user_id"].to_numpy().astype(np.int64)
-                      % n_buckets).astype("int32")
+        out["_kb"] = bucket_of(out["user_id"].to_numpy(), n_buckets)
         return out
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

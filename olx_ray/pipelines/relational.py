@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.hashing import bucket_of
 from ..functions.joins import broadcast_join, broadcast_semi, bucket_hash_join
 
 
@@ -94,8 +95,7 @@ def _partial_bucket_agg(ds, keys, bucket_from, partial_spec, finish_spec,
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(keys, as_index=False).agg(**partial_spec)
-        g["_kb"] = (g[bucket_from].to_numpy().astype(np.int64)
-                    % n_buckets).astype("int32")
+        g["_kb"] = bucket_of(g[bucket_from].to_numpy(), n_buckets)
         return g
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -425,21 +425,21 @@ def union_distinct_keys(sf_dir: str, n_buckets: int = 32):
     def partial(b: pa.Table) -> pa.Table:
         ids = np.unique(b["id"].to_numpy(zero_copy_only=False).astype(np.int64))
         return pa.table({"id": pa.array(ids, pa.int64()),
-                         "_kb": pa.array((ids % n_buckets).astype(np.int32),
+                         "_kb": pa.array(bucket_of(ids, n_buckets),
                                          pa.int32())})
 
     def nunique(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": pd.Series([g["id"].nunique()],
                                             dtype="int64")})
 
-    def total(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n_distinct": pd.Series([int(b["n"].sum())],
-                                                     dtype="int64")})
-
-    return (c.union(s)
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("_kb").map_groups(nunique, batch_format="pandas")
-            .repartition(1).map_batches(total, batch_format="pandas"))
+    counts = (c.union(s)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("_kb").map_groups(nunique, batch_format="pandas"))
+    # Dataset.sum of the ≤ n_buckets partial counts (None on an empty
+    # union) — the one-row result always materializes, matching the
+    # oracle's unconditional COUNT row
+    n = counts.sum("n") or 0
+    return pa.table({"n_distinct": pa.array([int(n)], pa.int64())})
 
 
 UNION_DISTINCT_SQL = """
@@ -654,7 +654,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
-        g["bucket"] = (g["l_orderkey"] % n_buckets).astype("int32")
+        g["bucket"] = bucket_of(g["l_orderkey"].to_numpy(), n_buckets)
         return g
 
     def finish_bucket(g: pd.DataFrame) -> pd.DataFrame:

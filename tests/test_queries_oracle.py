@@ -94,3 +94,19 @@ def test_entry_smoke(ray_session):
 
     df = _to_pandas(e.entry())
     assert len(df) > 0 and "sum_qty" in df.columns
+
+
+def test_union_distinct_keys_empty_inputs(ray_session, tmp_path):
+    """Empty inputs must still produce the single n_distinct=0 row the
+    SQL oracle returns unconditionally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.relational import union_distinct_keys
+
+    pq.write_table(pa.table({"c_custkey": pa.array([], pa.int64())}),
+                   str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({"s_suppkey": pa.array([], pa.int64())}),
+                   str(tmp_path / "supplier.parquet"))
+    out = union_distinct_keys(str(tmp_path)).to_pandas()
+    assert len(out) == 1 and out["n_distinct"].iloc[0] == 0

@@ -67,3 +67,18 @@ def test_absolutize_hand_computed_reference_cases():
     # base fragment dropped
     assert absolutize("https://www.olx.ua/list#frag", "/a") == \
         "https://www.olx.ua/a"
+
+
+def test_bucket_of_spreads_strided_ids():
+    """Raw `id % n_buckets` collapses strided/shard-tagged id spaces
+    into one bucket; bucket_of's xor-shift mix must spread them."""
+    import numpy as np
+
+    from olx_ray.functions.hashing import bucket_of
+
+    for stride in (64, 128, 4096):
+        ids = np.arange(2000, dtype=np.int64) * stride
+        b = bucket_of(ids, 64)
+        assert len(np.unique(b)) >= 48, f"stride {stride} collapsed"
+        # deterministic
+        assert (bucket_of(ids, 64) == b).all()
