@@ -302,39 +302,61 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
-                      n_buckets: int = 32):
-    """Near-duplicate pairs: LSH candidates verified by exact Jaccard,
-    FULLY DISTRIBUTED with CANDIDATE-BOUNDED I/O:
+def _jaccard_table(b: pd.DataFrame, sset, threshold: float) -> pa.Table:
+    """Shared verify kernel: exact Jaccard per pair row via ``sset(id,
+    text_or_None)`` → shingle set; Arrow out with PINNED int64 ids
+    (empty pandas blocks would otherwise float-widen doc ids through
+    the final sort union)."""
+    js = np.empty(len(b), dtype=np.float64)
+    ta = b["text_a"] if "text_a" in b.columns else [None] * len(b)
+    tb = b["text_b"] if "text_b" in b.columns else [None] * len(b)
+    for row, (a, c, xa, xb) in enumerate(zip(b["doc_a"].to_numpy(),
+                                             b["doc_b"].to_numpy(), ta, tb)):
+        sa, sb = sset(int(a), xa), sset(int(c), xb)
+        inter = len(sa & sb)
+        js[row] = 1.0 if not sa and not sb \
+            else inter / (len(sa) + len(sb) - inter)
+    js = np.round(js, 6)
+    keep = js >= threshold
+    return pa.table({
+        "doc_a": pa.array(b["doc_a"].to_numpy()[keep].astype(np.int64),
+                          pa.int64()),
+        "doc_b": pa.array(b["doc_b"].to_numpy()[keep].astype(np.int64),
+                          pa.int64()),
+        "jaccard": pa.array(js[keep], pa.float64()),
+    })
 
-    1. distinct candidate pairs (``minhash_candidates``);
-    2. the corpus streams ONCE through a vectorized id semi-filter
-       (sorted candidate-id array via ``ray.put``, searchsorted probe) —
-       only candidate ``(doc_id, text)`` rows survive, so the text
-       column is decoded exactly once, never per bucket;
-    3. candidate texts are delivered to their pairs by two
-       ``bucket_hash_join``s (doc_a side, then doc_b side) — both
-       shuffles move only candidate-bounded rows;
-    4. per-batch vectorized verify with a per-batch shingle memo.
 
-    Driver state is the candidate-id ARRAY only (8 B/id — no texts, no
-    shingle sets; at ≥10^9 candidates swap the exact array for a bloom
-    from ``state/bloom.py``). Per-task memory is bucket-bounded.
-    Inherits ``_candidate_pairs_raw``'s >256-docs-per-key star cap:
-    pairs between two non-representative members of a mass-duplicate
-    band key are not enumerated."""
+class _LazyJaccardVerify:
+    """Actor-pool verify for the BROADCAST strategy: id→text dict comes
+    from plasma (zero-copy per node); shingle sets are built LAZILY per
+    actor, only for docs its batches actually touch — never the whole
+    candidate subset up front."""
+
+    def __init__(self, docs_ref, threshold: float):
+        self.docs: dict[int, str] = ray.get(docs_ref)
+        self.memo: dict[int, set] = {}
+        self.threshold = threshold
+
+    def _sset(self, i: int, _t) -> set:
+        s = self.memo.get(i)
+        if s is None:
+            s = self.memo[i] = shingles(self.docs.get(i, ""))
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        return _jaccard_table(batch, self._sset, self.threshold)
+
+
+def _verify_pairs_join(sf_dir: str, pairs, cand_ids: np.ndarray,
+                       threshold: float, n_buckets: int):
+    """SHUFFLE strategy (the 100 TB path): the corpus streams ONCE
+    through a vectorized sorted-id semi-filter — the text column is
+    decoded exactly once, never per bucket — and the candidate texts
+    ride two ``bucket_hash_join``s to their pairs; every shuffle moves
+    only candidate-bounded rows, per-task memory is bucket-bounded."""
     from ..functions.joins import bucket_hash_join
 
-    pairs = minhash_candidates(sf_dir, n_buckets).materialize()
-
-    def ids_of(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            b["doc_a"].to_numpy(zero_copy_only=False),
-            b["doc_b"].to_numpy(zero_copy_only=False)]))
-        return pa.table({"doc_id": pa.array(u, pa.int64())})
-
-    id_parts = pairs.map_batches(ids_of, batch_format="pyarrow").to_pandas()
-    cand_ids = np.unique(id_parts["doc_id"].to_numpy())
     ref = ray.put(cand_ids)                       # sorted by construction
 
     def semi(b: pa.Table) -> pa.Table:
@@ -373,39 +395,72 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
                          columns_left=["doc_a", "doc_b", "text_a"],
                          columns_right=["doc_b", "text_b"])
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
+    def verify(b: pd.DataFrame) -> pa.Table:
         memo: dict[int, set] = {}      # a doc in k pairs of this batch
         #                                is shingled once, not k times
 
-        def sset(i: int, t: str) -> set:
+        def sset(i: int, t) -> set:
             s = memo.get(i)
             if s is None:
                 s = memo[i] = shingles(t)
             return s
 
-        js = np.empty(len(b), dtype=np.float64)
-        rows = zip(b["doc_a"].to_numpy(), b["doc_b"].to_numpy(),
-                   b["text_a"], b["text_b"])
-        for row, (a, c, ta, tb) in enumerate(rows):
-            sa, sb = sset(int(a), ta), sset(int(c), tb)
-            inter = len(sa & sb)
-            js[row] = 1.0 if not sa and not sb \
-                else inter / (len(sa) + len(sb) - inter)
-        js = np.round(js, 6)
-        keep = js >= threshold
-        # Arrow out with pinned types: empty join buckets yield pandas
-        # blocks whose int columns degrade, and the final sort would
-        # promote doc ids to float64 across the union
-        return pa.table({
-            "doc_a": pa.array(b["doc_a"].to_numpy()[keep].astype(np.int64),
-                              pa.int64()),
-            "doc_b": pa.array(b["doc_b"].to_numpy()[keep].astype(np.int64),
-                              pa.int64()),
-            "jaccard": pa.array(js[keep], pa.float64()),
-        })
+        return _jaccard_table(b, sset, threshold)
 
-    return j.map_batches(verify, batch_format="pandas", batch_size=4096) \
-        .sort(["doc_a", "doc_b"])
+    return j.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
+                      n_buckets: int = 32,
+                      broadcast_max_candidates: int = 50_000):
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+
+    Verify-strategy selection by candidate-set size — the same
+    broadcast-vs-shuffle decision the relational joins make:
+
+    - ``≤ broadcast_max_candidates`` candidate docs → BROADCAST: one
+      predicate-pushdown read of the candidate texts, ``ray.put`` once,
+      actor-pool verify with LAZY per-actor shingle memo (no per-round
+      shuffles — fastest while the subset fits a worker heap).
+    - above it → SHUFFLE (``_verify_pairs_join``): corpus semi-filtered
+      once, texts bucket-joined to pairs; nothing text-sized touches
+      the driver or any single task — the duplicate-heavy-web-corpus
+      path where candidates grow with the corpus.
+
+    Driver state is the candidate-id ARRAY in both strategies (8 B/id;
+    at ≥10^9 candidates swap it for a bloom from ``state/bloom.py``).
+    Both strategies produce identical output (golden-pinned + in-memory
+    oracle test). Inherits ``_candidate_pairs_raw``'s >256-docs-per-key
+    star cap: pairs between two non-representative members of a
+    mass-duplicate band key are not enumerated."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    pairs = minhash_candidates(sf_dir, n_buckets).materialize()
+
+    def ids_of(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    id_parts = pairs.map_batches(ids_of, batch_format="pyarrow").to_pandas()
+    cand_ids = np.unique(id_parts["doc_id"].to_numpy())
+
+    if len(cand_ids) <= broadcast_max_candidates:
+        sub = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(pa.array(cand_ids, pa.int64())))
+        ref = ray.put(dict(zip(sub["doc_id"].to_pylist(),
+                               sub["text"].to_pylist())))
+        verified = pairs.map_batches(
+            _LazyJaccardVerify,
+            fn_constructor_kwargs={"docs_ref": ref, "threshold": threshold},
+            batch_format="pandas", concurrency=(1, 4), num_cpus=1)
+    else:
+        verified = _verify_pairs_join(sf_dir, pairs, cand_ids, threshold,
+                                      n_buckets)
+    return verified.sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------- simhash

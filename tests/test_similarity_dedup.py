@@ -164,3 +164,14 @@ def test_minhash_verify_matches_inmemory_oracle(ray_session):
     got_t = sorted((int(a), int(b), float(j)) for a, b, j in
                    zip(got["doc_a"], got["doc_b"], got["jaccard"]))
     assert got_t == [(a, b, float(np.float64(j))) for a, b, j in want]
+
+
+def test_minhash_verify_strategies_agree(ray_session):
+    """Broadcast and shuffle verify strategies must produce identical
+    pairs (strategy choice is a size heuristic, never a semantic)."""
+    from olx_ray.pipelines.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(SF).to_pandas().reset_index(drop=True)
+    b = minhash_lsh_pairs(SF, broadcast_max_candidates=0) \
+        .to_pandas().reset_index(drop=True)
+    assert a.equals(b)
