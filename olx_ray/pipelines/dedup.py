@@ -302,14 +302,18 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def _jaccard_table(b: pd.DataFrame, sset, threshold: float) -> pa.Table:
+def _jaccard_table(b: pd.DataFrame, sset, threshold: float,
+                  texts_in_batch: bool) -> pa.Table:
     """Shared verify kernel: exact Jaccard per pair row via ``sset(id,
     text_or_None)`` → shingle set; Arrow out with PINNED int64 ids
     (empty pandas blocks would otherwise float-widen doc ids through
-    the final sort union)."""
+    the final sort union). ``texts_in_batch`` is an explicit contract,
+    not a column sniff: the shuffle path MUST carry text_a/text_b (a
+    KeyError here means the join schema drifted — fail loud, never
+    score against empty sets), the broadcast path must not."""
     js = np.empty(len(b), dtype=np.float64)
-    ta = b["text_a"] if "text_a" in b.columns else [None] * len(b)
-    tb = b["text_b"] if "text_b" in b.columns else [None] * len(b)
+    ta = b["text_a"] if texts_in_batch else [None] * len(b)
+    tb = b["text_b"] if texts_in_batch else [None] * len(b)
     for row, (a, c, xa, xb) in enumerate(zip(b["doc_a"].to_numpy(),
                                              b["doc_b"].to_numpy(), ta, tb)):
         sa, sb = sset(int(a), xa), sset(int(c), xb)
@@ -328,10 +332,15 @@ def _jaccard_table(b: pd.DataFrame, sset, threshold: float) -> pa.Table:
 
 
 class _LazyJaccardVerify:
-    """Actor-pool verify for the BROADCAST strategy: id→text dict comes
-    from plasma (zero-copy per node); shingle sets are built LAZILY per
-    actor, only for docs its batches actually touch — never the whole
-    candidate subset up front."""
+    """Actor-pool verify for the BROADCAST strategy. Each actor holds
+    its own copy of the candidate id→text dict (Python strings
+    deserialize fully from plasma — this is NOT zero-copy, which is why
+    the strategy is gated on candidate count). Shingle sets are built
+    lazily and CAPPED: docs repeat across batches, so an uncapped memo
+    would converge to every candidate's shingle set (~10-20× text
+    size); past the cap it resets and rebuilds on demand."""
+
+    _MEMO_CAP = 20_000
 
     def __init__(self, docs_ref, threshold: float):
         self.docs: dict[int, str] = ray.get(docs_ref)
@@ -341,23 +350,30 @@ class _LazyJaccardVerify:
     def _sset(self, i: int, _t) -> set:
         s = self.memo.get(i)
         if s is None:
-            s = self.memo[i] = shingles(self.docs.get(i, ""))
+            if len(self.memo) >= self._MEMO_CAP:
+                self.memo.clear()
+            # fail-loud lookup: a candidate id absent from the gathered
+            # texts means the corpus changed between the signature scan
+            # and the gather — scoring against "" would fabricate
+            # jaccard 1.0 for two missing ids (and the shuffle path's
+            # inner join would DROP the pair: silent divergence)
+            s = self.memo[i] = shingles(self.docs[i])
         return s
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        return _jaccard_table(batch, self._sset, self.threshold)
+        return _jaccard_table(batch, self._sset, self.threshold,
+                              texts_in_batch=False)
 
 
-def _verify_pairs_join(sf_dir: str, pairs, cand_ids: np.ndarray,
-                       threshold: float, n_buckets: int):
-    """SHUFFLE strategy (the 100 TB path): the corpus streams ONCE
-    through a vectorized sorted-id semi-filter — the text column is
-    decoded exactly once, never per bucket — and the candidate texts
-    ride two ``bucket_hash_join``s to their pairs; every shuffle moves
-    only candidate-bounded rows, per-task memory is bucket-bounded."""
-    from ..functions.joins import bucket_hash_join
-
-    ref = ray.put(cand_ids)                       # sorted by construction
+def _candidate_texts(sf_dir: str, cand_ids: np.ndarray):
+    """Candidate ``(doc_id, text)`` rows as a streaming Dataset: the
+    corpus is decoded ONCE, distributed across workers, through a
+    vectorized sorted-id semi-filter (``np.searchsorted`` probe against
+    the broadcast id array). Shared by both verify strategies — the
+    driver never decodes the corpus itself, so gather cost scales with
+    workers regardless of how the strategy choice falls."""
+    cand_ids = np.unique(cand_ids)   # searchsorted REQUIRES sorted-unique;
+    ref = ray.put(cand_ids)          # idempotent for the in-repo caller
 
     def semi(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -367,8 +383,18 @@ def _verify_pairs_join(sf_dir: str, pairs, cand_ids: np.ndarray,
         keep = probe[idx] == ids if len(probe) else np.zeros(len(ids), bool)
         return b.filter(pa.array(keep))
 
-    cand_texts = _read_docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(semi, batch_format="pyarrow").materialize()
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(semi, batch_format="pyarrow")
+
+
+def _verify_pairs_join(pairs, cand_texts, threshold: float, n_buckets: int):
+    """SHUFFLE strategy (the 100 TB path): the candidate texts ride two
+    ``bucket_hash_join``s to their pairs; every shuffle moves only
+    candidate-bounded rows, per-task memory is bucket-bounded, and
+    nothing text-sized ever touches the driver."""
+    from ..functions.joins import bucket_hash_join
+
+    cand_texts = cand_texts.materialize()         # consumed by two joins
 
     def side(col: str):
         def rename(b: pa.Table) -> pa.Table:
@@ -405,7 +431,7 @@ def _verify_pairs_join(sf_dir: str, pairs, cand_ids: np.ndarray,
                 s = memo[i] = shingles(t)
             return s
 
-        return _jaccard_table(b, sset, threshold)
+        return _jaccard_table(b, sset, threshold, texts_in_batch=True)
 
     return j.map_batches(verify, batch_format="pandas", batch_size=4096)
 
@@ -416,26 +442,31 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
     Verify-strategy selection by candidate-set size — the same
-    broadcast-vs-shuffle decision the relational joins make:
+    broadcast-vs-shuffle decision the relational joins make. The
+    candidate texts are gathered the same way for both (the corpus
+    streams once through the distributed ``_candidate_texts`` filter;
+    the driver never decodes it); only text DELIVERY differs:
 
-    - ``≤ broadcast_max_candidates`` candidate docs → BROADCAST: one
-      predicate-pushdown read of the candidate texts, ``ray.put`` once,
-      actor-pool verify with LAZY per-actor shingle memo (no per-round
-      shuffles — fastest while the subset fits a worker heap).
-    - above it → SHUFFLE (``_verify_pairs_join``): corpus semi-filtered
-      once, texts bucket-joined to pairs; nothing text-sized touches
-      the driver or any single task — the duplicate-heavy-web-corpus
-      path where candidates grow with the corpus.
+    - ``≤ broadcast_max_candidates`` candidate docs → BROADCAST: the
+      candidate rows are collected to an id→text dict (driver + each
+      verify actor hold one candidate-texts-sized copy — that heap
+      cost is exactly what the cap bounds), actor-pool verify with a
+      lazy capped shingle memo. No per-pairs shuffle — fastest while
+      the subset fits a heap.
+    - above it → SHUFFLE (``_verify_pairs_join``): texts bucket-joined
+      to pairs; nothing text-sized touches the driver or any single
+      task — the duplicate-heavy-web-corpus path where candidates grow
+      with the corpus.
 
-    Driver state is the candidate-id ARRAY in both strategies (8 B/id;
-    at ≥10^9 candidates swap it for a bloom from ``state/bloom.py``).
-    Both strategies produce identical output (golden-pinned + in-memory
-    oracle test). Inherits ``_candidate_pairs_raw``'s >256-docs-per-key
-    star cap: pairs between two non-representative members of a
-    mass-duplicate band key are not enumerated."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-
+    The candidate-id ARRAY (8 B/id; at ≥10^9 candidates swap it for a
+    bloom from ``state/bloom.py``) is the only driver state the
+    SHUFFLE strategy keeps. Both strategies produce identical output
+    on consistent input (golden-pinned + in-memory oracle +
+    strategy-agreement tests); on a corpus mutated mid-run the
+    broadcast path fails loud (KeyError) where the shuffle path's
+    inner join drops the pair. Inherits ``_candidate_pairs_raw``'s
+    >256-docs-per-key star cap: pairs between two non-representative
+    members of a mass-duplicate band key are not enumerated."""
     pairs = minhash_candidates(sf_dir, n_buckets).materialize()
 
     def ids_of(b: pa.Table) -> pa.Table:
@@ -446,19 +477,17 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
 
     id_parts = pairs.map_batches(ids_of, batch_format="pyarrow").to_pandas()
     cand_ids = np.unique(id_parts["doc_id"].to_numpy())
+    cand_texts = _candidate_texts(sf_dir, cand_ids)
 
     if len(cand_ids) <= broadcast_max_candidates:
-        sub = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-            columns=["doc_id", "text"],
-            filter=pc.field("doc_id").isin(pa.array(cand_ids, pa.int64())))
-        ref = ray.put(dict(zip(sub["doc_id"].to_pylist(),
-                               sub["text"].to_pylist())))
+        sub = cand_texts.to_pandas()              # candidate-bounded rows
+        ref = ray.put(dict(zip(sub["doc_id"].astype(int), sub["text"])))
         verified = pairs.map_batches(
             _LazyJaccardVerify,
             fn_constructor_kwargs={"docs_ref": ref, "threshold": threshold},
             batch_format="pandas", concurrency=(1, 4), num_cpus=1)
     else:
-        verified = _verify_pairs_join(sf_dir, pairs, cand_ids, threshold,
+        verified = _verify_pairs_join(pairs, cand_texts, threshold,
                                       n_buckets)
     return verified.sort(["doc_a", "doc_b"])
 

@@ -174,4 +174,5 @@ def test_minhash_verify_strategies_agree(ray_session):
     a = minhash_lsh_pairs(SF).to_pandas().reset_index(drop=True)
     b = minhash_lsh_pairs(SF, broadcast_max_candidates=0) \
         .to_pandas().reset_index(drop=True)
+    assert len(a) > 0          # empty fixture would make this vacuous
     assert a.equals(b)
