@@ -1,0 +1,99 @@
+"""Resumable partitioned output (the "Resumable output" design rule).
+
+``export_shards`` writes any keyed Dataset as one directory per
+key-hash shard (``shard=K/`` hive layout, single streaming
+``write_parquet`` pass) and commits each shard with an atomic manifest
+AFTER the write completes. A re-run skips every shard whose manifest
+exists and wipes-then-rewrites the ones that died mid-write — a failed
+100 TB export resumes where it stopped instead of rewriting
+everything. The same pattern the crawl uses per round
+(``state/checkpoint.py``), exposed for the corpus/export side.
+
+Shard assignment is ``bucket_of(key)`` (fmix64 — structured id spaces
+spread), so re-runs and readers agree on placement deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import storage
+from ..functions.hashing import bucket_of
+
+
+def _shard_dir(out_dir: str, s: int) -> str:
+    return os.path.join(out_dir, f"shard={s}")
+
+
+def _manifest_path(out_dir: str, s: int) -> str:
+    return os.path.join(_shard_dir(out_dir, s), "MANIFEST.json")
+
+
+def export_shards(ds, out_dir: str, key: str = "doc_id",
+                  n_shards: int = 16) -> dict:
+    """Write ``ds`` into ``n_shards`` hash shards under ``out_dir``.
+
+    Returns ``{"written": [...], "skipped": [...], "rows": {shard: n}}``.
+    Complete shards (manifest present) are skipped untouched; pending
+    shard directories are wiped first so fragments from a crashed
+    attempt can't sit beside this run's files. Data files land BEFORE
+    the manifest, and the manifest rename is atomic — a kill at any
+    point leaves each shard either complete or cleanly restartable."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = {s for s in range(n_shards)
+            if storage.read_manifest(_manifest_path(out_dir, s)) is not None}
+    pending = [s for s in range(n_shards) if s not in done]
+    rows: dict[int, int] = {}
+    for s in done:
+        rows[s] = storage.read_manifest(_manifest_path(out_dir, s))["rows"]
+    if pending:
+        for s in pending:
+            shutil.rmtree(_shard_dir(out_dir, s), ignore_errors=True)
+        pend = np.array(sorted(pending), dtype=np.int64)
+
+        def add_shard(b: pa.Table) -> pa.Table:
+            sh = bucket_of(b[key].to_numpy(zero_copy_only=False), n_shards)
+            t = b.append_column("shard", pa.array(sh, pa.int32()))
+            # resume: only PENDING shards are (re)written
+            return t.filter(pa.array(np.isin(sh, pend))) \
+                if len(pend) < n_shards else t
+
+        ds.map_batches(add_shard, batch_format="pyarrow") \
+            .write_parquet(out_dir, partition_cols=["shard"])
+        for s in pending:
+            sdir = _shard_dir(out_dir, s)
+            os.makedirs(sdir, exist_ok=True)   # empty shard still commits
+            n = sum(pq.ParquetFile(os.path.join(sdir, f)).metadata.num_rows
+                    for f in os.listdir(sdir) if f.endswith(".parquet"))
+            storage.write_manifest(_manifest_path(out_dir, s),
+                                   {"shard": s, "rows": n, "key": key,
+                                    "n_shards": n_shards})
+            rows[s] = n
+    return {"written": sorted(pending), "skipped": sorted(done),
+            "rows": rows}
+
+
+def read_shards(out_dir: str, columns: list[str] | None = None):
+    """Dataset over the COMMITTED shards only (manifest present) —
+    uncommitted partials from a crashed export are invisible to
+    readers, mirroring the crawl's round-manifest contract."""
+    import ray.data as rd
+
+    paths = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        s = int(name.split("=", 1)[1])
+        if storage.read_manifest(_manifest_path(out_dir, s)) is None:
+            continue
+        d = os.path.join(out_dir, name)
+        paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    if not paths:
+        return rd.from_arrow(pa.table({}))
+    return rd.read_parquet(paths, columns=columns)
