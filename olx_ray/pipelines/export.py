@@ -35,8 +35,14 @@ def _manifest_path(out_dir: str, s: int) -> str:
 
 
 def export_shards(ds, out_dir: str, key: str = "doc_id",
-                  n_shards: int = 16) -> dict:
-    """Write ``ds`` into ``n_shards`` hash shards under ``out_dir``.
+                  n_shards: int = 16, assign: str = "hash") -> dict:
+    """Write ``ds`` into ``n_shards`` shards under ``out_dir``.
+
+    ``assign="hash"`` (default): shard = ``bucket_of(key)`` — uniform
+    placement for resumable bulk export. ``assign="value"``: shard =
+    the key column's own value (must already be ``0..n_shards-1``, e.g.
+    an IVF cell id) — the PARTITION-PRUNED layout where readers open
+    only the shards they probe.
 
     Returns ``{"written": [...], "skipped": [...], "rows": {shard: n}}``.
     Complete shards (manifest present) are skipped untouched; pending
@@ -57,7 +63,15 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
         pend = np.array(sorted(pending), dtype=np.int64)
 
         def add_shard(b: pa.Table) -> pa.Table:
-            sh = bucket_of(b[key].to_numpy(zero_copy_only=False), n_shards)
+            kv = b[key].to_numpy(zero_copy_only=False)
+            if assign == "value":
+                sh = kv.astype(np.int64)
+                if len(sh) and (sh.min() < 0 or sh.max() >= n_shards):
+                    raise ValueError(
+                        f"assign='value' requires {key} in [0, {n_shards})")
+                sh = sh.astype(np.int32)
+            else:
+                sh = bucket_of(kv, n_shards)
             t = b.append_column("shard", pa.array(sh, pa.int32()))
             # resume: only PENDING shards are (re)written
             return t.filter(pa.array(np.isin(sh, pend))) \
@@ -78,17 +92,23 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
             "rows": rows}
 
 
-def read_shards(out_dir: str, columns: list[str] | None = None):
+def read_shards(out_dir: str, columns: list[str] | None = None,
+                shards: list[int] | None = None):
     """Dataset over the COMMITTED shards only (manifest present) —
     uncommitted partials from a crashed export are invisible to
-    readers, mirroring the crawl's round-manifest contract."""
+    readers, mirroring the crawl's round-manifest contract. ``shards``
+    restricts the read to a subset (the partition-pruning path: an IVF
+    query opens only the cells it probes)."""
     import ray.data as rd
 
+    wanted = None if shards is None else set(shards)
     paths = []
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("shard="):
             continue
         s = int(name.split("=", 1)[1])
+        if wanted is not None and s not in wanted:
+            continue
         if storage.read_manifest(_manifest_path(out_dir, s)) is None:
             continue
         d = os.path.join(out_dir, name)

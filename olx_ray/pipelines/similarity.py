@@ -161,15 +161,8 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
     (the SYNTHETIC embeddings are near-uniform, so cells separate
     poorly and n_probe/n_cells must be high for recall — clustered
     real-world embeddings give the usual 10-50× pruning)."""
-    import pyarrow.parquet as pq
-
     ids, q = _load_queries(sf_dir, n_queries)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    sample_tbl = next(pf.iter_batches(batch_size=train_rows,
-                                      columns=["embedding"]))
-    sample = np.vstack(sample_tbl["embedding"].to_pylist()).astype(np.float64)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    cents = _kmeans(sample, n_cells)
+    cents = _train_centroids(sf_dir, n_cells, train_rows)
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
     cell_queries: dict[int, list[int]] = {}
     for qi in range(len(ids)):
@@ -208,6 +201,103 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
     local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \
         .map_batches(CellScan, batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    return _global_topk(local, k)
+
+
+def _train_centroids(sf_dir: str, n_cells: int, train_rows: int):
+    """Seeded k-means centroids from a bounded prefix sample (driver —
+    sample-sized, never corpus-sized)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_tbl = next(pf.iter_batches(batch_size=train_rows,
+                                      columns=["embedding"]))
+    sample = np.vstack(sample_tbl["embedding"].to_pylist()).astype(np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    return _kmeans(sample, n_cells)
+
+
+def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
+                     train_rows: int = 4096) -> dict:
+    """Materialize the IVF-PARTITIONED physical layout the ``knn_ivf``
+    docstring promises: embeddings written as one shard per k-means
+    cell (``export_shards(assign="value")`` — resumable, atomic
+    per-cell manifests) plus the centroids alongside. Queries against
+    this layout (``knn_ivf_indexed``) open ONLY the cells they probe —
+    partition pruning at the file level, the actual 100 TB ANN path."""
+    import os
+
+    from .export import export_shards
+
+    cents = _train_centroids(sf_dir, n_cells, train_rows)
+    os.makedirs(out_dir, exist_ok=True)
+    cref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        if len(m) == 0:
+            return b.append_column("cell", pa.array([], pa.int64()))
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cell = (m @ ray.get(cref).T).argmax(axis=1).astype(np.int64)
+        return b.append_column("cell", pa.array(cell, pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")
+    res = export_shards(ds, out_dir, key="cell", n_shards=n_cells,
+                        assign="value")
+    np.save(f"{out_dir}/centroids.npy", cents)
+    return res
+
+
+def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
+                    k: int = 10, n_probe: int = 8):
+    """ANN over the ``build_ivf_layout`` output: load centroids, pick
+    each query's ``n_probe`` cells, and read ONLY those cell shards
+    (``read_shards(shards=...)`` — file-level partition pruning; the
+    unprobed fraction of the corpus is never opened). Scoring reuses
+    the broadcast-queries + local-top-k combiner. With identical
+    centroids/probes this returns exactly ``knn_ivf``'s answer — the
+    layout changes I/O, not math (pinned by a test)."""
+    from .export import read_shards
+
+    ids, q = _load_queries(sf_dir, n_queries)
+    cents = np.load(f"{index_dir}/centroids.npy")
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
+    cell_queries: dict[int, list[int]] = {}
+    for qi in range(len(ids)):
+        for c in probe[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((ids, q, cell_queries, k))
+
+    class ShardScan:
+        def __init__(self):
+            self.q_ids, self.q, self.cells, self.k = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy()
+            if len(vids) == 0:
+                return _empty_topk_table()
+            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cell = b["cell"].to_numpy()
+            rows_q, rows_n, rows_c = [], [], []
+            for c in np.unique(cell):
+                qis = self.cells.get(int(c))
+                if not qis:        # row of a probed file, unprobed cell
+                    continue
+                sub = np.nonzero(cell == c)[0]
+                cos = self.q[qis] @ m[sub].T
+                for row, qi in enumerate(qis):
+                    rows_q.extend([int(self.q_ids[qi])] * len(sub))
+                    rows_n.extend(int(vids[s]) for s in sub)
+                    rows_c.extend(cos[row].tolist())
+            return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
+
+    local = read_shards(index_dir, columns=["vec_id", "embedding", "cell"],
+                        shards=sorted(cell_queries)) \
+        .map_batches(ShardScan, batch_format="pyarrow", batch_size=4096,
                      concurrency=(1, 4), num_cpus=1)
     return _global_topk(local, k)
 

@@ -176,3 +176,23 @@ def test_minhash_verify_strategies_agree(ray_session):
         .to_pandas().reset_index(drop=True)
     assert len(a) > 0          # empty fixture would make this vacuous
     assert a.equals(b)
+
+
+def test_ivf_layout_pruned_read_matches_knn_ivf(ray_session, tmp_path):
+    """The cell-partitioned layout must answer EXACTLY like the scan
+    variant (same centroids, same probes — layout changes I/O, not
+    math), and the query must open only probed cell shards."""
+    import os
+
+    from olx_ray.pipelines.similarity import (build_ivf_layout, knn_ivf,
+                                              knn_ivf_indexed)
+
+    idx = str(tmp_path / "ivf")
+    res = build_ivf_layout(SF, idx, n_cells=8)
+    assert sorted(res["written"]) == list(range(8))
+    # resume: second build skips everything
+    assert build_ivf_layout(SF, idx, n_cells=8)["written"] == []
+    got = knn_ivf_indexed(SF, idx, n_probe=4).to_pandas()
+    want = knn_ivf(SF, n_cells=8, n_probe=4).to_pandas()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
