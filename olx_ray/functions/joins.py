@@ -62,19 +62,34 @@ def broadcast_semi(ds, keys, key: str, *, anti: bool = False,
 
 def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
                      how: str = "inner", columns_left: list[str] | None = None,
-                     columns_right: list[str] | None = None):
+                     columns_right: list[str] | None = None,
+                     hot_keys=None, salt: int = 8):
     """Partitioned hash join of two Datasets on an integer key column.
 
     Both sides get ``_bucket = bucket_of(key)`` (mixed key hash, so
-    strided/shard-tagged id spaces still spread; salt externally for
-    VALUE-skewed keys), are tagged with a side marker, unioned, and each
-    bucket is joined inside one ``map_groups`` task. One all-to-all
-    shuffle total.
+    strided/shard-tagged id spaces still spread), are tagged with a
+    side marker, unioned, and each bucket is joined inside one
+    ``map_groups`` task. One all-to-all shuffle total.
+
+    VALUE skew (one key carrying a disproportionate share of the LEFT
+    side) is handled by SALTING: pass the hot keys in ``hot_keys`` —
+    each hot key's left rows spread round-robin over ``salt``
+    sub-buckets while its right rows are REPLICATED into all of them,
+    so no single task holds a hot key's full left side. Join output is
+    identical (each left row still meets each matching right row
+    exactly once); inner joins only (replicated right rows would
+    duplicate outer-null emission).
 
     Schema alignment for the union uses Arrow TYPED null columns — a
     pandas ``pd.NA`` widen turns columns to object dtype and makes the
     shuffle sort ~10× slower."""
     import pyarrow as pa
+
+    if hot_keys and how != "inner":
+        raise ValueError("hot-key salting requires an inner join")
+    hot = np.unique(np.asarray(sorted(set(map(int, hot_keys))), np.int64)) \
+        if hot_keys else np.empty(0, np.int64)
+    mult = salt if len(hot) else 1
 
     lschema = left.schema()
     rschema = right.schema()
@@ -92,9 +107,32 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
             out = {}
             for c in all_cols:
                 out[c] = b[c] if c in cols else pa.nulls(n, types[c])
-            out["_bucket"] = pa.array(bucket_of(key, n_buckets))
-            out["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(out)
+            t = pa.table(out)
+            sub = np.zeros(n, np.int64)
+            if len(hot) and n:
+                pos = np.searchsorted(hot, key)
+                pos[pos == len(hot)] = 0
+                is_hot = hot[pos] == key
+                if side == 0:
+                    nh = int(is_hot.sum())
+                    if nh:      # spread hot left rows over sub-buckets
+                        sub[np.nonzero(is_hot)[0]] = np.arange(nh) % salt
+                elif is_hot.any() and salt > 1:
+                    # replicate hot right rows into every sub-bucket
+                    hr = np.nonzero(is_hot)[0]
+                    order = np.concatenate([np.arange(n)] + [hr] * (salt - 1))
+                    sub = np.concatenate(
+                        [sub] + [np.full(len(hr), j, np.int64)
+                                 for j in range(1, salt)])
+                    t = t.take(pa.array(order))
+                    key = key[order]
+            bucket = bucket_of(key, n_buckets).astype(np.int64) * mult + sub
+            t = t.append_column("_bucket",
+                                pa.array(bucket.astype(np.int32), pa.int32()))
+            t = t.append_column("_side",
+                                pa.array(np.full(len(key), side, np.int8),
+                                         pa.int8()))
+            return t
         return fn
 
     lt = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow")

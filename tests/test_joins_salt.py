@@ -1,0 +1,59 @@
+"""Hot-key salted bucket_hash_join: identical output, spread placement."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _datasets():
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    # VALUE skew: key 7 carries 5000 left rows; the rest are uniform
+    lk = np.concatenate([np.full(5000, 7), rng.randint(0, 100, 2000)])
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    rk = np.repeat(np.arange(100), 2)      # every key twice on the right
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    return rd.from_arrow(left), rd.from_arrow(right), \
+        left.to_pandas(), right.to_pandas()
+
+
+def test_salted_join_output_identical(ray_session):
+    from olx_ray.functions.joins import bucket_hash_join
+
+    lds, rds, lpd, rpd = _datasets()
+    want = lpd.merge(rpd, on="k").sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    plain = bucket_hash_join(lds, rds, on="k").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    salted = bucket_hash_join(lds, rds, on="k", hot_keys=[7], salt=8) \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain[want.columns], want)
+    pd.testing.assert_frame_equal(salted[want.columns], want)
+
+
+def test_salted_join_single_base_bucket(ray_session):
+    """n_buckets=1 forces every row through the sub-bucket arithmetic
+    (combined id = base*salt + sub) — hot replication and round-robin
+    spread must still reassemble the exact join output."""
+    from olx_ray.functions.joins import bucket_hash_join
+
+    lds, rds, lpd, rpd = _datasets()
+    want = lpd.merge(rpd, on="k").sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    out = bucket_hash_join(lds, rds, on="k", n_buckets=1,
+                           hot_keys=[7], salt=8).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[want.columns], want)
+
+
+def test_salting_rejects_outer_join(ray_session):
+    import pytest
+
+    from olx_ray.functions.joins import bucket_hash_join
+
+    lds, rds, _, _ = _datasets()
+    with pytest.raises(ValueError, match="inner"):
+        bucket_hash_join(lds, rds, on="k", how="left", hot_keys=[7])
