@@ -19,6 +19,8 @@ filters) — the semi/anti-join pattern.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import ray
@@ -85,10 +87,15 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
     shuffle sort ~10× slower."""
     import pyarrow as pa
 
-    if hot_keys and how != "inner":
+    has_hot = hot_keys is not None and len(hot_keys) > 0   # len(): works
+    #           for list/set/ndarray alike (bool(ndarray) would raise)
+    if has_hot and how != "inner":
         raise ValueError("hot-key salting requires an inner join")
-    hot = np.unique(np.asarray(sorted(set(map(int, hot_keys))), np.int64)) \
-        if hot_keys else np.empty(0, np.int64)
+    if has_hot and salt < 1:
+        raise ValueError("salt must be >= 1 (salt=0 would collapse the "
+                         "whole join into one bucket)")
+    hot = np.unique(np.asarray(list(map(int, hot_keys)), np.int64)) \
+        if has_hot else np.empty(0, np.int64)
     mult = salt if len(hot) else 1
 
     lschema = left.schema()
@@ -115,8 +122,17 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
                 is_hot = hot[pos] == key
                 if side == 0:
                     nh = int(is_hot.sum())
-                    if nh:      # spread hot left rows over sub-buckets
-                        sub[np.nonzero(is_hot)[0]] = np.arange(nh) % salt
+                    if nh:
+                        # spread hot left rows over sub-buckets. The
+                        # offset is per-batch RANDOM on purpose:
+                        # placement is load-balancing only (join output
+                        # never depends on it), and a plain arange%salt
+                        # restarting at 0 each batch would starve the
+                        # upper sub-buckets whenever per-batch hot
+                        # counts are below `salt`
+                        off = int.from_bytes(os.urandom(4), "little")
+                        sub[np.nonzero(is_hot)[0]] = \
+                            (np.arange(nh) + off) % salt
                 elif is_hot.any() and salt > 1:
                     # replicate hot right rows into every sub-bucket
                     hr = np.nonzero(is_hot)[0]
@@ -135,8 +151,14 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
             return t
         return fn
 
-    lt = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, set(rcols)), batch_format="pyarrow")
+    # bounded batches: right-side hot replication amplifies a batch up
+    # to salt× inside one tag task — whole-block batches could blow a
+    # worker heap on exactly the skewed inputs salting targets
+    tag_bs = 65536
+    lt = left.map_batches(tag(0, set(lcols)), batch_format="pyarrow",
+                          batch_size=tag_bs)
+    rt = right.map_batches(tag(1, set(rcols)), batch_format="pyarrow",
+                           batch_size=tag_bs)
 
     def join_bucket(g: pa.Table) -> pd.DataFrame:
         # Split sides in ARROW, then convert each side to pandas

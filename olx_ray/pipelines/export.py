@@ -51,12 +51,36 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
     the manifest, and the manifest rename is atomic — a kill at any
     point leaves each shard either complete or cleanly restartable."""
     os.makedirs(out_dir, exist_ok=True)
-    done = {s for s in range(n_shards)
-            if storage.read_manifest(_manifest_path(out_dir, s)) is not None}
-    pending = [s for s in range(n_shards) if s not in done]
+    done = set()
     rows: dict[int, int] = {}
-    for s in done:
-        rows[s] = storage.read_manifest(_manifest_path(out_dir, s))["rows"]
+    for s in range(n_shards):
+        man = storage.read_manifest(_manifest_path(out_dir, s))
+        if man is None:
+            continue
+        # resume is only sound under IDENTICAL placement parameters: a
+        # different n_shards/key/assign would leave the same row both in
+        # a skipped old shard and a newly written one (silent duplicates)
+        got = (man.get("n_shards"), man.get("key"),
+               man.get("assign", "hash"))
+        if got != (n_shards, key, assign):
+            raise ValueError(
+                f"{out_dir} shard {s} was exported with "
+                f"(n_shards, key, assign)={got}, current call uses "
+                f"{(n_shards, key, assign)}; resume requires identical "
+                f"placement parameters — export to a fresh directory")
+        done.add(s)
+        rows[s] = man["rows"]
+    pending = [s for s in range(n_shards) if s not in done]
+    # shards beyond n_shards from an earlier wider export would also
+    # duplicate rows — refuse those too
+    stray = [name for name in os.listdir(out_dir) if name.startswith("shard=")
+             and int(name.split("=", 1)[1]) >= n_shards
+             and storage.read_manifest(_manifest_path(
+                 out_dir, int(name.split("=", 1)[1]))) is not None]
+    if stray:
+        raise ValueError(f"{out_dir} holds committed shards outside "
+                         f"[0, {n_shards}): {stray}; export to a fresh "
+                         f"directory")
     if pending:
         for s in pending:
             shutil.rmtree(_shard_dir(out_dir, s), ignore_errors=True)
@@ -77,8 +101,17 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
             return t.filter(pa.array(np.isin(sh, pend))) \
                 if len(pend) < n_shards else t
 
-        ds.map_batches(add_shard, batch_format="pyarrow") \
-            .write_parquet(out_dir, partition_cols=["shard"])
+        sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+        # schema sidecar: a zero-row parquet carrying the FILE schema,
+        # so read_shards of only-empty shards still yields the right
+        # columns instead of a schemaless table
+        sch = sharded.schema()
+        file_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)
+             if n != "shard"])   # hive write moves `shard` into the path
+        pq.write_table(file_schema.empty_table(),
+                       os.path.join(out_dir, "_schema.parquet"))
+        sharded.write_parquet(out_dir, partition_cols=["shard"])
         for s in pending:
             sdir = _shard_dir(out_dir, s)
             os.makedirs(sdir, exist_ok=True)   # empty shard still commits
@@ -86,7 +119,7 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
                     for f in os.listdir(sdir) if f.endswith(".parquet"))
             storage.write_manifest(_manifest_path(out_dir, s),
                                    {"shard": s, "rows": n, "key": key,
-                                    "n_shards": n_shards})
+                                    "n_shards": n_shards, "assign": assign})
             rows[s] = n
     return {"written": sorted(pending), "skipped": sorted(done),
             "rows": rows}
@@ -115,5 +148,10 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
         paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
                      if f.endswith(".parquet"))
     if not paths:
+        # only-empty (or no committed) shards: serve the schema sidecar
+        # so the result still carries the export's columns
+        sidecar = os.path.join(out_dir, "_schema.parquet")
+        if os.path.exists(sidecar):
+            return rd.read_parquet(sidecar, columns=columns)
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths, columns=columns)

@@ -133,6 +133,26 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _score_cells(q_ids, q, cell_queries, k, vids, m, cell) -> pa.Table:
+    """Shared IVF scorer: each corpus row scores only the queries
+    probing its cell; local top-(k+1) truncation before the shuffle.
+    ONE implementation on purpose — ``knn_ivf`` (argmax-derived cells)
+    and ``knn_ivf_indexed`` (stored cell column) pin answer parity, so
+    tie-break/truncation logic must not fork."""
+    rows_q, rows_n, rows_c = [], [], []
+    for c in np.unique(cell):
+        qis = cell_queries.get(int(c))
+        if not qis:
+            continue
+        sub = np.nonzero(cell == c)[0]
+        cos = q[qis] @ m[sub].T              # (probing Q, sub)
+        for row, qi in enumerate(qis):
+            rows_q.extend([int(q_ids[qi])] * len(sub))
+            rows_n.extend(int(vids[s]) for s in sub)
+            rows_c.extend(cos[row].tolist())
+    return _truncate_local_topk(rows_q, rows_n, rows_c, k)
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
             seed: int = 11) -> np.ndarray:
     """Seeded Lloyd's k-means on a (normalized) sample — the IVF coarse
@@ -182,21 +202,8 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cell = (m @ self.cents.T).argmax(axis=1)
-            rows_q, rows_n, rows_c = [], [], []
-            for c in np.unique(cell):
-                qis = self.cells.get(int(c))
-                if not qis:
-                    continue
-                sub = np.nonzero(cell == c)[0]
-                cos = self.q[qis] @ m[sub].T          # (probing Q, sub)
-                for row, qi in enumerate(qis):
-                    rows_q.extend([int(self.q_ids[qi])] * len(sub))
-                    rows_n.extend(int(vids[s]) for s in sub)
-                    rows_c.extend(cos[row].tolist())
-            # local top-k BEFORE the shuffle: candidates per batch are
-            # O(probing-queries × batch); the groupby must carry only
-            # Q×(k+1) rows per batch
-            return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
+            return _score_cells(self.q_ids, self.q, self.cells, self.k,
+                                vids, m, cell)
 
     local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \
@@ -225,19 +232,42 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
     cell (``export_shards(assign="value")`` — resumable, atomic
     per-cell manifests) plus the centroids alongside. Queries against
     this layout (``knn_ivf_indexed``) open ONLY the cells they probe —
-    partition pruning at the file level, the actual 100 TB ANN path."""
+    partition pruning at the file level, the actual 100 TB ANN path.
+
+    Resume/drift safety: ``centroids.npy`` is written BEFORE the export
+    and RELOADED (never retrained/overwritten) on a resumed build, so
+    shard contents and centroids cannot drift apart; a layout manifest
+    pins (n_cells, train_rows) and a re-build with different parameters
+    is refused (use a fresh directory)."""
     import os
 
+    from .. import storage
     from .export import export_shards
 
-    cents = _train_centroids(sf_dir, n_cells, train_rows)
     os.makedirs(out_dir, exist_ok=True)
+    lman_path = f"{out_dir}/IVF_MANIFEST.json"
+    lman = storage.read_manifest(lman_path)
+    if lman is not None and (lman["n_cells"], lman["train_rows"]) \
+            != (n_cells, train_rows):
+        raise ValueError(
+            f"{out_dir} was built with n_cells={lman['n_cells']}, "
+            f"train_rows={lman['train_rows']}; rebuild parameters must "
+            f"match — use a fresh directory")
+    cpath = f"{out_dir}/centroids.npy"
+    if os.path.exists(cpath):
+        cents = np.load(cpath)
+        if len(cents) != n_cells:
+            raise ValueError(f"{cpath} holds {len(cents)} centroids, "
+                             f"call asked n_cells={n_cells}")
+    else:
+        cents = _train_centroids(sf_dir, n_cells, train_rows)
+        np.save(cpath, cents)
     cref = ray.put(cents)
 
     def assign(b: pa.Table) -> pa.Table:
-        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
-        if len(m) == 0:
+        if b.num_rows == 0:      # guard BEFORE vstack (vstack([]) raises)
             return b.append_column("cell", pa.array([], pa.int64()))
+        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cell = (m @ ray.get(cref).T).argmax(axis=1).astype(np.int64)
         return b.append_column("cell", pa.array(cell, pa.int64()))
@@ -247,7 +277,8 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
         .map_batches(assign, batch_format="pyarrow")
     res = export_shards(ds, out_dir, key="cell", n_shards=n_cells,
                         assign="value")
-    np.save(f"{out_dir}/centroids.npy", cents)
+    storage.write_manifest(lman_path, {"n_cells": n_cells,
+                                       "train_rows": train_rows})
     return res
 
 
@@ -281,19 +312,8 @@ def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
                 return _empty_topk_table()
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
-            cell = b["cell"].to_numpy()
-            rows_q, rows_n, rows_c = [], [], []
-            for c in np.unique(cell):
-                qis = self.cells.get(int(c))
-                if not qis:        # row of a probed file, unprobed cell
-                    continue
-                sub = np.nonzero(cell == c)[0]
-                cos = self.q[qis] @ m[sub].T
-                for row, qi in enumerate(qis):
-                    rows_q.extend([int(self.q_ids[qi])] * len(sub))
-                    rows_n.extend(int(vids[s]) for s in sub)
-                    rows_c.extend(cos[row].tolist())
-            return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
+            return _score_cells(self.q_ids, self.q, self.cells, self.k,
+                                vids, m, b["cell"].to_numpy())
 
     local = read_shards(index_dir, columns=["vec_id", "embedding", "cell"],
                         shards=sorted(cell_queries)) \
