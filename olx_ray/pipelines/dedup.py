@@ -266,12 +266,17 @@ def minhash_candidates(sf_dir: str, n_buckets: int = 32):
 
 
 def _pair_bucket(a: np.ndarray, c: np.ndarray, n_buckets: int) -> np.ndarray:
-    """THE pair-hash bucket id for an (a, b) pair. Single definition on
-    purpose: ``minhash_lsh_pairs``' fused dedup-in-verify is only
-    correct if every band-duplicate of a pair lands in the SAME bucket
-    ``pair_distinct`` would use."""
-    return (((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             ^ c.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+    """THE pair-hash bucket id for an (a, b) pair — golden-ratio combine
+    then the shared fmix64 ``bucket_of`` (a multiply alone leaves low
+    bits a function of a's low bits: strided doc-id spaces would
+    collapse pair buckets). Single definition on purpose: pair
+    duplicates across bands must co-locate wherever pairs are
+    bucket-deduped."""
+    from ..functions.hashing import bucket_of
+
+    combined = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+        ^ c.astype(np.uint64)
+    return bucket_of(combined, n_buckets)
 
 
 def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
