@@ -165,6 +165,69 @@ def text_profile(sf_dir: str):
                      concurrency=(1, 4)).sort("doc_id")
 
 
+def repetition_stats(sf_dir: str):
+    """WITHIN-document repetition signals — the standard corpus-filter
+    family (duplicate-token fraction, most-frequent-2-gram share) used
+    to drop boilerplate/spam before training. Per-batch kernel, one
+    pass over each doc's tokens; DuckDB-oracle-checked in pytest
+    (library operator — the 50-entry driver surface is full; see
+    COVERAGE.md)."""
+    from collections import Counter
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        n_out = np.zeros(len(b), dtype=np.int64)
+        dup = np.zeros(len(b), dtype=np.float64)
+        top2 = np.zeros(len(b), dtype=np.float64)
+        for i, text in enumerate(b["text"]):
+            toks = (text or "").split()
+            n = len(toks)
+            n_out[i] = n
+            if n:
+                dup[i] = 1.0 - len(set(toks)) / n
+            if n >= 2:
+                grams = Counter(zip(toks, toks[1:]))
+                top2[i] = max(grams.values()) / (n - 1)
+        out = b[["doc_id"]].copy()
+        out["n_tokens"] = n_out
+        out["dup_token_ratio"] = np.round(dup, 6)
+        out["top_2gram_ratio"] = np.round(top2, 6)
+        return out
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pandas", batch_size=2048).sort("doc_id")
+
+
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id) AS pos
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND trim(text) != '')
+), per AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT w) AS d FROM toks
+  GROUP BY doc_id
+), grams AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, a.w, b.w
+), topg AS (SELECT doc_id, max(c) AS topc FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n, 0) AS n_tokens,
+       round(CASE WHEN per.n IS NULL THEN 0
+                  ELSE 1 - per.d::DOUBLE / per.n END, 6) AS dup_token_ratio,
+       round(CASE WHEN per.n IS NULL OR per.n < 2 THEN 0
+                  ELSE topg.topc::DOUBLE / (per.n - 1) END, 6)
+         AS top_2gram_ratio
+FROM documents d
+LEFT JOIN per ON per.doc_id = d.doc_id
+LEFT JOIN topg ON topg.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+# NOTE: row_number() without ORDER BY relies on unnest preserving array
+# order within a partition — DuckDB guarantees unnest emission order, and
+# the pytest oracle pins it.
+
+
 def word_counts(sf_dir: str, n_buckets: int = 32):
     """Corpus word counts, combiner-first: per-batch partial counts →
     word-hash bucket groupby → ONE vectorized pandas sum per bucket.
