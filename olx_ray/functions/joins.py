@@ -65,8 +65,16 @@ def broadcast_semi(ds, keys, key: str, *, anti: bool = False,
 def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
                      how: str = "inner", columns_left: list[str] | None = None,
                      columns_right: list[str] | None = None,
-                     hot_keys=None, salt: int = 8):
+                     hot_keys=None, salt: int = 8, post=None):
     """Partitioned hash join of two Datasets on an integer key column.
+
+    ``post(joined_frame) -> frame`` runs INSIDE each bucket task on its
+    joined rows. Because a bucket holds every row of its keys from both
+    sides, any per-join-key aggregate is complete there — passing it as
+    ``post`` fuses the aggregation into the join and saves the separate
+    groupby shuffle (valid only for group keys equal to — or
+    functionally dependent on — the join key, and without hot-key
+    salting, which splits a key across sub-buckets).
 
     Both sides get ``_bucket = bucket_of(key)`` (mixed key hash, so
     strided/shard-tagged id spaces still spread), are tagged with a
@@ -91,6 +99,10 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
     #           for list/set/ndarray alike (bool(ndarray) would raise)
     if has_hot and how != "inner":
         raise ValueError("hot-key salting requires an inner join")
+    if has_hot and post is not None:
+        raise ValueError("post-aggregation requires each key whole in one "
+                         "bucket; salting splits hot keys across "
+                         "sub-buckets")
     if has_hot and salt < 1:
         raise ValueError("salt must be >= 1 (salt=0 would collapse the "
                          "whole join into one bucket)")
@@ -172,7 +184,8 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
         side = g["_side"]
         l = g.filter(pc.equal(side, 0)).select(lcols).to_pandas()
         r = g.filter(pc.equal(side, 1)).select(rcols).to_pandas()
-        return l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        out = l.merge(r, on=on, how=how, suffixes=("", "_r"))
+        return post(out) if post is not None else out
 
     return lt.union(rt).groupby("_bucket").map_groups(
         join_bucket, batch_format="pyarrow")

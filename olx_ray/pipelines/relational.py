@@ -185,18 +185,20 @@ def q3_shipping_priority(sf_dir: str):
         b["o_orderkey"] = b["l_orderkey"]
         return b[["o_orderkey", "revenue"]]
 
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # group key = join key (+ functionally dependent cols): every
+        # order's rows are COMPLETE inside its join bucket, so the
+        # unbounded-key aggregate fuses into the join task and the
+        # separate groupby shuffle disappears (one all-to-all saved)
+        return df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                          as_index=False)["revenue"].sum()
+
     li = li.map_batches(prep_li, batch_format="pandas")
-    joined = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
-                              columns_left=["o_orderkey", "revenue"],
-                              columns_right=["o_orderkey", "o_orderdate",
-                                             "o_orderpriority"])
-    # one group per qualifying ORDER — unbounded key, so the finish is
-    # bucketed (q18 pattern), not a repartition(1) coalesce
-    agg = _partial_bucket_agg(joined,
-                              ["o_orderkey", "o_orderdate", "o_orderpriority"],
-                              "o_orderkey",
-                              dict(revenue=("revenue", "sum")),
-                              dict(revenue=("revenue", "sum")))
+    agg = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
+                           columns_left=["o_orderkey", "revenue"],
+                           columns_right=["o_orderkey", "o_orderdate",
+                                          "o_orderpriority"],
+                           post=per_order)
     return _round_col(agg, ["revenue"]) \
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
