@@ -244,11 +244,18 @@ def q5_supplier_volume(sf_dir: str):
         b["o_orderkey"] = b["l_orderkey"]
         return b[["o_orderkey", "s_nationkey", "revenue"]]
 
+    def same_nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # fused into the join task: the same-nation filter + a partial
+        # per-nation sum (bounded 25 keys) — the shuffle after the join
+        # carries ≤ 25 rows per bucket instead of every joined line
+        df = df[df["s_nationkey"] == df["c_nationkey"]]
+        return df.groupby("s_nationkey", as_index=False)["revenue"].sum()
+
     li = li.map_batches(prep, batch_format="pandas")
     joined = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
                               columns_left=["o_orderkey", "s_nationkey", "revenue"],
-                              columns_right=["o_orderkey", "c_nationkey"])
-    joined = joined.filter(expr="s_nationkey == c_nationkey")
+                              columns_right=["o_orderkey", "c_nationkey"],
+                              post=same_nation_partial)
     names = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
     def name_of(b: pd.DataFrame) -> pd.DataFrame:
@@ -287,16 +294,22 @@ def q10_returned_revenue(sf_dir: str):
         b["o_orderkey"] = b["l_orderkey"]
         return b[["o_orderkey", "revenue"]]
 
+    def per_cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner fused into the join task: a customer's orders span
+        # order-key buckets, so this is PARTIAL — the bucketed finish
+        # below merges across buckets (per-customer key is unbounded;
+        # a repartition(1) coalesce would be the q3-class weakness)
+        return df.groupby("o_custkey", as_index=False)["revenue"].sum()
+
     li = li.map_batches(prep, batch_format="pandas")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
                               columns_left=["o_orderkey", "revenue"],
-                              columns_right=["o_orderkey", "o_custkey"])
-    # aggregate on the surrogate INT key first (cheap shuffle rows),
-    # then attach the descriptive customer columns by broadcast merge
-    agg = _partial_small_agg(joined, ["o_custkey"],
-                             dict(revenue=("revenue", "sum")),
-                             dict(revenue=("revenue", "sum")))
+                              columns_right=["o_orderkey", "o_custkey"],
+                              post=per_cust_partial)
+    agg = _partial_bucket_agg(joined, ["o_custkey"], "o_custkey",
+                              dict(revenue=("revenue", "sum")),
+                              dict(revenue=("revenue", "sum")))
     cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
