@@ -555,6 +555,46 @@ def simhash_signatures(sf_dir: str):
     return _simhash_sigs(sf_dir).sort("doc_id")
 
 
+def _simhash_verify_frame(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Exact-hamming verify over one HASH BUCKET of (band, key) rows:
+    pairwise compare only inside same-(band, key) runs. Fully
+    vectorized — runs found by one lexsort, hamming distances by XOR +
+    byte-LUT popcount over row chunks of the strict upper triangle (no
+    per-row Python; scratch bounded ≈16 MB even on flooded keys)."""
+    g = g.drop_duplicates(["band", "key", "doc_id"])
+    comb = ((g["band"].to_numpy().astype(np.int64) << 16)
+            | g["key"].to_numpy().astype(np.int64))
+    order = np.lexsort((g["doc_id"].to_numpy(), comb))
+    ids = g["doc_id"].to_numpy()[order]
+    sh = g["simhash"].to_numpy().astype(np.uint64)[order]
+    comb = comb[order]
+    starts = np.flatnonzero(np.r_[True, comb[1:] != comb[:-1]])
+    ends = np.r_[starts[1:], len(comb)]
+    out_a, out_b, out_d = [], [], []
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        if n < 2:
+            continue
+        rid, rsh = ids[s:e], sh[s:e]
+        # ids ascending inside the run → row < col means doc_a < doc_b
+        chunk = max(1, (1 << 21) // n)   # ≈ 16 MB of uint64 scratch
+        for cs in range(0, n - 1, chunk):
+            ce = min(cs + chunk, n - 1)
+            x = rsh[cs:ce, None] ^ rsh[None, :]
+            d = _POPCNT8[x.view(np.uint8)].reshape(ce - cs, n, 8) \
+                .sum(axis=2, dtype=np.int64)
+            ri, cj = np.nonzero(d <= max_hamming)
+            keep = cj > ri + cs          # strict upper triangle
+            out_a.append(rid[ri[keep] + cs])
+            out_b.append(rid[cj[keep]])
+            out_d.append(d[ri[keep], cj[keep]])
+    cat = (lambda xs: np.concatenate(xs) if xs
+           else np.empty(0, np.int64))
+    return pd.DataFrame({"doc_a": pd.Series(cat(out_a), dtype="int64"),
+                         "doc_b": pd.Series(cat(out_b), dtype="int64"),
+                         "hamming": pd.Series(cat(out_d), dtype="int64")})
+
+
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Hamming-≤k candidate pairs via 4-way band buckets (any pair with
     ≤3 differing bits shares at least one of 4 16-bit bands) + exact
@@ -575,43 +615,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             "simhash": pa.array(np.tile(sh, 4), pa.uint64())})
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """One task per HASH BUCKET of (band, key): within the bucket,
-        pairwise-verify only inside same-(band, key) runs. Fully
-        vectorized: runs found by one lexsort, hamming distances by
-        XOR + byte-LUT popcount over row chunks of the triangle (no
-        per-row Python, bounded scratch memory on flooded keys)."""
-        g = g.drop_duplicates(["band", "key", "doc_id"])
-        comb = ((g["band"].to_numpy().astype(np.int64) << 16)
-                | g["key"].to_numpy().astype(np.int64))
-        order = np.lexsort((g["doc_id"].to_numpy(), comb))
-        ids = g["doc_id"].to_numpy()[order]
-        sh = g["simhash"].to_numpy().astype(np.uint64)[order]
-        comb = comb[order]
-        starts = np.flatnonzero(np.r_[True, comb[1:] != comb[:-1]])
-        ends = np.r_[starts[1:], len(comb)]
-        out_a, out_b, out_d = [], [], []
-        for s, e in zip(starts, ends):
-            n = int(e - s)
-            if n < 2:
-                continue
-            rid, rsh = ids[s:e], sh[s:e]
-            # ids ascending inside the run → row < col means doc_a < doc_b
-            chunk = max(1, (1 << 21) // n)   # ≈ 16 MB of uint64 scratch
-            for cs in range(0, n - 1, chunk):
-                ce = min(cs + chunk, n - 1)
-                x = rsh[cs:ce, None] ^ rsh[None, :]
-                d = _POPCNT8[x.view(np.uint8)].reshape(ce - cs, n, 8) \
-                    .sum(axis=2, dtype=np.int64)
-                ri, cj = np.nonzero(d <= max_hamming)
-                keep = cj > ri + cs          # strict upper triangle
-                out_a.append(rid[ri[keep] + cs])
-                out_b.append(rid[cj[keep]])
-                out_d.append(d[ri[keep], cj[keep]])
-        cat = (lambda xs: np.concatenate(xs) if xs
-               else np.empty(0, np.int64))
-        return pd.DataFrame({"doc_a": pd.Series(cat(out_a), dtype="int64"),
-                             "doc_b": pd.Series(cat(out_b), dtype="int64"),
-                             "hamming": pd.Series(cat(out_d), dtype="int64")})
+        return _simhash_verify_frame(g, max_hamming)
 
     def bucketize(b: pa.Table) -> pa.Table:
         key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)

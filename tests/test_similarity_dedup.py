@@ -196,3 +196,41 @@ def test_ivf_layout_pruned_read_matches_knn_ivf(ray_session, tmp_path):
     want = knn_ivf(SF, n_cells=8, n_probe=4).to_pandas()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
+
+
+def test_simhash_verify_frame_matches_bruteforce():
+    """Property: the LUT-vectorized run verify equals a per-pair
+    brute-force popcount reference on random (band, key, simhash)
+    frames, including duplicate doc rows and flooded keys."""
+    import pandas as pd
+
+    from olx_ray.pipelines.dedup import _simhash_verify_frame
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(0, 120))
+        g = pd.DataFrame({
+            "doc_id": rng.integers(0, 40, n).astype(np.int64),
+            "band": rng.integers(0, 4, n).astype(np.int32),
+            # few distinct keys → long runs; hashes drawn close together
+            # so some pairs land under the threshold
+            "key": rng.integers(0, 3, n).astype(np.uint64),
+            "simhash": (rng.integers(0, 2, n).astype(np.uint64) * 0xFFFF
+                        + rng.integers(0, 8, n).astype(np.uint64)),
+        })
+        k = int(rng.integers(0, 5))
+        got = _simhash_verify_frame(g, k)
+        # brute force: dedup, then all (band,key)-sharing id pairs
+        ref_rows = set()
+        dd = g.drop_duplicates(["band", "key", "doc_id"])
+        recs = list(dd.itertuples(index=False))
+        for i in range(len(recs)):
+            for j in range(len(recs)):
+                a, b = recs[i], recs[j]
+                if (a.band == b.band and a.key == b.key
+                        and a.doc_id < b.doc_id):
+                    d = bin(int(a.simhash) ^ int(b.simhash)).count("1")
+                    if d <= k:
+                        ref_rows.add((a.doc_id, b.doc_id, d))
+        got_rows = set(map(tuple, got.to_numpy()))
+        assert got_rows == ref_rows, f"trial {trial}"
