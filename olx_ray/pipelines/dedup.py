@@ -85,9 +85,11 @@ FROM documents GROUP BY text ORDER BY min(doc_id)
 
 
 # byte-wise popcount LUT: popcount(u64 array) = _POPCNT8[a.view(u8)]
-# reshaped (..., 8) and summed over the last axis
+# reshaped (..., 8) and summed over the last axis. uint8 so the gather
+# scratch is 1 byte/element (the sum widens via its dtype= argument) —
+# an int64 LUT would 8x the per-chunk scratch of the simhash verify.
 _POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                         axis=1).sum(axis=1).astype(np.int64)
+                         axis=1).sum(axis=1).astype(np.uint8)
 
 # ---------------------------------------------------------------- minhash
 _POLY = np.uint64(0x100000001B3)      # FNV-1a prime: odd → bijective mod 2^64

@@ -198,11 +198,18 @@ def repetition_stats(sf_dir: str):
 
 
 REPETITION_STATS_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id) AS pos
+WITH toks0 AS (
+  SELECT doc_id, w, pos0
   FROM (SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        FROM documents WHERE text IS NOT NULL AND trim(text) != '')
+               unnest(regexp_split_to_array(text, '\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(text, '\s+'), 1)
+                 AS pos0
+        FROM documents WHERE text IS NOT NULL)
+  WHERE w != ''
+), toks AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM toks0
 ), per AS (
   SELECT doc_id, count(*) AS n, count(DISTINCT w) AS d FROM toks
   GROUP BY doc_id
@@ -223,9 +230,12 @@ LEFT JOIN per ON per.doc_id = d.doc_id
 LEFT JOIN topg ON topg.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
-# NOTE: row_number() without ORDER BY relies on unnest preserving array
-# order within a partition — DuckDB guarantees unnest emission order, and
-# the pytest oracle pins it.
+# NOTE: token positions come from an explicit array ordinal
+# (generate_subscripts), never from window-function input order; empty
+# strings from leading/trailing/repeated separators are filtered BEFORE
+# renumbering so bigram adjacency matches Python str.split() exactly.
+# Bound: RE2's \s is ASCII whitespace while str.split() also splits on
+# Unicode spaces (  etc.) — the synthetic corpus is ASCII-spaced.
 
 
 def word_counts(sf_dir: str, n_buckets: int = 32):

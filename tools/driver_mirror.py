@@ -33,13 +33,16 @@ def _canon(df):
         if s.dtype == object:
             df[c] = s.astype(str)
         elif str(s.dtype).startswith("float"):
-            df[c] = s.round(2)
+            # round(6) like tests/test_queries_oracle.py — pipelines
+            # already 2dp-round where their oracle does; a looser 2dp
+            # here would hide value bugs the real gate fails on
+            df[c] = s.round(6)
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
 def _vhash(df) -> str:
-    body = df.to_csv(index=False, float_format="%.2f")
+    body = df.to_csv(index=False, float_format="%.6f")
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
@@ -57,6 +60,10 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -90,9 +97,12 @@ def main() -> int:
                     n_fail += 1
                     if not rec["schema_match"]:
                         rec["err"] = f"cols ray={list(a.columns)} sql={list(b.columns)}"
-                    elif rec["rows_match"]:
-                        d = (a != b)
-                        bad = [c for c in a.columns if d[c].any()]
+                    elif not rec["rows_match"]:
+                        rec["err"] = f"rows {len(a)} != {len(b)}"
+                    else:
+                        # NaN-safe: NaN==NaN must NOT count as a diff
+                        neq = (a != b) & ~(a.isna() & b.isna())
+                        bad = [c for c in a.columns if neq[c].any()]
                         rec["err"] = f"value diff in {bad}"
             else:
                 rec["rows_match"] = rec["spark_rows"] >= 0
