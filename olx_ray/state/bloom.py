@@ -52,11 +52,18 @@ class Bloom:
         # uint64 wraparound before mod m: standard double-hash practice
         return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)  # (k, n)
 
-    def add(self, hashes: np.ndarray) -> None:
+    def add(self, hashes: np.ndarray) -> int:
+        """Set the probe bits; returns (and counts) only PROBABLY-NEW
+        keys. Counting pre-probe misses instead of len(hashes) keeps
+        ``n_items`` a distinct-keys estimate AND makes a retried task's
+        re-add of the same batch a state no-op (task-retry idempotence;
+        see tests/test_retry_idempotence.py)."""
+        n_new = int((~self.contains(hashes)).sum())
         idx = self._indices(hashes).ravel()
         np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (idx & np.uint64(63)))
-        self.n_items += len(hashes)
+        self.n_items += n_new
+        return n_new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         """Boolean mask: possibly-seen (true) / definitely-new (false)."""

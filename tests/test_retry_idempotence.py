@@ -1,0 +1,66 @@
+"""Task-retry safety: Ray re-executes failed map tasks, so every stage
+that talks to shared actors must tolerate re-running the SAME batch —
+seen-set adds must be state-idempotent, politeness must stay
+conservative (never under-delay), and the fetch task must be a pure
+function of its batch. Driver-side counters (crawl.py) are computed
+from materialized datasets after the barrier, so they are out of scope
+for task retries by construction (SCALE.md "task retries")."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def test_seen_shard_add_is_idempotent(ray_session):
+    from olx_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, capacity=1000)
+    try:
+        hs = np.array([11, 22, 33, 44], dtype=np.uint64)
+        ray.get(shard.add.remote(hs))
+        seg1 = ray.get(shard.segment.remote())
+        # the retried task re-adds the identical hash batch
+        ray.get(shard.add.remote(hs))
+        seg2 = ray.get(shard.segment.remote())
+        assert seg1["bloom_bits"] == seg2["bloom_bits"]  # incl. n_items
+        assert seg1["n_items"] == seg2["n_items"]
+        assert (set(np.frombuffer(seg1["exact_hashes"], dtype=np.uint64))
+                == set(np.frombuffer(seg2["exact_hashes"], dtype=np.uint64)))
+        got = ray.get(shard.contains.remote(
+            np.array([11, 22, 99], dtype=np.uint64)))
+        assert got.tolist() == [True, True, False]
+    finally:
+        ray.kill(shard)
+
+
+def test_politeness_retry_is_conservative(ray_session):
+    """A retried fetch re-acquires its host slots; the clock only moves
+    forward, so a retry can over-delay but can NEVER under-delay (the
+    politeness invariant is one-sided)."""
+    from olx_ray.stages.politeness import PolitenessGate
+
+    gate = PolitenessGate.remote(
+        {"h.example": "User-agent: *\nCrawl-delay: 2\n"})
+    try:
+        w1 = ray.get(gate.acquire.remote("h.example", 3, 100.0))
+        w2 = ray.get(gate.acquire.remote("h.example", 3, 100.0))  # retry
+        assert w1 == 0.0
+        assert w2 >= 3 * 2.0  # the retried slots queue AFTER the originals
+        snap = ray.get(gate.snapshot.remote())
+        assert snap["next_free"]["h.example"] == 100.0 + 2 * 3 * 2.0
+    finally:
+        ray.kill(gate)
+
+
+def test_fetch_batch_pure_under_reexecution(ray_session, tmp_path):
+    from olx_ray.sources.sitegen import SiteSpec, write_site
+    from olx_ray.stages.fetch import fetch_batch
+
+    paths = write_site("t1", str(tmp_path / "site"))
+    spec = SiteSpec("t1")
+    urls = [spec.listing(0).url, spec.listing(0).url + "?missing=1"]
+    batch = pa.table({"url": pa.array(urls, pa.string())})
+    a = fetch_batch(batch, pages_dir=paths["pages"])
+    b = fetch_batch(batch, pages_dir=paths["pages"])
+    assert a.equals(b)
+    assert a["status"].to_pylist() == ["fetched", "fetch_404"]
