@@ -90,3 +90,22 @@ def test_absolutize_keeps_authority_and_query(base, href):
     b, o = urlsplit(base), urlsplit(out)
     assert o.netloc == b.netloc and o.scheme == b.scheme and o.query == b.query
     assert o.path == (href if href.startswith("/") else "/" + href)
+
+
+_HTMLISH = st.text(
+    alphabet=st.sampled_from(list("<>/='\"ab c\n-!&;#")), max_size=200)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_HTMLISH)
+def test_htmlparse_never_crashes_on_garbage(s):
+    """The from-scratch DOM engine must degrade, never raise, on
+    arbitrary malformed input (a crawler sees every broken page on the
+    web); select/text/attr must stay total functions."""
+    from olx_ray.functions.htmlparse import attr, parse_html, select, text
+
+    root = parse_html(s)
+    for css in ("a", "div[data-cy='x'] a", "#mainContent ul>li>p"):
+        nodes = select(root, css)
+        assert isinstance(text(nodes), str)
+        assert isinstance(attr(nodes, "href"), str)
