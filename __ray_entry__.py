@@ -28,14 +28,11 @@ def entry() -> Any:
 
 # --------------------------------------------------------------- crawl ops
 def _site(tier: str) -> dict[str, str]:
-    from olx_ray.sources.sitegen import SITE_VERSION, write_site
+    from olx_ray.sources.sitegen import SITE_VERSION, ensure_site
 
     root = os.path.join(tempfile.gettempdir(),
                         f"olx_ray_site_{tier}_v{SITE_VERSION}")
-    if not os.path.isdir(os.path.join(root, "pages")):
-        write_site(tier, root)
-    return {"pages": os.path.join(root, "pages"),
-            "seeds": os.path.join(root, "seeds")}
+    return ensure_site(tier, root)
 
 
 def _crawl(mode: str):

@@ -56,13 +56,12 @@ def _consume(res) -> int:
 
 def run_crawl(ncpu: int) -> dict:
     from olx_ray.pipelines.crawl import CrawlConfig, crawl_native
-    from olx_ray.sources.sitegen import SiteSpec, write_site
+    from olx_ray.sources.sitegen import SiteSpec, ensure_site
     from olx_ray.state import checkpoint as ckpt
     from olx_ray import storage
 
     site_root = _site_root()
-    if not os.path.isdir(os.path.join(site_root, "pages")):
-        write_site("bench", site_root)
+    ensure_site("bench", site_root)
     out = tempfile.mkdtemp(prefix="olx_ray_bench_crawl_")
     cfg = CrawlConfig(
         pages_dir=os.path.join(site_root, "pages"), out_dir=out,

@@ -742,11 +742,10 @@ def main(argv: list[str] | None = None) -> None:
     if not _ray.is_initialized():
         _ray.init(address="local", include_dashboard=False,
                   logging_level="ERROR")
-    from ..sources.sitegen import SiteSpec, write_site
+    from ..sources.sitegen import SiteSpec, ensure_site
 
     site_root = args.site or os.path.join(args.out, "site")
-    if not os.path.isdir(os.path.join(site_root, "pages")):
-        write_site(args.tier, site_root)
+    ensure_site(args.tier, site_root)
     cfg = CrawlConfig(pages_dir=os.path.join(site_root, "pages"),
                       out_dir=os.path.join(args.out, args.mode),
                       mode=args.mode, budget_per_round=args.budget,

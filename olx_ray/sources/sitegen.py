@@ -382,4 +382,21 @@ def write_site(tier: str, root: str) -> dict[str, str]:
         pq.write_table(part, os.path.join(pages_dir, f"shard-{s:03d}.parquet"))
     pq.write_table(SiteSpec(tier).seed_rows(),
                    os.path.join(seeds_dir, "seeds.parquet"))
+    # completeness marker, written strictly AFTER every data file: a
+    # killed build can leave partial shards but never a marker, so
+    # marker-guarded caches (ensure_site) cannot reuse a torn site
+    with open(os.path.join(root, "_COMPLETE"), "w") as f:
+        f.write(tier)
     return {"pages": pages_dir, "seeds": seeds_dir}
+
+
+def ensure_site(tier: str, root: str) -> dict[str, str]:
+    """Cached-site guard for /tmp reuse across processes: rebuild unless
+    the completeness marker exists (``isdir(pages)`` alone would trust a
+    site a killed previous run left half-written)."""
+    import os
+
+    if os.path.exists(os.path.join(root, "_COMPLETE")):
+        return {"pages": os.path.join(root, "pages"),
+                "seeds": os.path.join(root, "seeds")}
+    return write_site(tier, root)

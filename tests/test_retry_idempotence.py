@@ -64,3 +64,30 @@ def test_fetch_batch_pure_under_reexecution(ray_session, tmp_path):
     b = fetch_batch(batch, pages_dir=paths["pages"])
     assert a.equals(b)
     assert a["status"].to_pylist() == ["fetched", "fetch_404"]
+
+
+def test_ensure_site_rebuilds_torn_cache(tmp_path):
+    """A killed site build leaves partial shards but no _COMPLETE
+    marker; ensure_site must rebuild, and must reuse a marked site."""
+    import os
+
+    from olx_ray.sources.sitegen import ensure_site, write_site
+
+    root = str(tmp_path / "site")
+    write_site("t1", root)
+    marker = os.path.join(root, "_COMPLETE")
+    assert os.path.exists(marker)
+
+    # simulate the kill: truncate one shard, drop the marker
+    shard = os.path.join(root, "pages", "shard-000.parquet")
+    good = open(shard, "rb").read()
+    open(shard, "wb").write(good[: len(good) // 2])
+    os.remove(marker)
+    ensure_site("t1", root)
+    assert os.path.exists(marker)
+    assert open(shard, "rb").read() == good
+
+    # marked site is reused untouched
+    before = os.stat(shard).st_mtime_ns
+    ensure_site("t1", root)
+    assert os.stat(shard).st_mtime_ns == before
