@@ -269,6 +269,55 @@ def word_freq_topk(sf_dir: str, k: int = 50):
         .sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def _mg_reduce(g: pd.DataFrame, capacity: int) -> pd.DataFrame:
+    """Misra-Gries reduction of an exact/merged count frame to at most
+    ``capacity`` rows: subtract the (capacity+1)-th largest count from
+    every count and keep the positive ones. Summaries reduced this way
+    are MERGEABLE (sum by key, re-reduce) with total undercount
+    ≤ N/(capacity+1) — Agarwal et al., "Mergeable Summaries" (PODS'12)."""
+    if len(g) <= capacity:
+        return g
+    g = g.sort_values(["n", "word"], ascending=[False, True],
+                      kind="mergesort").reset_index(drop=True)
+    g["n"] = g["n"] - int(g["n"].iloc[capacity])
+    return g[g["n"] > 0]
+
+
+def word_freq_topk_approx(sf_dir: str, k: int = 50, capacity: int = 4096,
+                          fan_in: int = 32):
+    """Heavy-hitter top-k WITHOUT any word shuffle: per-batch exact
+    counts reduce to a Misra-Gries summary (≤ capacity rows), summaries
+    merge in a two-level tree (batch → ``fan_in`` groups → one final
+    merge), and only bounded summaries ever move — O(levels · fan_in ·
+    capacity) rows total, independent of corpus size. Counts are lower
+    bounds with undercount ≤ N/(capacity+1); every word with true count
+    above that bound is guaranteed present. The exact variant
+    (`word_freq_topk`) shuffles word-hash buckets instead; this is the
+    sketch path for vocabularies that dwarf worker memory."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["text"].str.split().explode().dropna().value_counts()
+        g = vc.rename_axis("word").reset_index(name="n")
+        return _mg_reduce(g, capacity)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("word", as_index=False)["n"].sum()
+        return _mg_reduce(g, capacity)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("word", as_index=False)["n"].sum()
+        g = _mg_reduce(g, capacity)
+        return g.sort_values(["n", "word"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+            .repartition(fan_in)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
 WORD_FREQ_SQL = """
 SELECT word, count(*)::BIGINT AS n FROM
   (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word

@@ -39,3 +39,45 @@ def test_repetition_stats_edges(ray_session, tmp_path):
     assert out.loc[3, "dup_token_ratio"] == 0.75       # 1 distinct of 4
     assert out.loc[3, "top_2gram_ratio"] == 1.0        # (a,a) every time
     assert abs(out.loc[4, "top_2gram_ratio"] - 3 / 5) < 1e-9
+
+
+def test_word_freq_topk_approx_exact_when_capacity_suffices(ray_session):
+    """With capacity ≥ distinct words the MG sketch never decrements —
+    the approx path must equal the exact shuffle path row-for-row."""
+    from olx_ray.pipelines.text import word_freq_topk, word_freq_topk_approx
+
+    exact = word_freq_topk(SF, k=25).to_pandas().reset_index(drop=True)
+    approx = word_freq_topk_approx(SF, k=25).to_pandas().reset_index(drop=True)
+    assert approx.equals(exact)
+
+
+def test_mg_reduce_heavy_hitter_guarantee():
+    """Any word with true count > N/(capacity+1) survives merged
+    reduction, and surviving counts are lower bounds (PODS'12)."""
+    import numpy as np
+    import pandas as pd
+
+    from olx_ray.pipelines.text import _mg_reduce
+
+    rng = np.random.default_rng(3)
+    true = {f"w{i}": int(c) for i, c in
+            enumerate(rng.zipf(1.6, 400).clip(1, 10_000))}
+    n_total = sum(true.values())
+    cap = 16
+    # simulate distributed merging: random batch partition of the corpus
+    words = np.repeat(list(true), list(true.values()))
+    rng.shuffle(words)
+    summaries = []
+    for chunk in np.array_split(words, 23):
+        vc = pd.Series(chunk).value_counts()
+        summaries.append(_mg_reduce(
+            vc.rename_axis("word").reset_index(name="n"), cap))
+    merged = pd.concat(summaries).groupby("word", as_index=False)["n"].sum()
+    final = _mg_reduce(merged, cap).set_index("word")["n"]
+    bound = n_total / (cap + 1)
+    for w, c in true.items():
+        if c > bound:
+            assert w in final.index, (w, c, bound)
+        if w in final.index:
+            assert final[w] <= c          # counts are lower bounds
+            assert c - final[w] <= bound  # undercount within guarantee
