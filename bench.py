@@ -120,7 +120,8 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     crawl_only = "--crawl-only" in sys.argv
-    crawl = run_crawl(NCPU)
+    queries_only = "--queries-only" in sys.argv
+    crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))
     queries = {} if crawl_only else run_queries()
     result = {
         "metric": "native crawl pages/sec over bench site (2k listings, ~47k ads, simulated latency)",
