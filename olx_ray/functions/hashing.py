@@ -53,6 +53,19 @@ def hash64_array(values) -> np.ndarray:
     return out
 
 
+def mix64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Full murmur3-fmix64 of an integer array (optionally seeded):
+    uniform uint64 priorities for deterministic sampling and shard
+    routing. ``bucket_of`` is exactly ``mix64 % n_buckets``."""
+    h = keys.astype(np.uint64, copy=False) ^ np.uint64(seed & _MASK)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    h = h ^ (h >> np.uint64(33))
+    return h
+
+
 def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     """KEY-HASH bucket ids for integer keys: xor-shift + multiply +
     xor-shift (murmur3-fmix style) BEFORE the modulo. A raw
@@ -62,13 +75,8 @@ def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     n_buckets) collapse into one bucket task. Shared by every bucketed
     aggregate/join partitioner; bucket assignment is pure partitioning,
     results never depend on it."""
-    h = keys.astype(np.uint64, copy=False)
-    h = h ^ (h >> np.uint64(33))
-    h = h * np.uint64(0xFF51AFD7ED558CCD)
-    h = h ^ (h >> np.uint64(33))
-    h = h * np.uint64(0xC4CEB9FE1A85EC53)   # full fmix64: one round is
-    h = h ^ (h >> np.uint64(33))            # not avalanche for big strides
-    return (h % np.uint64(n_buckets)).astype(np.int32)
+    # full fmix64: one mixing round is not avalanche for big strides
+    return (mix64(keys) % np.uint64(n_buckets)).astype(np.int32)
 
 
 def digest_u64(arr: np.ndarray) -> int:

@@ -189,3 +189,162 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
 
     return lt.union(rt).groupby("_bucket").map_groups(
         join_bucket, batch_format="pyarrow")
+
+
+def _sample_cuts(left, value_col: str, n_chunks: int, fan_in: int = 32):
+    """Chunk cut points for ``range_join`` from a bounded sample tree:
+    each batch contributes ≤ 4·n_chunks evenly-spaced sorted values,
+    summaries merge through ``fan_in`` groups (same tree shape as the
+    Misra-Gries top-k), and the final ≤ 4·n_chunks values yield
+    quantile cuts. Only bounded summaries ever move; the driver holds
+    one. Cuts steer PARTITIONING only — join output never depends on
+    them — so sample noise costs balance, not correctness."""
+    per = 4 * n_chunks
+
+    def spaced(v: np.ndarray) -> np.ndarray:
+        v = np.sort(v[~np.isnan(v)])
+        if len(v) <= per:
+            return v
+        return v[np.linspace(0, len(v) - 1, per).astype(np.int64)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64, copy=False)
+        return pd.DataFrame({"v": spaced(v)})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": spaced(b["v"].to_numpy(np.float64))})
+
+    sample = (left.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+              .repartition(fan_in)
+              .map_batches(merge, batch_format="pandas", batch_size=None)
+              .repartition(1)
+              .map_batches(merge, batch_format="pandas", batch_size=None)
+              .to_pandas()["v"].to_numpy())
+    if len(sample) == 0:
+        return np.empty(0, np.float64)
+    qs = np.linspace(0, 1, n_chunks + 1)[1:-1]
+    return np.unique(np.quantile(sample, qs))
+
+
+def range_join(left, right, value_col: str, lo_col: str, hi_col: str,
+               n_chunks: int = 32, cuts=None,
+               columns_left: list[str] | None = None,
+               columns_right: list[str] | None = None):
+    """Distributed interval join: each ``left`` row (point ``value_col``)
+    meets every ``right`` row (interval ``[lo_col, hi_col]``, inclusive
+    both ends) that contains it — ``l.v BETWEEN r.lo AND r.hi``. The
+    operator Ray Data lacks natively (as-of's big sibling; DuckDB plans
+    this as IEJoin).
+
+    Plan: the value domain splits at ``cuts`` (given, or sampled left
+    quantiles via a bounded summary tree) into chunks; left rows route
+    to the single chunk holding their value, right intervals REPLICATE
+    into every chunk they overlap (vectorized ``np.repeat``), and each
+    chunk joins in one ``map_groups`` task with a sort + double
+    ``searchsorted`` sweep — O((L+R)·log L + output) per chunk, no
+    nested loop. One shuffle per side; chunk count is a config bound,
+    so the bounded-key ``map_groups`` rule holds.
+
+    Scale contract: replication factor is the mean number of chunks an
+    interval overlaps — wide intervals are this join's hot-key analog
+    (an interval spanning the whole domain replicates ``n_chunks``×).
+    NaN/null points and intervals never match and are dropped in the
+    tag stage, as is any ``lo > hi`` interval. Name collisions between
+    the two sides take an ``_r`` suffix on the right. Comparisons run
+    in float64: integer keys beyond 2^53 would lose precision — use
+    ``bucket_hash_join`` on exact keys there."""
+    import pyarrow as pa
+
+    if cuts is None:
+        cuts = _sample_cuts(left, value_col, n_chunks)
+    cuts = np.asarray(cuts, np.float64)
+
+    if columns_left and value_col not in columns_left:
+        raise ValueError(f"columns_left must include {value_col!r}")
+    if columns_right and not {lo_col, hi_col} <= set(columns_right):
+        raise ValueError(f"columns_right must include {lo_col!r}/{hi_col!r}")
+
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lcols = columns_left or list(lschema.names)
+    rcols = columns_right or list(rschema.names)
+    rename_r = {c: f"{c}_r" for c in rcols if c in set(lcols)}
+    out_lcols = list(lcols)
+    out_rcols = [rename_r.get(c, c) for c in rcols]
+    all_out = out_lcols + out_rcols
+    types = {**{rename_r.get(c, c): rtypes[c] for c in rcols},
+             **{c: ltypes[c] for c in lcols}}
+    lo_out, hi_out = rename_r.get(lo_col, lo_col), rename_r.get(hi_col, hi_col)
+
+    def emit(t: pa.Table, own: list[str], chunk: np.ndarray,
+             side: int) -> pa.Table:
+        # typed Arrow nulls for the other side's columns — a pandas
+        # pd.NA widen would degrade dtypes through the shuffle sort
+        own_set = set(own)
+        out = {c: (t[c] if c in own_set else pa.nulls(t.num_rows, types[c]))
+               for c in all_out}
+        out["_chunk"] = pa.array(chunk.astype(np.int32), pa.int32())
+        out["_side"] = pa.array(np.full(len(chunk), side, np.int8), pa.int8())
+        return pa.table(out)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.select(lcols)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        b = b.filter(pa.array(keep))
+        chunk = np.searchsorted(cuts, v[keep], side="right")
+        return emit(b, out_lcols, chunk, 0)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        b = b.select(rcols).rename_columns(out_rcols)
+        lo = b[lo_out].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = b[hi_out].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~(np.isnan(lo) | np.isnan(hi)) & (lo <= hi)
+        b, lo, hi = b.filter(pa.array(keep)), lo[keep], hi[keep]
+        c_lo = np.searchsorted(cuts, lo, side="right").astype(np.int64)
+        c_hi = np.searchsorted(cuts, hi, side="right").astype(np.int64)
+        counts = c_hi - c_lo + 1
+        idx = np.repeat(np.arange(b.num_rows), counts)
+        # per-interval arange: global arange minus each row's start
+        starts = np.zeros(len(counts), np.int64)
+        if len(counts):
+            starts[1:] = np.cumsum(counts)[:-1]
+        chunk = (np.arange(int(counts.sum())) - np.repeat(starts, counts)
+                 + np.repeat(c_lo, counts))
+        return emit(b.take(pa.array(idx)), out_rcols, chunk, 1)
+
+    # replication amplifies a right batch up to n_chunks× inside one
+    # tag task — bound the input batch so the output stays heap-sized
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
+                          batch_size=65536)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           batch_size=max(1024, 65536 // max(1, n_chunks)))
+
+    def join_chunk(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        side = g["_side"]
+        l = g.filter(pc.equal(side, 0)).select(out_lcols).to_pandas()
+        r = g.filter(pc.equal(side, 1)).select(out_rcols).to_pandas()
+        if not len(l) or not len(r):
+            return pd.concat([l.iloc[:0], r.iloc[:0]], axis=1)
+        v = l[value_col].to_numpy(np.float64)
+        order = np.argsort(v, kind="stable")
+        v = v[order]
+        lo = r[lo_out].to_numpy(np.float64)
+        hi = r[hi_out].to_numpy(np.float64)
+        lo_i = np.searchsorted(v, lo, side="left")
+        hi_i = np.searchsorted(v, hi, side="right")
+        counts = np.maximum(hi_i - lo_i, 0)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        li = (np.arange(int(counts.sum())) - np.repeat(starts, counts)
+              + np.repeat(lo_i, counts))
+        ri = np.repeat(np.arange(len(r)), counts)
+        out = l.iloc[order[li]].reset_index(drop=True)
+        rout = r.iloc[ri].reset_index(drop=True)
+        return pd.concat([out, rout], axis=1)
+
+    return lt.union(rt).groupby("_chunk").map_groups(
+        join_chunk, batch_format="pyarrow")
