@@ -1,0 +1,163 @@
+"""Distributed sampling and per-group top-k.
+
+Training-data pipelines constantly need "give me k uniform rows of a
+100 TB corpus", "the p50/p95/p99 of a column", "the top-3 docs per
+language by quality" — each without materializing anything
+corpus-sized. Three operators, all built on the bounded-summary-tree
+shape (`word_freq_topk_approx`): only fixed-size summaries ever move,
+so driver and per-task memory are O(k), independent of input size.
+
+- ``reservoir_sample`` — deterministic uniform k-sample: keep the k
+  smallest ``mix64(id ^ seed)`` priorities ("bottom-k sampling", the
+  mergeable equivalent of a reservoir — Cohen & Kaplan, "Summarizing
+  data using bottom-k sketches", PODC'07). Hash-priority selection
+  makes the sample a pure function of (ids, k, seed): independent of
+  partitioning, repeatable across runs, and UNIONABLE — the bottom-k
+  of a union is the bottom-k of the merged summaries.
+- ``approx_quantiles`` — quantiles of a bottom-k uniform sample; rank
+  error is the DKW sample bound O(sqrt(ln(1/δ)/n)) (≈ ±2 % at
+  n=4096), mergeable the same way.
+- ``group_topk`` — EXACT top-k rows per group: per-batch vectorized
+  partial top-k (sort + ``groupby().head``) shrinks each batch to
+  ≤ k·groups_in_batch rows, then one shuffle on group-hash buckets
+  finishes — the q18/`word_counts` unbounded-key pattern, never one
+  task per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import bucket_of, hash64_array, mix64
+
+
+def _with_priority(b: pd.DataFrame, id_col: str, seed: int) -> pd.DataFrame:
+    ids = b[id_col].to_numpy()
+    if ids.dtype.kind in "iu":
+        pr = mix64(ids.astype(np.int64, copy=False), seed)
+    else:  # string ids: stable content hash, then seed-mix
+        pr = mix64(hash64_array(b[id_col].tolist()), seed)
+    return b.assign(_pri=pr)
+
+
+def _take_smallest(b: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    # mergesort + id tiebreak: fully deterministic even on duplicate ids
+    return b.sort_values(["_pri", id_col], kind="mergesort").head(k)
+
+
+def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int):
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return _take_smallest(_with_priority(b, id_col, seed), k, id_col)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return _take_smallest(b, k, id_col)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .repartition(fan_in)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
+def reservoir_sample(ds, id_col: str, k: int, seed: int = 0,
+                     fan_in: int = 32):
+    """Uniform k-row sample of ``ds``, deterministic in (ids, k, seed)
+    and independent of partitioning: rows with the k smallest
+    ``mix64(id ^ seed)``. Rows keep all columns; output is sorted by
+    priority (a uniform-random order — the first j rows are themselves
+    a uniform j-sample). O(k) rows per summary, O(k·fan_in) at the
+    worst merge node."""
+    def drop(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=["_pri"])
+
+    return _bottomk(ds, id_col, k, seed, fan_in) \
+        .map_batches(drop, batch_format="pandas")
+
+
+def approx_quantiles(ds, value_col: str, id_col: str, qs,
+                     sample_size: int = 4096, seed: int = 0) -> pd.DataFrame:
+    """Approximate quantiles of ``value_col`` from a bottom-k uniform
+    sample: rank error ≤ ~sqrt(ln(2/δ)/(2·sample_size)) with prob 1-δ
+    (DKW), e.g. ±2 % ranks at the default 4096. Nulls/NaNs are ignored
+    (match SQL ``quantile_cont``). Returns a small (q, value) frame —
+    driver holds sample_size values, never the column. The exact
+    sibling for bounded-domain ints is `corpus.token_quantiles`'s
+    value-histogram path."""
+    qs = np.atleast_1d(np.asarray(qs, np.float64))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, value_col]]
+        return out[out[value_col].notna()]
+
+    sample = _bottomk(ds.map_batches(project, batch_format="pandas"),
+                      id_col, sample_size, seed, fan_in=32).to_pandas()
+    vals = sample[value_col].to_numpy(np.float64)
+    if len(vals) == 0:
+        return pd.DataFrame({"q": qs, "value": np.full(len(qs), np.nan)})
+    return pd.DataFrame({"q": qs, "value": np.quantile(vals, qs)})
+
+
+def group_topk(ds, group_col: str, order_col: str, k: int,
+               descending: bool = True, tiebreak_col: str | None = None,
+               n_buckets: int = 32):
+    """EXACT top-k rows per group, deterministic: ordered by
+    ``order_col`` (desc by default) then ``tiebreak_col`` asc (defaults
+    to the group col — pass a unique id for full determinism on value
+    ties). Group cardinality may grow with the data: the finish runs
+    per group-HASH bucket (one vectorized sort + ``groupby().head`` per
+    bucket), never per group."""
+    tb = tiebreak_col or group_col
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([order_col, tb], ascending=[not descending, True],
+                          kind="mergesort")
+        return b.groupby(group_col, sort=False).head(k)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = topk(b)
+        keys = b[group_col].to_numpy()
+        if keys.dtype.kind in "iu":
+            bucket = bucket_of(keys.astype(np.int64, copy=False), n_buckets)
+        else:
+            bucket = (hash64_array(b[group_col].tolist())
+                      % np.uint64(n_buckets)).astype(np.int32)
+        return b.assign(_bucket=bucket)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g).drop(columns=["_bucket"])
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_bucket").map_groups(finish, batch_format="pandas"))
+
+
+def sample_documents(sf_dir: str, k: int = 100, seed: int = 0):
+    """Uniform document sample — the corpus-inspection entry point."""
+    import ray.data as rd
+
+    return reservoir_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"), "doc_id", k, seed)
+
+
+def event_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                          sample_size: int = 4096) -> pd.DataFrame:
+    """Approximate value quantiles over the events table."""
+    import ray.data as rd
+
+    return approx_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "value"]),
+        "value", "event_id", qs, sample_size)
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Top-k highest-value events per user (unbounded group count)."""
+    import ray.data as rd
+
+    return group_topk(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "value"]),
+        "user_id", "value", k, tiebreak_col="event_id")
