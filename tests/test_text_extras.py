@@ -81,3 +81,34 @@ def test_mg_reduce_heavy_hitter_guarantee():
         if w in final.index:
             assert final[w] <= c          # counts are lower bounds
             assert c - final[w] <= bound  # undercount within guarantee
+
+
+def test_tfidf_top_terms_vs_duckdb(ray_session):
+    from olx_ray.pipelines.text import TFIDF_SQL_TEMPLATE, tfidf_top_terms
+
+    got = tfidf_top_terms(SF, k=3).to_pandas() \
+        .sort_values(["doc_id", "score", "word"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(TFIDF_SQL_TEMPLATE.format(k=3)).df()
+    assert len(got) == len(want) > 100
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
+
+
+def test_tfidf_strategy_agreement(ray_session):
+    """Broadcast and shuffle idf delivery are output-identical —
+    max_broadcast_vocab=0 forces the join path."""
+    from olx_ray.pipelines.text import tfidf_top_terms
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True]) \
+            .reset_index(drop=True)
+
+    a = norm(tfidf_top_terms(SF, k=2))
+    b = norm(tfidf_top_terms(SF, k=2, max_broadcast_vocab=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
