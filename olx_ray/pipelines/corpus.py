@@ -378,3 +378,49 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         pack, batch_format="pandas", batch_size=4096).sort("doc_id")
+
+
+def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
+                        seed: int = 0):
+    """Deterministic weighted mixing of multiple corpora into one
+    training stream — the mixture step every LLM run performs (e.g.
+    70 % web / 20 % code / 10 % reference).
+
+    ``sources`` maps a source name to ``(dataset, weight)``. Each row
+    gets an exponential race clock ``-ln(u_id)/weight``
+    (`sampling.exp_clock`); the union sorted by that clock is a
+    weighted random permutation whose every prefix is a weighted
+    without-replacement sample (Efraimidis-Spirakis) — so any training
+    prefix matches the target mixture in expectation, per-source order
+    is a uniform shuffle, and when a small source exhausts the stream
+    continues from the rest (without-replacement semantics, the
+    non-degenerate choice for data-constrained mixes). Output adds
+    ``mix_source`` and ``mix_key`` columns (``mix_``-prefixed so a
+    corpus's own ``source`` column survives), ordered by ``mix_key``.
+
+    Deterministic in (ids, weights, seed) and partition-invariant;
+    collisions across sources are avoided by folding the source name
+    into the per-source seed. The global sort is the one all-to-all
+    this operator inherently needs (it defines a total training
+    order); to mix WITHOUT a global order, consume the union and
+    shard-locally sort each output block by ``mix_key`` instead."""
+    from ..functions.hashing import hash64
+    from .sampling import exp_clock
+
+    parts = []
+    for name, (ds, weight) in sorted(sources.items()):
+        sseed = seed ^ hash64(name)
+
+        def tag(b: pd.DataFrame, *, _n=name, _w=float(weight),
+                _s=sseed) -> pd.DataFrame:
+            b = b.copy()
+            b["mix_source"] = _n
+            b["mix_key"] = exp_clock(b[id_col].to_numpy(),
+                                     np.full(len(b), _w), _s)
+            return b
+        parts.append(ds.map_batches(tag, batch_format="pandas"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort("mix_key")

@@ -100,6 +100,50 @@ def approx_quantiles(ds, value_col: str, id_col: str, qs,
     return pd.DataFrame({"q": qs, "value": np.quantile(vals, qs)})
 
 
+def exp_clock(ids: np.ndarray, weights: np.ndarray,
+              seed: int = 0) -> np.ndarray:
+    """Exponential race clocks ``-ln(u_id)/w`` with ``u_id`` a
+    deterministic uniform from ``mix64(id ^ seed)``. Sorting ANY row
+    set by this key yields a weighted random permutation; its prefixes
+    are weighted samples without replacement (Efraimidis & Spirakis
+    2006). Shared by ``weighted_sample`` and corpus
+    ``weighted_interleave``. Non-positive weights get +inf (never
+    chosen)."""
+    u = (mix64(ids.astype(np.int64, copy=False), seed)
+         .astype(np.float64) + 1.0) / (2.0 ** 64 + 2)
+    w = np.asarray(weights, np.float64)
+    with np.errstate(divide="ignore"):
+        key = -np.log(u) / w
+    return np.where(w > 0, key, np.inf)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    seed: int = 0, fan_in: int = 32):
+    """Weighted k-sample without replacement (inclusion odds ∝ row
+    weight, e.g. quality scores): keep the k smallest exponential
+    clocks. Same bounded summary tree as ``reservoir_sample`` — O(k)
+    rows per summary, deterministic in (ids, weights, k, seed),
+    partition-invariant, mergeable."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pri = exp_clock(b[id_col].to_numpy(),
+                        b[weight_col].to_numpy(np.float64), seed)
+        return _take_smallest(b.assign(_pri=pri), k, id_col)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return _take_smallest(b, k, id_col)
+
+    def drop(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=["_pri"])
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .repartition(fan_in)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .map_batches(drop, batch_format="pandas"))
+
+
 def group_topk(ds, group_col: str, order_col: str, k: int,
                descending: bool = True, tiebreak_col: str | None = None,
                n_buckets: int = 32):

@@ -107,3 +107,67 @@ def test_group_topk_string_groups_and_small_groups(ray_session):
         .reset_index(drop=True)
     # a: top2 of 3; b: the single row (k > group size); c: tie broken by id
     assert list(got["id"]) == [0, 2, 3, 4, 5]
+
+
+def test_weighted_sample_overrepresents_heavy_rows(ray_session):
+    import ray
+
+    from olx_ray.pipelines.sampling import weighted_sample
+
+    n = 20000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 10 == 0, 10.0, 1.0)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = weighted_sample(ds, "id", "w", 2000, seed=3).to_pandas()
+    assert len(got) == 2000 and got["id"].is_unique
+    heavy = (got["w"] == 10.0).mean()
+    # heavy rows are 10% of the population at 10× weight → ~52.6% of
+    # the sample (E-S without replacement ≈ w-share for small k/N)
+    assert 0.40 < heavy < 0.65, heavy
+    # determinism + partition invariance
+    again = weighted_sample(ds.repartition(7), "id", "w", 2000, seed=3,
+                            fan_in=4).to_pandas()
+    assert got.equals(again)
+    # zero-weight rows are never chosen
+    df2 = df.assign(w=np.where(df["id"] < 100, 0.0, df["w"]))
+    ds2 = ray.data.from_arrow(pa.Table.from_pandas(df2))
+    got2 = weighted_sample(ds2, "id", "w", 500, seed=3).to_pandas()
+    assert (got2["id"] >= 100).all()
+
+
+def test_weighted_interleave_mixture_and_determinism(ray_session):
+    import ray
+
+    from olx_ray.pipelines.corpus import weighted_interleave
+
+    def corp(lo, n):
+        return pd.DataFrame({"doc_id": np.arange(lo, lo + n,
+                                                 dtype=np.int64),
+                             "text": ["x"] * n})
+
+    web, code = corp(0, 9000), corp(100_000, 9000)
+    mk = lambda df, p: ray.data.from_arrow(
+        pa.Table.from_pandas(df)).repartition(p)
+    out = weighted_interleave(
+        {"web": (mk(web, 5), 3.0), "code": (mk(code, 3), 1.0)},
+        seed=11).to_pandas()
+    assert len(out) == 18000
+    # any prefix matches the 3:1 target mixture in expectation
+    for prefix in (1000, 4000):
+        share = (out.head(prefix)["mix_source"] == "web").mean()
+        assert 0.68 < share < 0.82, (prefix, share)
+    # partition-invariant and deterministic
+    out2 = weighted_interleave(
+        {"web": (mk(web, 2), 3.0), "code": (mk(code, 8), 1.0)},
+        seed=11).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+    # exhaustion: a tiny source is fully present, stream continues
+    tiny = corp(500_000, 50)
+    out3 = weighted_interleave(
+        {"big": (mk(web, 4), 1.0), "tiny": (mk(tiny, 1), 100.0)},
+        seed=2).to_pandas()
+    assert (out3["mix_source"] == "tiny").sum() == 50
+    # at 100× weight the tiny source front-loads: nearly all of it
+    # lands in the first few hundred rows of the stream
+    assert (out3.head(400)["mix_source"] == "tiny").sum() >= 40
+    assert (out3.tail(1000)["mix_source"] == "big").all()
