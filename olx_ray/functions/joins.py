@@ -19,8 +19,6 @@ filters) — the semi/anti-join pattern.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import ray
@@ -135,16 +133,21 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
                 if side == 0:
                     nh = int(is_hot.sum())
                     if nh:
-                        # spread hot left rows over sub-buckets. The
-                        # offset is per-batch RANDOM on purpose:
-                        # placement is load-balancing only (join output
-                        # never depends on it), and a plain arange%salt
+                        # spread hot left rows over sub-buckets with a
+                        # per-batch offset (a plain arange%salt
                         # restarting at 0 each batch would starve the
                         # upper sub-buckets whenever per-batch hot
-                        # counts are below `salt`
-                        off = int.from_bytes(os.urandom(4), "little")
-                        sub[np.nonzero(is_hot)[0]] = \
-                            (np.arange(nh) + off) % salt
+                        # counts are below `salt`). The offset is a
+                        # DETERMINISTIC mix of the batch content — not
+                        # os.urandom — so a lineage-reconstructed block
+                        # routes identically to the original and reduce
+                        # tasks never see inconsistent placements
+                        first = np.nonzero(is_hot)[0]
+                        from .hashing import mix64
+                        off = int(mix64(np.asarray(
+                            [key[first[0]] ^ (nh << 20) ^ n],
+                            np.int64))[0] % np.uint64(salt))
+                        sub[first] = (np.arange(nh) + off) % salt
                 elif is_hot.any() and salt > 1:
                     # replicate hot right rows into every sub-bucket
                     hr = np.nonzero(is_hot)[0]

@@ -400,7 +400,9 @@ def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
 
     Deterministic in (ids, weights, seed) and partition-invariant;
     collisions across sources are avoided by folding the source name
-    into the per-source seed. The global sort is the one all-to-all
+    into the per-source seed. A source with weight <= 0 is EXCLUDED
+    from the stream entirely (not merely demoted to the tail); at
+    least one source must have positive weight. The global sort is the one all-to-all
     this operator inherently needs (it defines a total training
     order); to mix WITHOUT a global order, consume the union and
     shard-locally sort each output block by ``mix_key`` instead."""
@@ -409,6 +411,11 @@ def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
 
     parts = []
     for name, (ds, weight) in sorted(sources.items()):
+        if not float(weight) > 0:
+            # weight 0 means EXCLUDED, not demoted: exp_clock gives
+            # such rows +inf, which would sort them (in nondeterministic
+            # tied order) to the tail of the stream instead of out of it
+            continue
         sseed = seed ^ hash64(name)
 
         def tag(b: pd.DataFrame, *, _n=name, _w=float(weight),
@@ -420,6 +427,8 @@ def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
             return b
         parts.append(ds.map_batches(tag, batch_format="pandas"))
 
+    if not parts:
+        raise ValueError("weighted_interleave: no source has weight > 0")
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

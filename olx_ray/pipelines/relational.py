@@ -467,7 +467,7 @@ def union_distinct_keys_approx(sf_dir: str, k: int = 4096):
     distinct keys (the sketch then holds every distinct hash), which is
     what the parity test pins; rows in flight are O(batches · k),
     independent of key cardinality."""
-    from ..functions.hashing import hash64_array
+    from ..functions.hashing import mix64
 
     c = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow")
@@ -476,7 +476,10 @@ def union_distinct_keys_approx(sf_dir: str, k: int = 4096):
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = np.unique(hash64_array(ids))          # distinct, ascending
+        # mix64: vectorized, dtype-canonicalizing integer hash (the
+        # blake2b string hash would be a Python loop per row AND make
+        # the sketch depend on the input integer width)
+        h = np.unique(mix64(ids))                 # distinct, ascending
         return pa.table({"h": pa.array(h[:k], pa.uint64())})
 
     def merge(b: pa.Table) -> pa.Table:

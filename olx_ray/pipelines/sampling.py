@@ -47,9 +47,17 @@ def _take_smallest(b: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
     return b.sort_values(["_pri", id_col], kind="mergesort").head(k)
 
 
-def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int):
+def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int,
+             with_priority=None):
+    """Bounded summary tree keeping the k smallest ``_pri`` rows.
+    ``with_priority(batch) -> batch-with-_pri`` defaults to the uniform
+    hash priority; `weighted_sample` passes exponential race clocks —
+    the tree (partial → fan_in merge → root merge) is shared, only the
+    priority differs."""
+    assign = with_priority or (lambda b: _with_priority(b, id_col, seed))
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return _take_smallest(_with_priority(b, id_col, seed), k, id_col)
+        return _take_smallest(assign(b), k, id_col)
 
     def merge(b: pd.DataFrame) -> pd.DataFrame:
         return _take_smallest(b, k, id_col)
@@ -62,6 +70,10 @@ def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int):
             .map_batches(merge, batch_format="pandas", batch_size=None))
 
 
+def _drop_pri(b: pd.DataFrame) -> pd.DataFrame:
+    return b.drop(columns=["_pri"])
+
+
 def reservoir_sample(ds, id_col: str, k: int, seed: int = 0,
                      fan_in: int = 32):
     """Uniform k-row sample of ``ds``, deterministic in (ids, k, seed)
@@ -70,11 +82,8 @@ def reservoir_sample(ds, id_col: str, k: int, seed: int = 0,
     priority (a uniform-random order — the first j rows are themselves
     a uniform j-sample). O(k) rows per summary, O(k·fan_in) at the
     worst merge node."""
-    def drop(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop(columns=["_pri"])
-
     return _bottomk(ds, id_col, k, seed, fan_in) \
-        .map_batches(drop, batch_format="pandas")
+        .map_batches(_drop_pri, batch_format="pandas")
 
 
 def approx_quantiles(ds, value_col: str, id_col: str, qs,
@@ -124,24 +133,13 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
     clocks. Same bounded summary tree as ``reservoir_sample`` — O(k)
     rows per summary, deterministic in (ids, weights, k, seed),
     partition-invariant, mergeable."""
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        pri = exp_clock(b[id_col].to_numpy(),
-                        b[weight_col].to_numpy(np.float64), seed)
-        return _take_smallest(b.assign(_pri=pri), k, id_col)
+    def clocked(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_pri=exp_clock(
+            b[id_col].to_numpy(),
+            b[weight_col].to_numpy(np.float64), seed))
 
-    def merge(b: pd.DataFrame) -> pd.DataFrame:
-        return _take_smallest(b, k, id_col)
-
-    def drop(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop(columns=["_pri"])
-
-    return (ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536)
-            .repartition(fan_in)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .map_batches(drop, batch_format="pandas"))
+    return _bottomk(ds, id_col, k, seed, fan_in, with_priority=clocked) \
+        .map_batches(_drop_pri, batch_format="pandas")
 
 
 def group_topk(ds, group_col: str, order_col: str, k: int,

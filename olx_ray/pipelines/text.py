@@ -445,13 +445,21 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int = 32,
                        np.log(n_docs / dfp["df"].to_numpy(np.float64))))
         ref = ray.put(idf)
 
-        def score_batch(b: pd.DataFrame) -> pd.DataFrame:
-            g = _tf_frame(b)
-            g["score"] = g["tf"] * g["word"].map(ray.get(ref))
-            return topk_in(g)[["doc_id", "word", "score"]]
+        class ScoreBatch:
+            """Actor pool: the idf dict deserializes ONCE per actor
+            (dicts are not plasma zero-copy — a plain function would
+            rebuild the whole vocab map every batch)."""
 
-        return docs.map_batches(score_batch, batch_format="pandas",
-                                batch_size=4096)
+            def __init__(self):
+                self.idf = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                g = _tf_frame(b)
+                g["score"] = g["tf"] * g["word"].map(self.idf)
+                return topk_in(g)[["doc_id", "word", "score"]]
+
+        return docs.map_batches(ScoreBatch, batch_format="pandas",
+                                batch_size=4096, concurrency=(1, 8))
 
     def tf_with_hash(b: pd.DataFrame) -> pa.Table:
         g = _tf_frame(b)

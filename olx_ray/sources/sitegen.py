@@ -386,17 +386,25 @@ def write_site(tier: str, root: str) -> dict[str, str]:
     # killed build can leave partial shards but never a marker, so
     # marker-guarded caches (ensure_site) cannot reuse a torn site
     with open(os.path.join(root, "_COMPLETE"), "w") as f:
-        f.write(tier)
+        f.write(f"{tier}:v{SITE_VERSION}")
     return {"pages": pages_dir, "seeds": seeds_dir}
 
 
 def ensure_site(tier: str, root: str) -> dict[str, str]:
     """Cached-site guard for /tmp reuse across processes: rebuild unless
-    the completeness marker exists (``isdir(pages)`` alone would trust a
-    site a killed previous run left half-written)."""
+    the completeness marker exists AND matches this (tier, generator
+    version) — ``isdir(pages)`` alone would trust a torn site from a
+    killed run, and an unchecked marker would silently reuse a site
+    built for a DIFFERENT tier (or by an older sitegen) at the same
+    root."""
     import os
+    import shutil
 
-    if os.path.exists(os.path.join(root, "_COMPLETE")):
-        return {"pages": os.path.join(root, "pages"),
-                "seeds": os.path.join(root, "seeds")}
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == f"{tier}:v{SITE_VERSION}":
+                return {"pages": os.path.join(root, "pages"),
+                        "seeds": os.path.join(root, "seeds")}
+        shutil.rmtree(root)            # stale tier/version: full rebuild
     return write_site(tier, root)

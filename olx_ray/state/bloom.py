@@ -58,6 +58,10 @@ class Bloom:
         ``n_items`` a distinct-keys estimate AND makes a retried task's
         re-add of the same batch a state no-op (task-retry idempotence;
         see tests/test_retry_idempotence.py)."""
+        # unique first: a batch repeating one hash (same link on many
+        # pages) must count it once — contains() is evaluated before
+        # any bit is set, so raw duplicates would each score as "new"
+        hashes = np.unique(hashes)
         n_new = int((~self.contains(hashes)).sum())
         idx = self._indices(hashes).ravel()
         np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
