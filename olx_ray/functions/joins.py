@@ -217,13 +217,10 @@ def _sample_cuts(left, value_col: str, n_chunks: int, fan_in: int = 32):
     def merge(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"v": spaced(b["v"].to_numpy(np.float64))})
 
-    sample = (left.map_batches(partial, batch_format="pandas",
-                               batch_size=65536)
-              .repartition(fan_in)
-              .map_batches(merge, batch_format="pandas", batch_size=None)
-              .repartition(1)
-              .map_batches(merge, batch_format="pandas", batch_size=None)
-              .to_pandas()["v"].to_numpy())
+    from .summaries import summary_tree
+
+    sample = summary_tree(left, partial, merge, fan_in=fan_in,
+                          batch_size=65536).to_pandas()["v"].to_numpy()
     if len(sample) == 0:
         return np.empty(0, np.float64)
     qs = np.linspace(0, 1, n_chunks + 1)[1:-1]

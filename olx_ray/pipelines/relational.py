@@ -496,11 +496,10 @@ def union_distinct_keys_approx(sf_dir: str, k: int = 4096):
 
     # two-level tree like word_freq_topk_approx: the final merge sees
     # fan_in · k rows, never batches · k
-    return (c.union(s).map_batches(partial, batch_format="pyarrow")
-            .repartition(32)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
-            .repartition(1).map_batches(finish, batch_format="pandas",
-                                        batch_size=None))
+    from ..functions.summaries import summary_tree
+
+    return summary_tree(c.union(s), partial, merge, finish,
+                        batch_format="pyarrow", finish_format="pandas")
 
 
 UNION_DISTINCT_SQL = """

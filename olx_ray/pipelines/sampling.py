@@ -49,11 +49,13 @@ def _take_smallest(b: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
 
 def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int,
              with_priority=None):
-    """Bounded summary tree keeping the k smallest ``_pri`` rows.
-    ``with_priority(batch) -> batch-with-_pri`` defaults to the uniform
-    hash priority; `weighted_sample` passes exponential race clocks —
-    the tree (partial → fan_in merge → root merge) is shared, only the
-    priority differs."""
+    """Bounded summary tree (`functions.summaries.summary_tree`)
+    keeping the k smallest ``_pri`` rows. ``with_priority(batch) ->
+    batch-with-_pri`` defaults to the uniform hash priority;
+    `weighted_sample` passes exponential race clocks — only the
+    priority kernel differs."""
+    from ..functions.summaries import summary_tree
+
     assign = with_priority or (lambda b: _with_priority(b, id_col, seed))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -62,12 +64,8 @@ def _bottomk(ds, id_col: str, k: int, seed: int, fan_in: int,
     def merge(b: pd.DataFrame) -> pd.DataFrame:
         return _take_smallest(b, k, id_col)
 
-    return (ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536)
-            .repartition(fan_in)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pandas", batch_size=None))
+    return summary_tree(ds, partial, merge, fan_in=fan_in,
+                        batch_size=65536)
 
 
 def _drop_pri(b: pd.DataFrame) -> pd.DataFrame:

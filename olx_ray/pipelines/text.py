@@ -310,12 +310,10 @@ def word_freq_topk_approx(sf_dir: str, k: int = 50, capacity: int = 4096,
         return g.sort_values(["n", "word"], ascending=[False, True],
                              kind="mergesort").head(k)
 
-    return (_read_docs(sf_dir, ["text"])
-            .map_batches(partial, batch_format="pandas", batch_size=8192)
-            .repartition(fan_in)
-            .map_batches(merge, batch_format="pandas", batch_size=None)
-            .repartition(1)
-            .map_batches(finish, batch_format="pandas", batch_size=None))
+    from ..functions.summaries import summary_tree
+
+    return summary_tree(_read_docs(sf_dir, ["text"]), partial, merge,
+                        finish, fan_in=fan_in, batch_size=8192)
 
 
 WORD_FREQ_SQL = """
