@@ -194,8 +194,13 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": corpus.TOKEN_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "embedding_neardup_pairs": dedup.EMBEDDING_NEARDUP_SQL,
+        # LSH variants: exact all-pairs SQL is a valid equality oracle
+        # because both are recall-1.0-pinned + exact-verified on the
+        # fixtures (see MINHASH_LSH_SQL's derivation note)
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "embedding_neardup_lsh": dedup.EMBEDDING_NEARDUP_SQL,
         "neardup_groups_embedding": dedup.NEARDUP_GROUPS_EMBEDDING_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
-        # text_profile / minhash / simhash / knn_lsh / knn_ivf / media /
+        # text_profile / simhash / knn_lsh / knn_ivf / media /
         # training_corpus / crawl_*: non-SQL-expressible → rows-only checks.
     }

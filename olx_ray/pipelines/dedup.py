@@ -810,6 +810,38 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 ORDER BY vec_a, vec_b
 """
 
+# Oracle for minhash_lsh_pairs: the EXACT all-pairs word-3-gram Jaccard
+# at the same threshold. Valid as an equality oracle because the LSH
+# band parameters are sized for recall 1.0 at τ=0.6 and the engine
+# verifies candidates with exact Jaccard — so engine output ≡ the exact
+# threshold set whenever no true pair is missed, which is pinned (and
+# deterministic: fixed data, fixed hashes) on the test fixtures at
+# sf0.001 AND sf0.01. The SQL shingles word trigrams as STRINGS where
+# the engine shingles token-hash windows; intersections agree absent
+# blake2b/poly collisions (measured jaccard delta 0.0 on both SFs).
+# Window shrinks to len(words) for docs shorter than 3 tokens,
+# mirroring shingle_hashes' w = min(n, len); empty docs produce no
+# bands in the engine and are excluded here (len(ws) > 0).
+MINHASH_LSH_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, ws, least(3, len(ws)) AS w FROM d WHERE len(ws) > 0
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i : i + w - 1], ' ')
+                        FOR i IN range(1, len(ws) - w + 2)]) AS ss
+  FROM p
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.ss, b.ss))::DOUBLE
+               / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+"""
+
 
 def _unionfind_pairs(pairs: pd.DataFrame, col_a: str, col_b: str):
     """Union-find over a (small, pair-bounded) verified-pair frame.
