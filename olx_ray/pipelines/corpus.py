@@ -411,8 +411,14 @@ def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
 
     parts = []
     for name, (ds, weight) in sorted(sources.items()):
-        if not float(weight) > 0:
-            # weight 0 means EXCLUDED, not demoted: exp_clock gives
+        w = float(weight)
+        if w != w:  # NaN: an upstream bug, not an exclusion request —
+            # silently dropping the source would vanish a corpus from
+            # the training mix with no signal
+            raise ValueError(f"weighted_interleave: weight for {name!r} "
+                             "is NaN")
+        if not w > 0:
+            # weight <= 0 means EXCLUDED, not demoted: exp_clock gives
             # such rows +inf, which would sort them (in nondeterministic
             # tied order) to the tail of the stream instead of out of it
             continue

@@ -736,8 +736,15 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     τ=0.45 (θ≈63°) recall≈1 needs r=4 bits × 24 tables (measured 1.0 at
     sf0.01), which is MORE pair work than the exact chunked scan — so
     this is the scale path only for higher thresholds / when candidate
-    pruning matters; recall vs the exact scan is measured in tests; no
-    oracle entry (probabilistic recall)."""
+    pruning matters; recall vs the exact scan is measured in tests.
+
+    ORACLE CONTRACT: `__ray_entry__.oracle_sql` registers the exact
+    all-pairs `EMBEDDING_NEARDUP_SQL` as this operator's equality
+    oracle — valid because recall is measured exactly 1.0 on the
+    deterministic sf0.001/sf0.01 fixtures with THESE band parameters.
+    Changing n_tables/n_bits (or the plane seed) can drop recall below
+    1.0 and fail the driver's parity gate; re-measure recall at both
+    gate SFs before touching them."""
     planes = None  # lazily sized from the first batch's dim (fixed seed
     #                → every worker derives the identical planes)
     weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
@@ -822,6 +829,15 @@ ORDER BY vec_a, vec_b
 # Window shrinks to len(words) for docs shorter than 3 tokens,
 # mirroring shingle_hashes' w = min(n, len); empty docs produce no
 # bands in the engine and are excluded here (len(ws) > 0).
+#
+# VALIDITY BOUND: parity is measured (engine == this SQL, jaccard
+# delta 0.0) at sf0.001, sf0.01 AND sf0.1. On OTHER corpora two
+# divergence modes exist: (a) the engine's >256-docs-per-band-key
+# star cap drops pairs between non-representative members of a
+# mass-duplicate key that this all-pairs SQL enumerates; (b) band
+# recall < 1 for a near-threshold pair missing every band. Both are
+# deterministic per corpus — re-measure before trusting this oracle
+# on new fixtures or changed band parameters.
 MINHASH_LSH_SQL = """
 WITH d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws

@@ -390,21 +390,54 @@ def write_site(tier: str, root: str) -> dict[str, str]:
     return {"pages": pages_dir, "seeds": seeds_dir}
 
 
+def _site_paths(root: str) -> dict[str, str]:
+    import os
+
+    return {"pages": os.path.join(root, "pages"),
+            "seeds": os.path.join(root, "seeds")}
+
+
+def _marker_current(root: str, tier: str) -> bool:
+    import os
+
+    marker = os.path.join(root, "_COMPLETE")
+    try:
+        with open(marker) as f:
+            return f.read().strip() == f"{tier}:v{SITE_VERSION}"
+    except OSError:
+        return False
+
+
 def ensure_site(tier: str, root: str) -> dict[str, str]:
     """Cached-site guard for /tmp reuse across processes: rebuild unless
     the completeness marker exists AND matches this (tier, generator
     version) — ``isdir(pages)`` alone would trust a torn site from a
     killed run, and an unchecked marker would silently reuse a site
     built for a DIFFERENT tier (or by an older sitegen) at the same
-    root."""
+    root.
+
+    Concurrent-process safe: a rebuild happens in a pid-unique sibling
+    dir and is published with one atomic ``os.rename`` — racing
+    processes never build in (or delete) a directory another process
+    is mid-write in, and whichever rename wins provides a COMPLETE
+    site (marker is written before rename); the loser discards its
+    build and reuses the winner's."""
     import os
     import shutil
 
-    marker = os.path.join(root, "_COMPLETE")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == f"{tier}:v{SITE_VERSION}":
-                return {"pages": os.path.join(root, "pages"),
-                        "seeds": os.path.join(root, "seeds")}
-        shutil.rmtree(root)            # stale tier/version: full rebuild
-    return write_site(tier, root)
+    if _marker_current(root, tier):
+        return _site_paths(root)
+    # stale tier/version: clear the old root (ignore_errors — a racing
+    # process may be clearing it too) and build aside, publish by rename
+    shutil.rmtree(root, ignore_errors=True)
+    build = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    write_site(tier, build)
+    try:
+        os.rename(build, root)
+    except OSError:
+        # a concurrent builder renamed first; its site is complete
+        shutil.rmtree(build, ignore_errors=True)
+        if not _marker_current(root, tier):
+            raise
+    return _site_paths(root)
