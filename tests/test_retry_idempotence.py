@@ -91,3 +91,52 @@ def test_ensure_site_rebuilds_torn_cache(tmp_path):
     before = os.stat(shard).st_mtime_ns
     ensure_site("t1", root)
     assert os.stat(shard).st_mtime_ns == before
+
+
+def test_ensure_site_stale_marker_and_concurrent_rebuild(tmp_path):
+    """Version/tier drift rebuilds; concurrent rebuilders racing on one
+    stale root each get a complete site (pid-unique build dir + atomic
+    rename publish) and leave no build litter behind."""
+    import glob
+    import multiprocessing as mp
+    import os
+
+    from olx_ray.sources.sitegen import SITE_VERSION, ensure_site
+
+    root = str(tmp_path / "site")
+
+    # stale (old-format) marker: must rebuild, new marker carries version
+    os.makedirs(root)
+    with open(os.path.join(root, "_COMPLETE"), "w") as f:
+        f.write("t1")
+    ensure_site("t1", root)
+    with open(os.path.join(root, "_COMPLETE")) as f:
+        assert f.read() == f"t1:v{SITE_VERSION}"
+
+    # different tier at the same root: rebuild again
+    ensure_site("t2", root)
+    with open(os.path.join(root, "_COMPLETE")) as f:
+        assert f.read() == f"t2:v{SITE_VERSION}"
+
+    # 4 processes race the same stale root; each must come back with a
+    # fully-populated pages dir and the current marker
+    with open(os.path.join(root, "_COMPLETE"), "w") as f:
+        f.write("stale")
+    with mp.get_context("spawn").Pool(4) as pool:
+        counts = pool.map(_race_build, [(root, "t1")] * 4)
+    assert all(c == counts[0] and c > 0 for c in counts), counts
+    assert not glob.glob(root + ".build-*")
+
+
+def _race_build(args):
+    root, tier = args
+    import glob
+    import os
+
+    from olx_ray.sources.sitegen import ensure_site
+
+    paths = ensure_site(tier, root)
+    from olx_ray.sources.sitegen import SITE_VERSION
+    with open(os.path.join(root, "_COMPLETE")) as f:
+        assert f.read() == f"{tier}:v{SITE_VERSION}"
+    return len(glob.glob(os.path.join(paths["pages"], "*.parquet")))
