@@ -975,3 +975,111 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6):
 
     return broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
                           drop_ids, "doc_id", anti=True).sort("doc_id")
+
+
+# ----------------------------------------------------------- incremental
+def dedup_incremental(corpus, new, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 32,
+                      broadcast_max_hashes: int = 2_000_000,
+                      strategy: str = "auto"):
+    """Ingestion-gate dedup: rows of ``new`` whose exact text is NOT
+    already in ``corpus``, first-wins (min ``id_col``) within the
+    increment — the "don't re-ingest what the corpus already holds"
+    step every continuously-fed training pipeline runs per increment.
+
+    Scale shape: the corpus contributes only per-batch-distinct HASH
+    rows (8 B each — ~0.1 % of corpus bytes; its text never leaves the
+    first map stage), the increment's text crosses the one bucket
+    shuffle exactly once, and each bucket group runs one vectorized
+    anti-join + min-id dedup (never per-row / per-hash Python). Two
+    text delivery strategies, selected like the minhash verify:
+
+    - BROADCAST (corpus distinct-hash upper bound ≤
+      ``broadcast_max_hashes``): the corpus hash set ships to each map
+      task and new rows drop BEFORE the shuffle — the increment
+      shuffle then carries survivors only.
+    - SHUFFLE: corpus hash rows union the increment into the bucket
+      groupby (Arrow-typed null padding keeps the union columnar);
+      nothing corpus-hash-set-sized touches the driver or any task.
+
+    Both return identical rows (strategy-agreement-tested). Output
+    keeps all ``new`` columns, sorted by ``id_col``."""
+    from ..functions.hashing import hash64_array
+
+    def corpus_hashes(b: pa.Table) -> pa.Table:
+        h = np.unique(hash64_array(b[text_col]))
+        return pa.table({"text_hash": pa.array(h, pa.uint64())})
+
+    ch = corpus.map_batches(corpus_hashes, batch_format="pyarrow") \
+        .materialize()
+    if strategy == "auto":
+        # per-batch-distinct row count: cheap upper bound on the true
+        # distinct-hash count (metadata count on the materialized ds)
+        strategy = "broadcast" if ch.count() <= broadcast_max_hashes \
+            else "shuffle"
+
+    new_cols = list(new.schema().names)
+
+    def tag_new(b: pa.Table, drop_ref=None) -> pa.Table:
+        h = hash64_array(b[text_col])
+        if drop_ref is not None:
+            seen = ray.get(drop_ref)
+            keep = ~np.isin(h, seen)
+            b, h = b.filter(pa.array(keep)), h[keep]
+        b = b.append_column("text_hash", pa.array(h, pa.uint64()))
+        return b.append_column(
+            "_db", pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                            pa.int32()))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if "_side" in g.columns:
+            cor = g.loc[g["_side"] == 0, "text_hash"].to_numpy(np.uint64)
+            g = g[g["_side"] == 1]
+            g = g[~np.isin(g["text_hash"].to_numpy(np.uint64), cor)]
+        g = g.sort_values([id_col], kind="mergesort") \
+            .drop_duplicates("text_hash")
+        return g[new_cols]
+
+    if strategy == "broadcast":
+        hs = np.sort(np.unique(np.concatenate(
+            [b["text_hash"].to_numpy() for b in
+             ch.iter_batches(batch_format="pandas", batch_size=65536)]
+            or [np.empty(0, np.uint64)])))
+        ref = ray.put(hs)
+        tagged = new.map_batches(tag_new, batch_format="pyarrow",
+                                 fn_kwargs={"drop_ref": ref})
+        return tagged.groupby("_db") \
+            .map_groups(finish, batch_format="pandas").sort(id_col)
+
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # normalize the increment to Arrow blocks so its unified pa.Schema
+    # (captured ONCE, driver-side) types the corpus side's null padding
+    new = new.map_batches(lambda b: b, batch_format="pyarrow")
+    schema = new.schema()
+    if schema is None:        # empty increment: nothing to dedup
+        return new
+    arrow_schema = schema.base_schema
+
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        h = b["text_hash"].to_numpy(zero_copy_only=False)
+        cols = {"text_hash": b["text_hash"],
+                "_db": pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                                pa.int32()),
+                "_side": pa.array(np.zeros(len(b), np.int8), pa.int8())}
+        for name in new_cols:  # Arrow-typed null padding (columnar union)
+            cols[name] = pa.nulls(len(b), arrow_schema.field(name).type)
+        return pa.table(cols)
+
+    def side_new(b: pa.Table) -> pa.Table:
+        b = tag_new(b)
+        b = b.append_column("_side",
+                            pa.array(np.ones(len(b), np.int8), pa.int8()))
+        # column order must match tag_corpus for the union
+        return b.select(["text_hash", "_db", "_side"] + new_cols)
+
+    unioned = ch.map_batches(tag_corpus, batch_format="pyarrow").union(
+        new.map_batches(side_new, batch_format="pyarrow"))
+    return unioned.groupby("_db") \
+        .map_groups(finish, batch_format="pandas").sort(id_col)

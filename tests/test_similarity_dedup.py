@@ -234,3 +234,56 @@ def test_simhash_verify_frame_matches_bruteforce():
                         ref_rows.add((a.doc_id, b.doc_id, d))
         got_rows = set(map(tuple, got.to_numpy()))
         assert got_rows == ref_rows, f"trial {trial}"
+
+
+def test_dedup_incremental_oracle_and_strategies(ray_session):
+    """Ingestion-gate dedup: DuckDB NOT-EXISTS + first-wins oracle;
+    broadcast and shuffle strategies agree; partition-invariant;
+    empty-corpus and empty-increment edges hold."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from olx_ray.pipelines.dedup import dedup_incremental
+
+    corpus_df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta", "gamma", "delta eps", "zeta"]})
+    new_df = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14, 15],
+        "text": ["gamma", "new one", "new one",
+                 "alpha beta", "fresh two", "new one"]})
+
+    exp = duckdb.sql("""
+        SELECT n.* FROM new_df n
+        WHERE NOT EXISTS (SELECT 1 FROM corpus_df c WHERE c.text = n.text)
+          AND n.doc_id = (SELECT min(doc_id) FROM new_df m
+                          WHERE m.text = n.text)
+        ORDER BY doc_id""").df()
+    assert len(exp) == 2  # the fixture must exercise both dedup axes
+
+    for strat in ("broadcast", "shuffle", "auto"):
+        out = dedup_incremental(
+            rd.from_pandas(corpus_df), rd.from_pandas(new_df),
+            strategy=strat).to_pandas().reset_index(drop=True)
+        assert out.equals(exp), strat
+
+    out = dedup_incremental(
+        rd.from_pandas(corpus_df).repartition(3),
+        rd.from_pandas(new_df).repartition(5),
+        strategy="shuffle").to_pandas().reset_index(drop=True)
+    assert out.equals(exp)
+
+    # empty corpus: only within-increment first-wins dedup remains
+    got = dedup_incremental(
+        rd.from_pandas(corpus_df.iloc[:0]), rd.from_pandas(new_df),
+        strategy="broadcast").to_pandas()
+    assert sorted(got.doc_id) == [10, 11, 13, 14]
+
+    # empty increment: no rows out, either strategy
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    for strat in ("broadcast", "shuffle"):
+        assert dedup_incremental(
+            rd.from_pandas(corpus_df), rd.from_pandas(empty),
+            strategy=strat).count() == 0
