@@ -439,3 +439,31 @@ def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
     for p in parts[1:]:
         out = out.union(p)
     return out.sort("mix_key")
+
+
+def epoch_shuffle(ds, epoch: int, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic per-epoch global reshuffle of a training corpus:
+    every epoch visits all rows in a fresh uniform-random order that is
+    a pure function of (ids, epoch, seed) — reproducible across runs
+    and partitionings, no RNG state, no driver materialization. The
+    standard alternative, ``Dataset.random_shuffle``, is neither
+    reproducible across cluster shapes nor addressable by epoch.
+
+    Key = fmix64(id ^ f(epoch, seed)); the global sort on it is the one
+    all-to-all the TOTAL-order contract needs (same note as
+    `weighted_interleave`). For shard-local shuffling (per-worker
+    reader order, no exchange) sort each output block by
+    ``shuffle_key`` instead of calling this. Output keeps all columns
+    plus ``shuffle_key``."""
+    from ..functions.hashing import mix64
+
+    eseed = (seed * 0x9E3779B97F4A7C15 + epoch * 0xC2B2AE3D27D4EB4F) \
+        & 0xFFFFFFFFFFFFFFFF
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        b = b.copy()
+        b["shuffle_key"] = mix64(ids.astype(np.int64, copy=False), eseed)
+        return b
+
+    return ds.map_batches(key, batch_format="pandas").sort("shuffle_key")

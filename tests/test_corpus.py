@@ -167,3 +167,27 @@ def test_redact_pii_patterns():
     out = r(df)["redacted"].tolist()
     assert out[0] == "mail <EMAIL> see <URL> call <NUM> end"
     assert out[1] == "plain words only"
+
+
+def test_epoch_shuffle_permutation_and_epoch_variation(ray_session):
+    """epoch_shuffle: every epoch is a permutation of the corpus,
+    deterministic in (ids, epoch, seed), partition-invariant, and
+    different epochs produce different orders."""
+    import pandas as pd
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import epoch_shuffle
+
+    df = pd.DataFrame({"doc_id": range(200), "text": "x"})
+
+    def order(ds, epoch, seed=0):
+        out = epoch_shuffle(ds, epoch, seed=seed).to_pandas()
+        assert sorted(out.doc_id) == list(range(200))   # permutation
+        return list(out.doc_id)
+
+    e0 = order(rd.from_pandas(df), 0)
+    assert e0 == order(rd.from_pandas(df), 0)                    # rerun
+    assert e0 == order(rd.from_pandas(df).repartition(7), 0)     # partitioning
+    assert e0 != order(rd.from_pandas(df), 1)                    # epoch varies
+    assert e0 != order(rd.from_pandas(df), 0, seed=99)           # seed varies
+    assert e0 != list(range(200))                                # not identity
