@@ -192,13 +192,12 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
     if not cfg.resume:
         # fresh run into a reused out_dir: wipe prior rounds, or their
         # committed fragments would sit beside this run's appends and
-        # double the frontier/documents on read
-        import re as _re
+        # double the frontier/documents on read (dir naming owned by
+        # checkpoint.list_round_dirs — never re-matched inline)
         import shutil as _shutil
-        for name in os.listdir(cfg.out_dir):
-            if name == "round-init" or _re.fullmatch(r"round-\d{4,}", name):
-                _shutil.rmtree(os.path.join(cfg.out_dir, name),
-                               ignore_errors=True)
+        for name in ckpt.list_round_dirs(cfg.out_dir):
+            _shutil.rmtree(os.path.join(cfg.out_dir, name),
+                           ignore_errors=True)
 
     robots = _load_robots(cfg.pages_dir)
     gates.extend(make_gates(cfg.n_gates, robots))
@@ -338,9 +337,12 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
             # its OWN table so the wide column never enters the
             # frontier shuffle (SURVEY.md §7 "wide rows").
             raw = ads_fetched.map_batches(
-                lambda b: pa.table({"doc_id": b["url"], "raw_html": b["html"],
-                                    "round": pa.array([r] * b.num_rows,
-                                                      pa.int32())}),
+                lambda b: pa.table({  # same canonical doc_id as the
+                    # documents table, so the sidecar joins back on it
+                    "doc_id": pa.array([canonicalize(u) for u in
+                                        b["url"].to_pylist()], pa.string()),
+                    "raw_html": b["html"],
+                    "round": pa.array([r] * b.num_rows, pa.int32())}),
                 batch_format="pyarrow")
             storage.write_dataset(raw, os.path.join(rdir, "raw_html"))
         _mark("parse_docs")
@@ -514,7 +516,13 @@ def _resolve_links(batch: pa.Table) -> pa.Table:
 def _doc_finalize(round_: int):
     def fin(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = {"doc_id": batch["url"], "spans": batch["spans"],
+        # doc_id is the CANONICAL url (schema.py contract — and the
+        # identity the seen filter deduped on): textual variants that
+        # canonicalize identically ("HTTP://Host/x", explicit default
+        # port) fetch once and must also key their document identically
+        cols = {"doc_id": pa.array([canonicalize(u) for u in
+                                    batch["url"].to_pylist()], pa.string()),
+                "spans": batch["spans"],
                 "search_id": batch["search_id"],
                 "fetched_seq": batch["discovered_seq"],
                 "round": pa.array([round_] * n, pa.int32())}
@@ -665,9 +673,17 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
         "emit_idx": pa.array(range(len(stream)), pa.int64()),
         "search_id": pa.array([1] * len(stream), pa.int64()),
     })
-    fetched = rd.from_arrow(ads_tbl).map_batches(
-        fetch_batch, fn_kwargs=fetch_kwargs, batch_format="pyarrow",
-        batch_size=cfg.fetch_batch_size, num_cpus=1).materialize()
+    # from_arrow yields ONE block and task parallelism == block count:
+    # repartition before the sleep-holding fetch (same rule as the
+    # native loop above) or the whole ad stream fetches serially
+    n_parts = max(cfg.fetcher_concurrency * 4,
+                  len(stream) // max(1, cfg.fetch_batch_size))
+    fetched = rd.from_arrow(ads_tbl) \
+        .repartition(min(n_parts, 512)) \
+        .map_batches(fetch_batch, fn_kwargs=fetch_kwargs,
+                     batch_format="pyarrow",
+                     batch_size=cfg.fetch_batch_size, num_cpus=1) \
+        .materialize()
     # job-death semantics: truncate at the first non-fetched status.
     # Driver-side take_all is COUNT-BOUNDED here: the stream is capped at
     # `count` (the user-requested conformance budget, reference takes the
@@ -689,9 +705,11 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
     # --- reconstruct the sequential trace (golden algorithm shape) ------
     emitted = 0
     dead = False
-    for _ in range(iterations):
+    rounds_traced = 0          # actual listing fetches, not the planned
+    for _ in range(iterations):  # unfold count (death truncates early)
         trace.append((seq, seed_url, "fetch_listing"))
         seq += 1
+        rounds_traced += 1
         for url in links:
             if emitted >= count:
                 break
@@ -706,7 +724,7 @@ def crawl_conformance(cfg: CrawlConfig, seed_url: str, count: int) -> CrawlResul
         if dead:
             break
     n_docs = limit if death_at is not None else min(count, len(stream))
-    return CrawlResult(cfg.out_dir, iterations, n_docs, seq, trace,
+    return CrawlResult(cfg.out_dir, rounds_traced, n_docs, seq, trace,
                        time.monotonic() - t0)
 
 

@@ -51,6 +51,11 @@ def _shard_store(pages_dir: str, shard: int) -> dict:
     key = (pages_dir, shard)
     store = _STORE_CACHE.get(key)
     if store is None:
+        # a crawl only ever reads ONE pages_dir: drop shards cached for
+        # any other (long-lived workers in a shared Ray session would
+        # otherwise accumulate every past crawl's full page HTML)
+        for old in [k for k in _STORE_CACHE if k[0] != pages_dir]:
+            del _STORE_CACHE[old]
         path = os.path.join(pages_dir, f"shard-{shard:03d}.parquet")
         store = {}
         if os.path.exists(path):
@@ -96,7 +101,9 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, gates: list | None = None,
             verdict_refs.append((host, idxs,
                                  gate_for(gates, host).allowed.remote(host, paths)))
         waits = []
-        now = time.monotonic()
+        # NO caller timestamp: the gate actor reads its own clock —
+        # monotonic values from other processes/nodes aren't comparable
+        # (see politeness.py module docstring)
         for (host, idxs, ref), oks in zip(verdict_refs,
                                           ray.get([r for _, _, r in verdict_refs])):
             n_allowed = 0
@@ -105,7 +112,7 @@ def fetch_batch(batch: pa.Table, *, pages_dir: str, gates: list | None = None,
                 n_allowed += bool(ok)
             if n_allowed:
                 waits.append(gate_for(gates, host).acquire.remote(
-                    host, n_allowed, now))
+                    host, n_allowed))
         wait = max(ray.get(waits), default=0.0)
         if wait > 0:
             time.sleep(wait)

@@ -8,13 +8,23 @@ SURVEY.md §4.2): hosts route to gate ``hash64(host) % n_gates`` so
 every fetcher talks to the same gate for a given host and the per-host
 serialization is global, not per-fetcher.
 
-``acquire(host, n, now)`` reserves ``n`` fetch slots and returns the
+``acquire(host, n)`` reserves ``n`` fetch slots and returns the
 simulated wait (seconds) the caller must add before issuing them — a
 token-bucket advance of the host's clock by ``n * crawl_delay``.
 Robots rules come from the synthetic page store's robots rows
-(``Disallow`` prefix matching, ``Crawl-delay``)."""
+(``Disallow`` prefix matching, ``Crawl-delay``).
+
+CLOCK OWNERSHIP: the gate actor reads ``time.monotonic()`` itself.
+Caller-supplied timestamps would mix monotonic clocks from different
+worker PROCESSES — and on a multi-node cluster monotonic values from
+different NODES differ by arbitrary offsets (each counts from its own
+boot), so a cross-node comparison can sleep for days or silently skip
+delays. All arithmetic against a host's clock happens inside the one
+actor that owns it."""
 
 from __future__ import annotations
+
+import time
 
 import ray
 
@@ -56,8 +66,11 @@ class PolitenessGate:
         self.default_delay = default_delay
         self.next_free: dict[str, float] = {}
 
-    def acquire(self, host: str, n: int, now: float) -> float:
-        """Reserve n fetches on host; returns seconds to wait before them."""
+    def acquire(self, host: str, n: int) -> float:
+        """Reserve n fetches on host; returns seconds to wait before
+        them. The reference time is THIS actor's monotonic clock (see
+        module docstring — caller clocks are not comparable)."""
+        now = time.monotonic()
         rule = self.rules.get(host)
         delay = rule["crawl_delay"] if rule else self.default_delay
         start = max(self.next_free.get(host, now), now)
@@ -77,9 +90,15 @@ class PolitenessGate:
 
 def make_gates(n_gates: int, robots_by_host: dict[str, str],
                default_delay: float = 0.0) -> list:
-    """Create the gate pool; host → gate routing is hash64(host) % n."""
-    return [PolitenessGate.remote(robots_by_host, default_delay)
-            for _ in range(n_gates)]
+    """Create the gate pool; host → gate routing is hash64(host) % n.
+    Each gate receives ONLY its own host slice (same routing hash) —
+    a host's rules are only ever consulted at its one gate, so
+    shipping the full map would multiply robots parse work and memory
+    by n_gates for nothing at millions of hosts."""
+    slices: list[dict[str, str]] = [{} for _ in range(n_gates)]
+    for h, t in (robots_by_host or {}).items():
+        slices[hash64(h) % n_gates][h] = t
+    return [PolitenessGate.remote(s, default_delay) for s in slices]
 
 
 def gate_for(gates: list, host: str):

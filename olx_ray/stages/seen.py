@@ -174,11 +174,15 @@ def dedup_min_seq(ds, key: str = "url_hash", seq: str = "discovered_seq",
     import pandas as pd
 
     if mode == "bucketed":
+        from ..functions.hashing import bucket_of
+
         def add_bucket(b: pa.Table) -> pa.Table:
-            k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # the shared fmix64 partitioner, like every other bucketed
+            # op (the key is already a blake2b url hash, but raw modulo
+            # partitioning is the one pattern the codebase bans)
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
             return b.append_column(
-                "_kb", pa.array((k % np.uint64(n_buckets)).astype(np.int32),
-                                pa.int32()))
+                "_kb", pa.array(bucket_of(k, n_buckets), pa.int32()))
 
         def keep_min(g: pd.DataFrame) -> pd.DataFrame:
             idx = g.groupby(key)[seq].idxmin()

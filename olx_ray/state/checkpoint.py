@@ -32,6 +32,18 @@ def round_dir(out_dir: str, r: int) -> str:
     return os.path.join(out_dir, f"round-{r:04d}")
 
 
+def list_round_dirs(out_dir: str) -> list[str]:
+    """Names of every round directory (data rounds + the ``round-init``
+    seed round) under ``out_dir``. THE single owner of the round-dir
+    naming scheme — fresh-run wipes iterate this instead of re-matching
+    the pattern, so a format change here can't strand stale fragments
+    beside a new run's appends."""
+    if not os.path.isdir(out_dir):
+        return []
+    return [name for name in os.listdir(out_dir)
+            if name == "round-init" or re.fullmatch(r"round-\d{4,}", name)]
+
+
 def manifest_path(out_dir: str, r: int) -> str:
     return os.path.join(round_dir(out_dir, r), "MANIFEST.json")
 

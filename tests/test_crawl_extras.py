@@ -36,13 +36,15 @@ def test_conformance_t2_trace(site_t2x, tmp_root):
 
 def test_politeness_gate_serializes_per_host(ray_session):
     gate = PolitenessGate.remote({"h.ua": "User-agent: *\nCrawl-delay: 2\n"})
-    now = 1000.0
-    w1 = ray.get(gate.acquire.remote("h.ua", 3, now))
-    w2 = ray.get(gate.acquire.remote("h.ua", 2, now))
-    # first caller starts immediately; second waits for 3 × 2s
-    assert w1 == 0.0 and w2 == pytest.approx(6.0)
+    # the gate reads its OWN clock (caller monotonic values are not
+    # cross-node comparable): back-to-back acquires see waits shrunk
+    # only by the microseconds elapsed between the calls
+    w1 = ray.get(gate.acquire.remote("h.ua", 3))
+    w2 = ray.get(gate.acquire.remote("h.ua", 2))
+    # first caller starts immediately; second waits for ~3 × 2s
+    assert w1 == 0.0 and 5.5 < w2 <= 6.0
     # other hosts are independent
-    assert ray.get(gate.acquire.remote("other.ua", 5, now)) == 0.0
+    assert ray.get(gate.acquire.remote("other.ua", 5)) == 0.0
     # robots disallow honored
     allowed = ray.get(gate.allowed.remote("h.ua", ["/ok", "/admin/x"]))
     gate2 = PolitenessGate.remote({"h.ua": "User-agent: *\nDisallow: /admin/\n"})

@@ -39,15 +39,21 @@ def test_politeness_retry_is_conservative(ray_session):
     politeness invariant is one-sided)."""
     from olx_ray.stages.politeness import PolitenessGate
 
+    import time
+
     gate = PolitenessGate.remote(
         {"h.example": "User-agent: *\nCrawl-delay: 2\n"})
     try:
-        w1 = ray.get(gate.acquire.remote("h.example", 3, 100.0))
-        w2 = ray.get(gate.acquire.remote("h.example", 3, 100.0))  # retry
+        t0 = time.monotonic()   # same node as the actor → comparable
+        w1 = ray.get(gate.acquire.remote("h.example", 3))
+        w2 = ray.get(gate.acquire.remote("h.example", 3))  # retry
         assert w1 == 0.0
-        assert w2 >= 3 * 2.0  # the retried slots queue AFTER the originals
+        # the retried slots queue AFTER the originals (minus the
+        # microseconds elapsed between the two calls)
+        assert w2 >= 3 * 2.0 - 0.5
         snap = ray.get(gate.snapshot.remote())
-        assert snap["next_free"]["h.example"] == 100.0 + 2 * 3 * 2.0
+        nf = snap["next_free"]["h.example"]
+        assert t0 + 2 * 3 * 2.0 - 0.5 <= nf <= time.monotonic() + 2 * 3 * 2.0
     finally:
         ray.kill(gate)
 
