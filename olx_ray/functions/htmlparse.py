@@ -49,6 +49,14 @@ _BLOCK = {
 # tags that implicitly close an open element of the same kind
 _SELF_NESTING_CLOSE = {"li", "p", "tr", "td", "th", "option"}
 
+# inline/formatting elements an implied end tag may close ACROSS:
+# <li>a<b>x<li>b must close the first li (and the dangling <b>) the way
+# Jsoup/HTML5 do, but the search never crosses block/list/table
+# boundaries (a li in a NESTED ul is its own level)
+_INLINE = {"a", "b", "i", "em", "strong", "span", "u", "s", "small",
+           "big", "code", "sub", "sup", "font", "mark", "abbr", "cite",
+           "q", "time", "var", "kbd", "samp"}
+
 _WS = re.compile(r"\s+")
 
 
@@ -97,17 +105,32 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        # implicit close: <li> inside an open <li> at same list level, etc.
-        if tag in _SELF_NESTING_CLOSE and self.stack[-1].tag == tag:
-            self.stack.pop()
+        # implied end tag: a new <li>/<p>/<tr>/… closes an open element
+        # of the same tag, searching across unclosed INLINE elements
+        # (<li>a<b>x<li> closes the first li AND the dangling b, per
+        # Jsoup/HTML5) but never across block/list/table boundaries
+        if tag in _SELF_NESTING_CLOSE:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == tag:
+                    del self.stack[i:]
+                    break
+                if t not in _INLINE:
+                    break
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in _VOID:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
-        self.stack[-1].children.append(node)
+        if tag in _VOID:
+            node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+            self.stack[-1].children.append(node)
+        else:
+            # HTML5 (and Jsoup): the trailing slash on a non-void tag is
+            # IGNORED — <div/> opens a div; treating it as a leaf would
+            # push the element's real content out as siblings
+            self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
         # pop to the matching open tag if present; ignore stray closers
@@ -117,7 +140,10 @@ class _TreeBuilder(HTMLParser):
                 return
 
     def handle_data(self, data):
-        if data:
+        # script/style payloads are NOT text: Jsoup keeps them as
+        # DataNodes and Element.text() excludes them — appending them
+        # here would leak inline JS/CSS into extracted spans
+        if data and self.stack[-1].tag not in ("script", "style"):
             self.stack[-1].children.append(data)
 
 

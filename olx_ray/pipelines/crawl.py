@@ -23,7 +23,7 @@ Per native round r::
     map_batches(Fetcher actors)  [politeness gates consulted inside]
       ├─ filter(ad)      ─ ParseAds ──▶ documents/round-r (parquet)
       ├─ filter(listing) ─ ParseListings ─ canonicalize+hash ─┐
-      └─ ListingMeta (next_page rows, driver-side tiny) ──────┤
+      └─ (next_page travels on ParseListingsFull's rows) ─────┤
     union ── dedup_min_seq (groupby shuffle, round-bounded) ──┤
     SeenFilterClient(check: rounds < r) ── ad-cap sort+limit ─┤
     SeenFilterClient(add: seal at barrier) ──▶ frontier_{r+1} + checkpoint
@@ -50,8 +50,7 @@ from ..functions.hashing import hash64
 from ..functions.urls import canonicalize, host_of
 from ..schema import FRONTIER, pack_seq
 from ..stages.fetch import fetch_batch
-from ..stages.parse import (ListingMeta, ParseAds, ParseListings,
-                            ParseListingsFull)
+from ..stages.parse import ParseAds, ParseListings, ParseListingsFull
 from ..stages.politeness import make_gates
 from ..stages.seen import SeenFilterClient, dedup_min_seq, make_seen_actors
 from ..state import checkpoint as ckpt

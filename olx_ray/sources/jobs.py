@@ -46,12 +46,16 @@ def _read_field(form: dict[str, list[str] | str], field: str) -> str | None:
 
 
 def _java_to_int(s: str) -> int | None:
-    """Java ``Integer.parseInt`` semantics: optional sign, decimal digits
-    only — no whitespace, no underscores, no floats — and the 32-bit
+    """Java ``Integer.parseInt`` semantics: optional sign, decimal
+    digits — no whitespace, no underscores, no floats — and the 32-bit
     Integer range (parseInt throws on overflow → job rejected, not a
-    crash in the Arrow int32 cast downstream)."""
+    crash in the Arrow int32 cast downstream). ``isdecimal`` (Unicode
+    Nd), not ``isascii``+``isdigit``: Java's Character.digit accepts
+    non-ASCII decimal digits (e.g. Arabic-Indic) and rejects the
+    superscripts that Python's ``isdigit`` lets through — both of
+    which ``int()`` also honors."""
     s2 = s[1:] if s[:1] in "+-" else s
-    if not s2 or not s2.isascii() or not s2.isdigit():
+    if not s2 or not s2.isdecimal():
         return None
     try:
         v = int(s)

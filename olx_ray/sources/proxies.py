@@ -42,31 +42,49 @@ PROXY_SCHEMA = pa.schema([
 _REL_RE = re.compile(r"(\d+ \S+)")
 
 _UNIT_SECONDS = {
-    "sec": 1, "secs": 1, "second": 1, "seconds": 1,
-    "min": 60, "mins": 60, "minute": 60, "minutes": 60,
-    "hour": 3600, "hours": 3600,
-    "day": 86400, "days": 86400,
+    # full Scala-Duration alias set (the reference parses these chunks
+    # with Duration(_)): s/sec/secs, m/min/mins, h/hr/hrs, d — a site
+    # emitting "1 hr ago" must decode as 3600 s, not silently 0
+    "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hr": 3600, "hrs": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
 }
 
 
 def decode_last_checked(text: str, now: datetime.datetime,
                         *, fixed: bool = False) -> datetime.datetime:
     """M7: regex-extract every "N unit" chunk, sum as a duration, then
-    ADD to now (reference sign bug) unless ``fixed``."""
+    ADD to now (reference sign bug) unless ``fixed``.
+
+    A chunk with an unrecognized unit contributes 0 (the robust choice
+    for scraped text; the reference's Duration parse would THROW there
+    and kill the scrape — divergence documented, same policy as the
+    proxy-row skip in ``parse_proxy_table``)."""
     total = 0.0
     for chunk in _REL_RE.findall(text or ""):
         n, unit = chunk.split(" ", 1)
-        total += int(n) * _UNIT_SECONDS.get(unit.rstrip(".,"), 0)
+        total += int(n) * _UNIT_SECONDS.get(unit.rstrip(".,").lower(), 0)
     delta = datetime.timedelta(seconds=total)
     return now - delta if fixed else now + delta
 
 
 def parse_proxy_table(html: str) -> pa.Table:
     """S6: ``.fpl-list`` table rows → PROXY_SCHEMA records. Rows without
-    exactly 8 cells or a non-integer port are skipped (the reference
-    would raise mid-stream; the engine records clean rows only)."""
+    exactly 8 cells, a non-integer port, or a port outside 0..65535 are
+    skipped (the reference would raise mid-stream — toInt / the Arrow
+    int32 cast; the engine records clean rows only)."""
     doc = hp.parse_html(html)
-    tables = hp.select(doc, "div.fpl-list table") or hp.select(doc, "table")
+    # the reference selects by CLASS regardless of element
+    # (GetFreeProxies.scala): accept the class on the table itself or on
+    # any container; fall back to the first document table only if the
+    # class is absent entirely
+    containers = hp.select(doc, ".fpl-list")
+    tables = []
+    for c in containers:
+        tables.extend([c] if c.tag == "table" else hp.select(c, "table"))
+    if not tables:
+        tables = hp.select(doc, "table")
     rows: dict[str, list] = {f.name: [] for f in PROXY_SCHEMA}
     for table in tables[:1]:
         for tr in hp.select(table, "tr"):
@@ -76,6 +94,8 @@ def parse_proxy_table(html: str) -> pa.Table:
             try:
                 port = int(cells[1])
             except ValueError:
+                continue
+            if not 0 <= port <= 65535:
                 continue
             vals = [cells[0], port, cells[2], cells[3], cells[4],
                     cells[5], cells[6], cells[7]]

@@ -43,21 +43,43 @@ _SEL_NEXT = "a[data-cy='pagination-forward'][data-testid='pagination-forward']"
 
 
 def java_split_colon(s: str) -> list[str]:
-    """Java ``String.split(":")``: trailing empty strings removed; empty
-    input yields ``[""]``."""
+    """Java ``String.split(":")``: trailing empty strings removed — an
+    ALL-empty-segment input collapses to the EMPTY array (``":"`` and
+    ``"::"`` → ``[]``), while the empty input is Java's special case
+    yielding ``[""]``."""
+    if s == "":
+        return [""]
     parts = s.split(":")
-    while len(parts) > 1 and parts[-1] == "":
+    while parts and parts[-1] == "":
         parts.pop()
     return parts
 
 
+def _no_carry_collision(carried, computed) -> None:
+    """Carried-column pass-through must never clobber a computed output
+    column (silently emitting stale data); fail loud instead."""
+    clash = sorted(set(carried) & set(computed))
+    if clash:
+        raise ValueError(
+            f"carried column(s) {clash} collide with computed parse "
+            "output columns — rename them upstream")
+
+
 def parse_brief(texts: list[str]) -> list[tuple[str, str]]:
     """Reference DownloadAds.scala:49-54 over the ``<p>`` texts: returns
-    ordered (key, value) pairs after filtering + last-wins dedup."""
+    ordered (key, value) pairs after filtering + last-wins dedup.
+
+    Divergence (documented fix, like proxies' ``fixed=``): on an
+    all-colon ``<p>`` (text ``":"``), Java ``split(":")`` returns a
+    length-0 array and the reference's ``(0)`` access throws
+    ArrayIndexOutOfBounds, killing the job; the engine skips the line
+    and continues."""
     pos: dict[str, int] = {}
     out: list[list[str]] = []
     for t in texts:
         parts = java_split_colon(t)
+        if not parts:        # reference dies here (AIOOBE); see above
+            continue
         k = parts[0]
         v = parts[1] if len(parts) > 1 else "true"
         if not k or not v:
@@ -122,9 +144,11 @@ class ParseAds:
             type=pa.list_(SPAN),
         )
         cols = {"doc_id": batch[self.url_col], "spans": spans}
-        for name in batch.column_names:
-            if name not in (self.url_col, self.html_col):
-                cols[name] = batch[name]
+        carried = [n for n in batch.column_names
+                   if n not in (self.url_col, self.html_col)]
+        _no_carry_collision(carried, cols)
+        for name in carried:
+            cols[name] = batch[name]
         return pa.table(cols)
 
 
@@ -145,6 +169,7 @@ class ParseListingsFull:
         cols: dict[str, list] = {k: [] for k in
                                  ("url", "href_raw", "position", "page_url",
                                   "next_page", "n_links")}
+        _no_carry_collision(carried, cols)
         src_idx: list[int] = []   # source row per emitted row — carried
         #                           cols come via ONE Arrow take, never
         #                           per-cell .as_py() in the hot kernel
@@ -178,33 +203,6 @@ class ParseListingsFull:
             for n in carried:
                 out[n] = taken[n]
         return pa.table(out)
-
-
-class ListingMeta:
-    """map_batches kernel: one row per listing page —
-    (page_url, next_page, n_links). Exists because ParseListings
-    explodes to link rows, which would drop pages with zero cards (their
-    next_page link must still enter the frontier)."""
-
-    def __init__(self, url_col: str = "url", html_col: str = "html"):
-        self.url_col = url_col
-        self.html_col = html_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        page_urls = batch[self.url_col].to_pylist()
-        htmls = batch[self.html_col].to_pylist()
-        nxt, n_links = [], []
-        for html, purl in zip(htmls, page_urls):
-            links, np_ = parse_listing(html or "", purl)
-            nxt.append(np_)
-            n_links.append(len(links))
-        cols = {"page_url": pa.array(page_urls, pa.string()),
-                "next_page": pa.array(nxt, pa.string()),
-                "n_links": pa.array(n_links, pa.int32())}
-        for name in batch.column_names:
-            if name not in (self.url_col, self.html_col):
-                cols[name] = batch[name]
-        return pa.table(cols)
 
 
 def parse_listing_raw(html: str, page_url: str) -> tuple[list[str], list[str], str | None]:
@@ -264,6 +262,7 @@ class ParseListings:
             "page_url": pa.array(page_urls, type=pa.string()),
             "next_page": pa.array(next_pages, type=pa.string()),
         }
+        _no_carry_collision(carried, cols)
         if carried:
             taken = batch.select(carried).take(pa.array(src_idx, pa.int64()))
             for n in carried:

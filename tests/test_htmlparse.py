@@ -84,3 +84,43 @@ def test_attr_selector_value_with_space():
     hits = hp.select(doc, "div[data-cy='ad title']")
     assert len(hits) == 1
     assert hp.select(doc, "div[data-cy='ad title'] > span")
+
+
+def test_script_style_excluded_from_text():
+    """Jsoup Element.text() excludes script/style payloads (DataNodes)."""
+    from olx_ray.functions import htmlparse as hp
+
+    doc = hp.parse_html(
+        "<div data-cy='t'>Title<script>var x=1;</script>"
+        "<style>.a{color:red}</style> tail</div>")
+    el = hp.select(doc, "div[data-cy='t']")[0]
+    assert el.text() == "Title tail"
+
+
+def test_self_closed_nonvoid_stays_open():
+    """HTML5/Jsoup ignore the slash on non-void tags: <div/> OPENS."""
+    from olx_ray.functions import htmlparse as hp
+
+    doc = hp.parse_html("<div data-cy='t'/>inside</div><p>after</p>")
+    assert hp.select(doc, "div[data-cy='t']")[0].text() == "inside"
+    # void self-closers stay leaves
+    doc2 = hp.parse_html("<p>a<br/>b</p>")
+    assert hp.select(doc2, "p")[0].text() == "a b" or \
+        hp.select(doc2, "p")[0].text() == "ab"
+
+
+def test_li_implied_close_across_inline():
+    """<li>a<b>x<li>b: the second li closes the first ACROSS the
+    dangling inline <b> — both li are ul children, and a child-chain
+    selector still reaches their <p> content."""
+    from olx_ray.functions import htmlparse as hp
+
+    doc = hp.parse_html(
+        "<div id='mainContent'><ul><li><p>k1:v1</p>"
+        "<b>dangling<li><p>k2:v2</p></ul></div>")
+    ps = hp.select(doc, "div#mainContent ul>li>p")
+    assert [p.text() for p in ps] == ["k1:v1", "k2:v2"]
+    # but never across a NESTED list boundary
+    doc2 = hp.parse_html("<ul><li>outer<ul><li>inner</ul></li></ul>")
+    lis = hp.select(doc2, "ul>li")
+    assert len(lis) == 2

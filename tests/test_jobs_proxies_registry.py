@@ -145,3 +145,40 @@ def test_metrics_and_csv_export(ray_session, site_t2, tmp_root):
     csv_dir = os.path.join(tmp_root, "docs_csv")
     export_documents_csv(out, csv_dir)
     assert any(f.endswith(".csv") for f in os.listdir(csv_dir))
+
+
+def test_java_to_int_unicode_decimal_digits():
+    """Java Integer.parseInt accepts Unicode Nd digits (Character.digit)
+    and rejects superscripts — so must the engine."""
+    from olx_ray.sources.jobs import _java_to_int
+
+    assert _java_to_int("١٢٣") == 123  # Arabic-Indic 123
+    assert _java_to_int("²") is None             # superscript two
+    assert _java_to_int("-42") == -42
+    assert _java_to_int("1_2") is None
+
+
+def test_proxy_port_range_and_fpl_class_on_table():
+    import datetime
+
+    from olx_ray.sources.proxies import decode_last_checked, parse_proxy_table
+
+    def mk(port):
+        tds = ["1.2.3.4", str(port), "UA", "Ukraine", "elite proxy",
+               "no", "yes", "1 min ago"]
+        return "<tr>" + "".join(f"<td>{c}</td>" for c in tds) + "</tr>"
+
+    # class on the TABLE element itself (reference selects by class,
+    # element-agnostic) + overflow/invalid ports skipped, valid kept
+    html = ("<table><tr><td>nav</td></tr></table>"
+            f"<table class='fpl-list'>{mk(8080)}{mk(99999999999)}{mk(70000)}</table>")
+    t = parse_proxy_table(html)
+    assert t["port"].to_pylist() == [8080]
+    assert t["ip_address"].to_pylist() == ["1.2.3.4"]
+
+    # Scala-Duration unit aliases: "1 hr ago" is 3600 s, not 0
+    now = datetime.datetime(2020, 1, 1)
+    assert (decode_last_checked("1 hr ago", now, fixed=True)
+            == now - datetime.timedelta(hours=1))
+    assert (decode_last_checked("2 h ago", now, fixed=True)
+            == now - datetime.timedelta(hours=2))

@@ -90,3 +90,29 @@ def test_parse_batch_kernels():
     assert lout["url"].to_pylist() == page0_links("t1")
     assert lout["position"].to_pylist() == list(range(len(page0_links("t1"))))
     assert lout["page_seq"].to_pylist() == [0] * len(page0_links("t1"))
+
+
+def test_java_split_colon_all_empty_and_brief_skip():
+    """Java split(':') collapses all-empty-segment inputs to the EMPTY
+    array (':'/'::' -> []); '' stays ['']; parse_brief skips the line
+    the reference would die on (documented divergence)."""
+    from olx_ray.stages.parse import java_split_colon, parse_brief
+
+    assert java_split_colon(":") == []
+    assert java_split_colon("::") == []
+    assert java_split_colon("") == [""]
+    assert java_split_colon("a:b:") == ["a", "b"]
+    assert java_split_colon(":a") == ["", "a"]
+    assert parse_brief([":", "k:v"]) == [("k", "v")]
+
+
+def test_carried_column_collision_is_loud():
+    import pyarrow as pa
+    import pytest
+
+    from olx_ray.stages.parse import ParseAds
+
+    batch = pa.table({"url": ["u"], "html": ["<p>x</p>"],
+                      "spans": ["stale"]})
+    with pytest.raises(ValueError, match="collide"):
+        ParseAds()(batch)
