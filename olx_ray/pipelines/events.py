@@ -33,26 +33,10 @@ def _user_bucket(ds, n_buckets: int):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _round2(cols):
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        for c in cols:
-            b[c] = b[c].round(2)
-        return b
-    return fn
-
-
-def _finish_small(ds, keys, agg_spec):
-    """Combiner finish for BOUNDED key cardinality: coalesce the (small)
-    per-batch partials to one block and aggregate in pandas. Used
-    because Ray's sort-based Aggregate costs seconds even on a few
-    thousand partial rows (esp. with timestamp keys); the partial
-    map_batches stage already did the scalable work. At unbounded key
-    cardinality use groupby().aggregate() instead."""
-
-    def agg(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(keys, as_index=False).agg(**agg_spec)
-
-    return ds.repartition(1).map_batches(agg, batch_format="pandas")
+# shared bounded-key combiner helpers (single definition — see
+# functions/smallagg.py for the validity bound and rationale)
+from ..functions.smallagg import finish_small as _finish_small  # noqa: E402
+from ..functions.smallagg import round2_fn as _round2  # noqa: E402
 
 
 def _read(sf_dir: str, columns=None):

@@ -104,13 +104,21 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
         sharded = ds.map_batches(add_shard, batch_format="pyarrow")
         # schema sidecar: a zero-row parquet carrying the FILE schema,
         # so read_shards of only-empty shards still yields the right
-        # columns instead of a schemaless table
-        sch = sharded.schema()
+        # columns instead of a schemaless table. Derived from the INPUT
+        # dataset's schema (metadata-only for parquet reads) — the only
+        # column add_shard adds is `shard`, which the hive write moves
+        # into the path anyway, so asking `sharded` would force the
+        # add_shard stage to execute once just for the sidecar.
+        sch = ds.schema()
         file_schema = pa.schema(
             [pa.field(n, t) for n, t in zip(sch.names, sch.types)
-             if n != "shard"])   # hive write moves `shard` into the path
-        pq.write_table(file_schema.empty_table(),
-                       os.path.join(out_dir, "_schema.parquet"))
+             if n != "shard"])
+        # temp+rename like every other marker here: a kill mid-write
+        # must never leave a truncated sidecar a later read trusts
+        sidecar = os.path.join(out_dir, "_schema.parquet")
+        tmp = os.path.join(out_dir, ".tmp-_schema.parquet")
+        pq.write_table(file_schema.empty_table(), tmp)
+        os.replace(tmp, sidecar)
         sharded.write_parquet(out_dir, partition_cols=["shard"])
         for s in pending:
             sdir = _shard_dir(out_dir, s)

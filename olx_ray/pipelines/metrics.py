@@ -42,8 +42,13 @@ def _trace_ds(out_dir: str):
 
 
 def host_stats(out_dir: str):
-    """Per-(host, action) visit counts across the whole crawl."""
-    from ray.data.aggregate import Count
+    """Per-(host, action) visit counts across the whole crawl.
+
+    Bounded keys (hosts × actions), so the combiner-first small-agg
+    pattern applies — CLAUDE.md bans bare ``groupby().aggregate`` here
+    (Ray 2.49 sort-aggregate is seconds even on tiny string-key inputs).
+    """
+    from ..functions.smallagg import partial_small_agg
 
     ds = _trace_ds(out_dir)
     if ds is None:
@@ -54,9 +59,11 @@ def host_stats(out_dir: str):
         return pa.table({"host": pa.array(hosts, pa.string()),
                          "action": b["action"]})
 
-    return (ds.map_batches(add_host, batch_format="pyarrow")
-            .groupby(["host", "action"]).aggregate(Count(alias_name="n"))
-            .sort(["host", "action"]))
+    counted = partial_small_agg(
+        ds.map_batches(add_host, batch_format="pyarrow"),
+        ["host", "action"],
+        {"n": ("action", "size")}, {"n": ("n", "sum")})
+    return counted.sort(["host", "action"])
 
 
 def round_stats(out_dir: str) -> list[dict]:

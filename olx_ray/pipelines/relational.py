@@ -52,36 +52,10 @@ def _filter_ts(ds, col: str, op: str, ts: str):
 
 
 
-def _round_col(ds, cols, nd: int = 2):
-    """Round float aggregate columns (cross-engine summation-order noise)."""
-
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        for c in cols:
-            b[c] = b[c].round(nd)
-        return b
-
-    return ds.map_batches(fn, batch_format="pandas")
-
-
-
-def _partial_small_agg(ds, keys, partial_spec, finish_spec, batch_size=65536):
-    """Two-level aggregate: vectorized pandas partials per batch (the
-    combiner — this is where the data-sized work happens), then coalesce
-    the per-batch partials and finish in one pandas groupby. Valid while
-    DISTINCT KEYS fit one worker (~10M); beyond that, switch the finish
-    to a bucketed groupby. Chosen over ``Dataset.aggregate`` because
-    Ray 2.49's sort-based Aggregate costs seconds even on thousands of
-    partial rows with string/timestamp keys."""
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(keys, as_index=False).agg(**partial_spec)
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(keys, as_index=False).agg(**finish_spec)
-
-    return (ds.map_batches(partial, batch_format="pandas",
-                           batch_size=batch_size)
-            .repartition(1).map_batches(finish, batch_format="pandas"))
+# shared bounded-key combiner helpers (single definition — see
+# functions/smallagg.py for the validity bound and rationale)
+from ..functions.smallagg import partial_small_agg as _partial_small_agg  # noqa: E402
+from ..functions.smallagg import round_cols as _round_col  # noqa: E402
 
 
 def _partial_bucket_agg(ds, keys, bucket_from, partial_spec, finish_spec,

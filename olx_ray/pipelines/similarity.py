@@ -80,16 +80,18 @@ class _LocalTopK:
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = self.q @ m.T                        # (Q, batch)
         k = min(self.k + 1, cos.shape[1])         # +1: self-match dropped later
-        idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        # keep EVERY row tied at the boundary cos, then cut with the
+        # shared deterministic (cos desc, id asc) truncation — a bare
+        # argpartition keeps an arbitrary subset of boundary ties, which
+        # can drop the smallest-id neighbor the SQL oracle picks
+        thresh = -np.partition(-cos, k - 1, axis=1)[:, k - 1]
         rows_q, rows_n, rows_c = [], [], []
         for qi in range(cos.shape[0]):
-            for j in idx[qi]:
-                rows_q.append(int(self.q_ids[qi]))
-                rows_n.append(int(ids[j]))
-                rows_c.append(float(cos[qi, j]))
-        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                         "neighbor_id": pa.array(rows_n, pa.int64()),
-                         "cos": pa.array(rows_c, pa.float64())})
+            sel = np.nonzero(cos[qi] >= thresh[qi])[0]
+            rows_q.extend([int(self.q_ids[qi])] * len(sel))
+            rows_n.extend(ids[sel].tolist())
+            rows_c.extend(cos[qi, sel].tolist())
+        return _truncate_local_topk(rows_q, rows_n, rows_c, self.k)
 
 
 def _global_topk(local, k: int):
@@ -254,14 +256,39 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
             f"train_rows={lman['train_rows']}; rebuild parameters must "
             f"match — use a fresh directory")
     cpath = f"{out_dir}/centroids.npy"
+    cmeta_path = f"{out_dir}/CENTROIDS_META.json"
     if os.path.exists(cpath):
         cents = np.load(cpath)
+        # the meta sidecar is written (atomically) BEFORE centroids.npy,
+        # so reloadable centroids always carry their training params —
+        # without this, a crash before IVF_MANIFEST.json let a resume
+        # with a different train_rows adopt the old centroids and then
+        # pin the WRONG params in the layout manifest
+        cmeta = storage.read_manifest(cmeta_path)
+        if cmeta is None or (cmeta["n_cells"], cmeta["train_rows"]) \
+                != (n_cells, train_rows):
+            have = ("unrecorded" if cmeta is None else
+                    f"n_cells={cmeta['n_cells']}, "
+                    f"train_rows={cmeta['train_rows']}")
+        else:
+            have = None
+        if have is not None:
+            raise ValueError(
+                f"{cpath} was trained with {have}; call asked "
+                f"n_cells={n_cells}, train_rows={train_rows} — use a "
+                f"fresh directory")
         if len(cents) != n_cells:
             raise ValueError(f"{cpath} holds {len(cents)} centroids, "
                              f"call asked n_cells={n_cells}")
     else:
         cents = _train_centroids(sf_dir, n_cells, train_rows)
-        np.save(cpath, cents)
+        # meta first, then the (temp+renamed) npy: a crash between the
+        # two leaves meta-without-centroids, which just retrains
+        storage.write_manifest(cmeta_path,
+                               {"n_cells": n_cells, "train_rows": train_rows})
+        tmp = f"{out_dir}/.tmp-centroids.npy"
+        np.save(tmp, cents)
+        os.replace(tmp, cpath)
     cref = ray.put(cents)
 
     def assign(b: pa.Table) -> pa.Table:

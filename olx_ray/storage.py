@@ -73,7 +73,12 @@ def read_dataset(path: str, columns: list[str] | None = None):
         if _is_lance(path):  # pragma: no cover
             return rd.read_lance(path, columns=columns)
         if os.path.isdir(path) and not any(
-                f.endswith(".parquet") for f in os.listdir(path)):
+                f.endswith(".parquet") and not f.startswith(".")
+                for f in os.listdir(path)):
+            # dot-prefixed .tmp-* leftovers from a crashed write are NOT
+            # data (Arrow discovery skips them too) — counting them here
+            # would make read_parquet raise on a dir with no real files,
+            # breaking the never-FileNotFound contract above
             return rd.from_arrow(pa.table({}))
     return rd.read_parquet(path, columns=columns)
 

@@ -61,3 +61,19 @@ def test_read_shards_ignores_uncommitted(ray_session, tmp_path):
     back = read_shards(out).to_pandas()
     total = pq.read_table(f"{SF}/documents.parquet").num_rows
     assert 0 < len(back) < total            # shard 0 invisible
+
+
+def test_read_dataset_ignores_tmp_leftovers(ray_session, tmp_path):
+    """A crashed write_table leaves only a dot-prefixed .tmp-*.parquet;
+    read_dataset must treat the dir as empty (never raise) — Arrow
+    discovery skips dot-files, so counting them as data would make
+    read_parquet fail on a dir with zero real files."""
+    import pyarrow as pa
+
+    from olx_ray import storage
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1]}), d / ".tmp-frag-dead.parquet")
+    ds = storage.read_dataset(str(d))
+    assert ds.count() == 0

@@ -2,6 +2,7 @@
 minhash candidate soundness, simhash banding completeness."""
 
 import numpy as np
+import pytest
 
 from olx_ray.pipelines.dedup import (MinHasher, ngram_jaccard, shingles,
                                      simhash_signatures)
@@ -196,6 +197,17 @@ def test_ivf_layout_pruned_read_matches_knn_ivf(ray_session, tmp_path):
     want = knn_ivf(SF, n_cells=8, n_probe=4).to_pandas()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    # param drift guard: the centroid META sidecar (written before the
+    # npy) pins the training params, so a resume with a different
+    # train_rows is refused even if IVF_MANIFEST.json never landed
+    os.remove(os.path.join(idx, "IVF_MANIFEST.json"))
+    with pytest.raises(ValueError, match="trained with"):
+        build_ivf_layout(SF, idx, n_cells=8, train_rows=1024)
+    # ...and centroids with NO recorded params (pre-sidecar dir or a
+    # half-cleaned one) are refused rather than silently adopted
+    os.remove(os.path.join(idx, "CENTROIDS_META.json"))
+    with pytest.raises(ValueError, match="unrecorded"):
+        build_ivf_layout(SF, idx, n_cells=8)
 
 
 def test_simhash_verify_frame_matches_bruteforce():
