@@ -133,6 +133,20 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
             "rows": rows}
 
 
+def _live_files(sdir: str, man: dict) -> list[str]:
+    """The files a reader may open in a committed shard. When the
+    manifest carries an explicit ``files`` list (written by
+    ``compact_shards``), that list IS the live set — anything else in
+    the directory is an uncommitted compaction attempt or a replaced
+    original awaiting cleanup. Without the list (plain export), every
+    non-dot parquet in the directory is live (the write_parquet glob
+    contract)."""
+    if "files" in man:
+        return [os.path.join(sdir, f) for f in man["files"]]
+    return [os.path.join(sdir, f) for f in sorted(os.listdir(sdir))
+            if f.endswith(".parquet") and not f.startswith(".")]
+
+
 def read_shards(out_dir: str, columns: list[str] | None = None,
                 shards: list[int] | None = None):
     """Dataset over the COMMITTED shards only (manifest present) —
@@ -150,11 +164,10 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
         s = int(name.split("=", 1)[1])
         if wanted is not None and s not in wanted:
             continue
-        if storage.read_manifest(_manifest_path(out_dir, s)) is None:
+        man = storage.read_manifest(_manifest_path(out_dir, s))
+        if man is None:
             continue
-        d = os.path.join(out_dir, name)
-        paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                     if f.endswith(".parquet"))
+        paths.extend(_live_files(os.path.join(out_dir, name), man))
     if not paths:
         # only-empty (or no committed) shards: serve the schema sidecar
         # so the result still carries the export's columns
@@ -163,3 +176,109 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
             return rd.read_parquet(sidecar, columns=columns)
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths, columns=columns)
+
+
+def _compact_one(sdir: str, man_path: str, target_bytes: int) -> dict:
+    """Compact one committed shard (runs as a Ray task — shards are
+    independent, so compaction parallelism == shard count).
+
+    Crash-safe commit protocol, with the manifest's ``files`` list as
+    the single commit point:
+
+    1. delete anything in the directory that is neither live nor the
+       manifest (garbage from a crashed attempt / replaced originals)
+    2. if the manifest has no ``files`` list yet, backfill one
+       atomically — pins the live set before new files appear
+    3. stream the live files' row groups into ``cmp-<gen>-<i>.parquet``
+       writers, rolling at ~``target_bytes`` (one row group in memory
+       at a time — never the whole shard)
+    4. atomically swap the manifest's ``files`` to the new list (THE
+       commit — readers flip from all-old to all-new, never a mix)
+    5. delete the old files (now unlisted; a kill before this leaves
+       garbage that step 1 of the next run removes)
+    """
+    import uuid
+
+    man = storage.read_manifest(man_path)
+    live = ([f for f in man["files"]] if "files" in man else
+            sorted(f for f in os.listdir(sdir)
+                   if f.endswith(".parquet") and not f.startswith(".")))
+    for f in os.listdir(sdir):
+        if f != "MANIFEST.json" and f not in live:
+            os.remove(os.path.join(sdir, f))
+    if len(live) < 2:
+        return {"shard": man["shard"], "before": len(live),
+                "after": len(live), "compacted": False}
+    if "files" not in man:
+        storage.write_manifest(man_path, {**man, "files": live})
+    gen = uuid.uuid4().hex[:12]
+    schema = pq.ParquetFile(os.path.join(sdir, live[0])).schema_arrow
+    new_files: list[str] = []
+    writer, written, rows = None, 0, 0
+    try:
+        for f in live:
+            pf = pq.ParquetFile(os.path.join(sdir, f))
+            for g in range(pf.metadata.num_row_groups):
+                if writer is None:
+                    name = f"cmp-{gen}-{len(new_files)}.parquet"
+                    new_files.append(name)
+                    writer = pq.ParquetWriter(
+                        os.path.join(sdir, name), schema)
+                    written = 0
+                rg = pf.read_row_group(g).cast(schema)
+                writer.write_table(rg)
+                rows += rg.num_rows
+                written += pf.metadata.row_group(g).total_byte_size
+                if written >= target_bytes:
+                    writer.close()
+                    writer = None
+    finally:
+        if writer is not None:
+            writer.close()
+    if rows != man["rows"]:   # paranoia: never commit a lossy rewrite
+        for name in new_files:
+            os.remove(os.path.join(sdir, name))
+        raise RuntimeError(
+            f"compaction of {sdir} produced {rows} rows, manifest says "
+            f"{man['rows']} — aborted, shard left untouched")
+    storage.write_manifest(man_path, {**man, "files": new_files})
+    for f in live:
+        os.remove(os.path.join(sdir, f))
+    return {"shard": man["shard"], "before": len(live),
+            "after": len(new_files), "compacted": True}
+
+
+def compact_shards(out_dir: str, target_bytes: int = 128 << 20) -> dict:
+    """Bin-pack each committed shard's fragment files into ~128 MB
+    parquet files — the small-file compaction a 100 TB export needs.
+
+    ``write_parquet(partition_cols=...)`` emits one file per producing
+    task per shard, so a B-block export over S shards can leave O(B·S)
+    tiny files whose per-file open/footer overhead then dominates every
+    downstream read. Compaction runs one Ray task per shard (raw task,
+    not a Dataset op: the unit of work is a directory rewrite with a
+    filesystem commit, which ``map_batches`` can't express), each
+    streaming row groups — memory stays bounded by one row group
+    regardless of shard size. Idempotent; safe to re-run after a crash
+    at ANY point (see ``_compact_one``). Readers (``read_shards``) are
+    correct before, during, and after: the manifest's ``files`` list
+    flips atomically from the old set to the new set."""
+    import ray
+
+    task = ray.remote(num_cpus=1)(_compact_one)
+    refs, shards = [], []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        s = int(name.split("=", 1)[1])
+        if storage.read_manifest(_manifest_path(out_dir, s)) is None:
+            continue   # uncommitted shards belong to export, not us
+        shards.append(s)
+        refs.append(task.remote(os.path.join(out_dir, name),
+                                _manifest_path(out_dir, s), target_bytes))
+    results = ray.get(refs)
+    return {"compacted": sorted(r["shard"] for r in results if r["compacted"]),
+            "skipped": sorted(r["shard"] for r in results
+                              if not r["compacted"]),
+            "files": {r["shard"]: (r["before"], r["after"])
+                      for r in results}}

@@ -77,3 +77,86 @@ def test_read_dataset_ignores_tmp_leftovers(ray_session, tmp_path):
     pq.write_table(pa.table({"x": [1]}), d / ".tmp-frag-dead.parquet")
     ds = storage.read_dataset(str(d))
     assert ds.count() == 0
+
+
+def _frag_count(out, s):
+    import olx_ray.pipelines.export as ex
+    d = ex._shard_dir(out, s)
+    return len([f for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(".")])
+
+
+def test_compact_shards_roundtrip_and_idempotence(ray_session, tmp_path):
+    """Compaction must preserve content exactly (rows, values), collapse
+    multi-fragment shards to one file at a large target, and no-op on a
+    second run."""
+    from olx_ray.pipelines.export import (compact_shards, export_shards,
+                                          read_shards)
+
+    out = str(tmp_path / "shards")
+    # many producing blocks -> several fragment files per shard
+    export_shards(_docs().repartition(8), out, n_shards=4)
+    before = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert any(_frag_count(out, s) > 1 for s in range(4))
+    res = compact_shards(out)
+    assert sorted(res["compacted"] + res["skipped"]) == [0, 1, 2, 3]
+    for s in res["compacted"]:
+        assert _frag_count(out, s) == 1
+    after = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert after.equals(before)
+    # idempotent: every shard now single-file -> nothing to do
+    res2 = compact_shards(out)
+    assert res2["compacted"] == []
+    # export resume still sees the shards as complete (manifest intact)
+    assert export_shards(_docs().repartition(8), out,
+                         n_shards=4)["written"] == []
+
+
+def test_compact_shards_crash_states(ray_session, tmp_path):
+    """Readers and re-runs must be correct at every crash point: an
+    uncommitted cmp- attempt is invisible and cleaned; after the
+    manifest commit, stale originals are invisible and cleaned."""
+    import json
+
+    import pyarrow as pa
+
+    import olx_ray.pipelines.export as ex
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (compact_shards, export_shards,
+                                          read_shards)
+
+    out = str(tmp_path / "shards")
+    export_shards(_docs().repartition(8), out, n_shards=2)
+    want = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    sdir = ex._shard_dir(out, 0)
+    man_path = ex._manifest_path(out, 0)
+
+    # crash point A: backfilled files-list + an unlisted cmp- attempt
+    man = storage.read_manifest(man_path)
+    live = sorted(f for f in os.listdir(sdir)
+                  if f.endswith(".parquet") and not f.startswith("."))
+    storage.write_manifest(man_path, {**man, "files": live})
+    junk = os.path.join(sdir, "cmp-deadbeef-0.parquet")
+    pq.write_table(pa.table({"doc_id": [999999]}), junk)
+    got = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.equals(want)                     # attempt invisible
+    compact_shards(out)                         # re-run cleans + compacts
+    assert not os.path.exists(junk) or \
+        json.load(open(man_path))["files"] != live
+
+    # crash point B: committed new list, stale original still on disk
+    man = storage.read_manifest(man_path)
+    stale = os.path.join(sdir, "stale-original.parquet")
+    pq.write_table(pa.table({"doc_id": [888888]}), stale)
+    got = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.equals(want)                     # stale file invisible
+    compact_shards(out)
+    assert not os.path.exists(stale)            # cleaned by next run
+    got = read_shards(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.equals(want)
