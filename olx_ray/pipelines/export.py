@@ -206,7 +206,12 @@ def _compact_one(sdir: str, man_path: str, target_bytes: int) -> dict:
     for f in os.listdir(sdir):
         if f != "MANIFEST.json" and f not in live:
             os.remove(os.path.join(sdir, f))
-    if len(live) < 2:
+    # gain check: a shard already at target density (e.g. eight 128 MB
+    # files of a 1 GB shard) would re-emit the same file count — skip,
+    # so periodic re-runs don't rewrite the whole export each time
+    total = sum(os.path.getsize(os.path.join(sdir, f)) for f in live)
+    n_out_est = max(1, -(-total // target_bytes))
+    if len(live) <= max(1, n_out_est):
         return {"shard": man["shard"], "before": len(live),
                 "after": len(live), "compacted": False}
     if "files" not in man:
@@ -228,7 +233,14 @@ def _compact_one(sdir: str, man_path: str, target_bytes: int) -> dict:
                 rg = pf.read_row_group(g).cast(schema)
                 writer.write_table(rg)
                 rows += rg.num_rows
-                written += pf.metadata.row_group(g).total_byte_size
+                # roll on COMPRESSED bytes — the on-disk size is what
+                # the file-count target is about; uncompressed
+                # total_byte_size would land files a compression-ratio
+                # factor below target (row-group meta only exposes the
+                # compressed size per column chunk)
+                rgm = pf.metadata.row_group(g)
+                written += sum(rgm.column(c).total_compressed_size
+                               for c in range(rgm.num_columns))
                 if written >= target_bytes:
                     writer.close()
                     writer = None
@@ -260,20 +272,24 @@ def compact_shards(out_dir: str, target_bytes: int = 128 << 20) -> dict:
     filesystem commit, which ``map_batches`` can't express), each
     streaming row groups — memory stays bounded by one row group
     regardless of shard size. Idempotent; safe to re-run after a crash
-    at ANY point (see ``_compact_one``). Readers (``read_shards``) are
-    correct before, during, and after: the manifest's ``files`` list
-    flips atomically from the old set to the new set."""
+    at ANY point (see ``_compact_one``). Reader contract: a
+    ``read_shards`` call snapshots the manifest's ``files`` list, which
+    flips atomically old→new — any call that starts before OR after the
+    commit sees a complete, duplicate-free view; but a LAZY Dataset
+    whose file list was resolved before the commit and executed after
+    the old files are deleted will fail (FileNotFoundError), same as
+    every snapshot-then-delete store. Don't compact under long-lived
+    open readers."""
     import ray
 
     task = ray.remote(num_cpus=1)(_compact_one)
-    refs, shards = [], []
+    refs = []
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("shard="):
             continue
         s = int(name.split("=", 1)[1])
         if storage.read_manifest(_manifest_path(out_dir, s)) is None:
             continue   # uncommitted shards belong to export, not us
-        shards.append(s)
         refs.append(task.remote(os.path.join(out_dir, name),
                                 _manifest_path(out_dir, s), target_bytes))
     results = ray.get(refs)

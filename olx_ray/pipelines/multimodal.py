@@ -407,14 +407,16 @@ def media_pipeline(media_path_or_table, kind: str, stage_cls, *,
     import ray.data as rd
 
     if isinstance(media_path_or_table, str):
+        # parquet reads already split into size-based blocks; forcing a
+        # repartition here would shuffle the raw media bytes for nothing
         ds = rd.read_parquet(media_path_or_table)
     else:
-        ds = rd.from_arrow(media_path_or_table)
-    # from_arrow yields ONE block and task parallelism == block count
-    # (CLAUDE.md: repartition before CPU-heavy map_batches): without
-    # this the whole actor pool decodes serially in a single task
+        # from_arrow yields ONE block and task parallelism == block
+        # count (CLAUDE.md: repartition before CPU-heavy map_batches):
+        # without this the whole actor pool decodes serially in one task
+        ds = rd.from_arrow(media_path_or_table) \
+            .repartition(concurrency * 2)
     return ds.filter(expr=f"kind == '{kind}'") \
-        .repartition(concurrency * 2) \
         .map_batches(stage_cls, fn_constructor_kwargs=stage_kwargs,
                      batch_format="pyarrow", batch_size=batch_size,
                      concurrency=(1, concurrency), num_cpus=1)

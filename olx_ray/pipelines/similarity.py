@@ -265,6 +265,12 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
         # with a different train_rows adopt the old centroids and then
         # pin the WRONG params in the layout manifest
         cmeta = storage.read_manifest(cmeta_path)
+        if cmeta is None and lman is not None:
+            # pre-sidecar layout whose IVF_MANIFEST.json already pins
+            # params matching this call (checked above): backfill the
+            # sidecar instead of refusing a perfectly-recorded resume
+            cmeta = {"n_cells": n_cells, "train_rows": train_rows}
+            storage.write_manifest(cmeta_path, cmeta)
         if cmeta is None or (cmeta["n_cells"], cmeta["train_rows"]) \
                 != (n_cells, train_rows):
             have = ("unrecorded" if cmeta is None else

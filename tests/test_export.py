@@ -145,8 +145,8 @@ def test_compact_shards_crash_states(ray_session, tmp_path):
         .reset_index(drop=True)
     assert got.equals(want)                     # attempt invisible
     compact_shards(out)                         # re-run cleans + compacts
-    assert not os.path.exists(junk) or \
-        json.load(open(man_path))["files"] != live
+    assert not os.path.exists(junk)             # step-1 cleanup removed it
+    assert json.load(open(man_path))["files"] != live
 
     # crash point B: committed new list, stale original still on disk
     man = storage.read_manifest(man_path)

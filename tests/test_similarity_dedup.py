@@ -197,6 +197,11 @@ def test_ivf_layout_pruned_read_matches_knn_ivf(ray_session, tmp_path):
     want = knn_ivf(SF, n_cells=8, n_probe=4).to_pandas()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    # pre-sidecar layout (meta missing, IVF_MANIFEST present+matching):
+    # backfilled, resume stays a cheap no-op
+    os.remove(os.path.join(idx, "CENTROIDS_META.json"))
+    assert build_ivf_layout(SF, idx, n_cells=8)["written"] == []
+    assert os.path.exists(os.path.join(idx, "CENTROIDS_META.json"))
     # param drift guard: the centroid META sidecar (written before the
     # npy) pins the training params, so a resume with a different
     # train_rows is refused even if IVF_MANIFEST.json never landed
