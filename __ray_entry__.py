@@ -77,7 +77,7 @@ def _listing_extract(_sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from olx_ray.pipelines import (corpus, dedup, events, relational,
-                                   similarity, text)
+                                   similarity, substrings, text)
 
     # EXACTLY 50 entries: the driver checks at most 50 queries per round
     # (r02 truncated 58 → first 50), so overlapping per-doc/media ops are
@@ -110,7 +110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "order_priority_count": relational.order_priority_count,
         "global_lineitem_stats": relational.global_lineitem_stats,
-        "distinct_mktsegments": relational.distinct_mktsegments,
         "union_distinct_keys": relational.union_distinct_keys,
         "nation_order_stats": relational.nation_order_stats,
         "segment_order_stats_native_join": relational.segment_order_stats_native_join,
@@ -149,12 +148,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "neardup_groups_embedding": dedup.neardup_groups_embedding,
+        # exact substring dedup (Lee et al. 2022 semantics; swapped in
+        # for distinct_mktsegments, which stays library+pytest — it
+        # duplicated union_distinct_keys' set-op coverage)
+        "duplicate_spans": substrings.duplicate_spans,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from olx_ray.pipelines import (corpus, dedup, events, relational,
-                                   similarity, text)
+                                   similarity, substrings, text)
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -165,7 +168,6 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "order_priority_count": relational.ORDER_PRIORITY_SQL,
         "global_lineitem_stats": relational.GLOBAL_STATS_SQL,
-        "distinct_mktsegments": relational.DISTINCT_SEGMENTS_SQL,
         "union_distinct_keys": relational.UNION_DISTINCT_SQL,
         "nation_order_stats": relational.NATION_ORDER_SQL,
         "segment_order_stats_native_join": relational.SEGMENT_ORDER_NATIVE_SQL,
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
         "embedding_neardup_lsh": dedup.EMBEDDING_NEARDUP_SQL,
         "neardup_groups_embedding": dedup.NEARDUP_GROUPS_EMBEDDING_SQL,
+        "duplicate_spans": substrings.DUPLICATE_SPANS_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
         # text_profile / simhash / knn_lsh / knn_ivf / media /
         # training_corpus / crawl_*: non-SQL-expressible → rows-only checks.

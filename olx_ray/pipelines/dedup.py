@@ -918,28 +918,55 @@ def _label_components(ds, id_col: str, uf_ref):
     return ds.map_batches(label, batch_format="pyarrow").sort(id_col)
 
 
-def neardup_groups(sf_dir: str, threshold: float = 0.6):
+def _group_output(ds, id_col: str, pairs, col_a: str, col_b: str,
+                  strategy: str):
+    """Shared tail of the two group operators: component labels over
+    the verified pairs, then full-table labeling.
+
+    - ``distributed`` (default): ``connected_components`` min-label
+      propagation — labels and edges are Datasets in the object store,
+      labeling reaches the table through one bucketed union shuffle.
+      Nothing pair-bounded ever sits on the driver (the 100 TB path).
+    - ``driver``: the original union-find over a collected pair frame +
+      broadcast labeling — fewer executor round-trips, valid while the
+      verified-pair set is provably small."""
+    if strategy == "distributed":
+        from ..functions.components import connected_components, label_table
+        comp = connected_components(pairs, col_a, col_b)
+        return label_table(ds, id_col, comp)
+    if strategy == "driver":
+        ref = ray.put(_unionfind_pairs(pairs.to_pandas(), col_a, col_b))
+        return _label_components(ds, id_col, ref)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def neardup_groups(sf_dir: str, threshold: float = 0.6,
+                   strategy: str = "distributed"):
     """Connected components over minhash-verified near-dup pairs →
     (doc_id, group_id, group_size, is_representative); representative =
     min doc_id of the group. Approximate pair source (LSH recall) → no
     SQL oracle; invariants pinned in tests. See
     ``neardup_groups_embedding`` for the oracle-checked variant."""
-    ref = ray.put(_neardup_unionfind(sf_dir, threshold))
-    return _label_components(_read_docs(sf_dir, ["doc_id"]), "doc_id", ref)
+    return _group_output(_read_docs(sf_dir, ["doc_id"]), "doc_id",
+                         minhash_lsh_pairs(sf_dir, threshold),
+                         "doc_a", "doc_b", strategy)
 
 
-def neardup_groups_embedding(sf_dir: str, threshold: float = 0.45):
+def neardup_groups_embedding(sf_dir: str, threshold: float = 0.45,
+                             strategy: str = "distributed"):
     """Connected components over EXACT embedding-cosine pairs →
-    (vec_id, group_id, group_size, is_representative). Same union-find
-    + broadcast labeling as the minhash variant, but the pair source is
-    deterministic-exact (``embedding_neardup_pairs``), so the WHOLE
+    (vec_id, group_id, group_size, is_representative). The pair source
+    is deterministic-exact (``embedding_neardup_pairs``), so the WHOLE
     operator is DuckDB-oracle-checkable: a recursive CTE computes the
     transitive closure over the cosine pairs and min-labels each
-    component."""
-    pairs = embedding_neardup_pairs(sf_dir, threshold).to_pandas()
-    ref = ray.put(_unionfind_pairs(pairs, "vec_a", "vec_b"))
+    component — and since the default strategy is the DISTRIBUTED
+    label propagation, the driver gate checks that path end-to-end
+    (strategy agreement with the union-find variant is pinned in
+    tests)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    return _label_components(ds, "vec_id", ref)
+    return _group_output(ds, "vec_id",
+                         embedding_neardup_pairs(sf_dir, threshold),
+                         "vec_a", "vec_b", strategy)
 
 
 NEARDUP_GROUPS_EMBEDDING_SQL = """
@@ -962,15 +989,33 @@ FROM comp ORDER BY vec_id
 """
 
 
-def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6):
+def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
+                               strategy: str = "distributed"):
     """THE corpus-dedup operator: drop every non-representative member
     of each near-dup group; survivors keep their text.
 
     Distributed anti-join: only the NON-representative id set (strictly
     pair-bounded, tiny) is broadcast; the corpus streams through the
-    filter — never collected on the driver."""
-    group_of, _ = _neardup_unionfind(sf_dir, threshold)
-    drop_ids = {x for x, g in group_of.items() if g != x}
+    filter — never collected on the driver. With
+    ``strategy="distributed"`` the components themselves come from the
+    object-store label propagation (``functions.components``) — the
+    driver touches only the final drop-id list, which the broadcast
+    needs regardless."""
+    if strategy == "distributed":
+        import pyarrow.compute as pc
+
+        from ..functions.components import connected_components
+
+        comp = connected_components(minhash_lsh_pairs(sf_dir, threshold),
+                                    "doc_a", "doc_b")
+        non_rep = comp.map_batches(
+            lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
+                       .select(["node"]),
+            batch_format="pyarrow").to_pandas()
+        drop_ids = set(non_rep["node"].tolist())
+    else:
+        group_of, _ = _neardup_unionfind(sf_dir, threshold)
+        drop_ids = {x for x, g in group_of.items() if g != x}
     from ..functions.joins import broadcast_semi
 
     return broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),

@@ -76,6 +76,17 @@ def test_query_vs_oracle(name, ray_session):
                                   check_exact=False, rtol=1e-6, atol=1e-6)
 
 
+def test_distinct_mktsegments_library_oracle(ray_session):
+    """distinct_mktsegments left the 50-entry driver surface (swapped
+    for duplicate_spans — see __ray_entry__.queries) but stays a
+    library operator; pin it against its SQL here."""
+    from olx_ray.pipelines import relational
+
+    got = _normalize(_to_pandas(relational.distinct_mktsegments(SF_DIR)))
+    want = _normalize(_duck(relational.DISTINCT_SEGMENTS_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_rows_only_queries_run(ray_session):
     """Entries without an oracle must at least run and return rows with a
     stable schema."""
