@@ -59,6 +59,11 @@ def connected_components(edges, col_a: str, col_b: str, *,
 
     # materialize once: the edge set is reused every round
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if sym_edges.count() == 0:       # no edges → no labeled nodes
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
 
     def init_nodes(g: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(g["src"].to_numpy())
@@ -111,7 +116,8 @@ def connected_components(edges, col_a: str, col_b: str, *,
                                batch_format="pyarrow")
                   .groupby("_cb").map_groups(resolve, batch_format="pandas")
                   .materialize())
-        if labels.sum("changed") == 0:
+        # sum() is None on an empty dataset (no edges → no nodes)
+        if not labels.sum("changed"):
             break
     else:
         raise RuntimeError(

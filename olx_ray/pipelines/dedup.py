@@ -204,6 +204,20 @@ class MinHasher:
         })
 
 
+def _band_key_bucket(n_buckets: int):
+    """(band_id, band_hash) → LSH bucket key + shuffle bucket; shared
+    by the self-join candidate path and the incremental gate."""
+    def key_bucket(b: pa.Table) -> pa.Table:
+        bid = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (bid * np.uint64(0x9E3779B97F4A7C15)) ^ bh
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": pa.array(key, pa.uint64()),
+                         "bucket": pa.array((key % np.uint64(n_buckets))
+                                            .astype(np.int32), pa.int32())})
+    return key_bucket
+
+
 def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
     """Band-bucket self-join candidate pairs, possibly duplicated across
     bands (callers do the global pair-distinct — see
@@ -225,15 +239,7 @@ def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
     bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4), num_cpus=1)
-
-    def key_bucket(b: pa.Table) -> pa.Table:
-        bid = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = (bid * np.uint64(0x9E3779B97F4A7C15)) ^ bh
-        return pa.table({"doc_id": b["doc_id"],
-                         "key": pa.array(key, pa.uint64()),
-                         "bucket": pa.array((key % np.uint64(n_buckets))
-                                            .astype(np.int32), pa.int32())})
+    key_bucket = _band_key_bucket(n_buckets)
 
     def self_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:
         df = g[["doc_id", "key"]].drop_duplicates()
@@ -377,13 +383,10 @@ class _LazyJaccardVerify:
                               texts_in_batch=False)
 
 
-def _candidate_texts(sf_dir: str, cand_ids: np.ndarray):
-    """Candidate ``(doc_id, text)`` rows as a streaming Dataset: the
-    corpus is decoded ONCE, distributed across workers, through a
-    vectorized sorted-id semi-filter (``np.searchsorted`` probe against
-    the broadcast id array). Shared by both verify strategies — the
-    driver never decodes the corpus itself, so gather cost scales with
-    workers regardless of how the strategy choice falls."""
+def _semi_filter_ids(docs, cand_ids: np.ndarray):
+    """Vectorized sorted-id semi-filter over any ``(doc_id, …)``
+    Dataset: ``np.searchsorted`` probe against the broadcast id array —
+    the Dataset streams, the driver holds only the id array."""
     cand_ids = np.unique(cand_ids)   # searchsorted REQUIRES sorted-unique;
     ref = ray.put(cand_ids)          # idempotent for the in-repo caller
 
@@ -395,8 +398,17 @@ def _candidate_texts(sf_dir: str, cand_ids: np.ndarray):
         keep = probe[idx] == ids if len(probe) else np.zeros(len(ids), bool)
         return b.filter(pa.array(keep))
 
-    return _read_docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(semi, batch_format="pyarrow")
+    return docs.map_batches(semi, batch_format="pyarrow")
+
+
+def _candidate_texts(sf_dir: str, cand_ids: np.ndarray):
+    """Candidate ``(doc_id, text)`` rows as a streaming Dataset: the
+    corpus is decoded ONCE, distributed across workers, through
+    ``_semi_filter_ids`` — the driver never decodes the corpus itself,
+    so gather cost scales with workers regardless of how the strategy
+    choice falls. Shared by both verify strategies."""
+    return _semi_filter_ids(_read_docs(sf_dir, ["doc_id", "text"]),
+                            cand_ids)
 
 
 def _verify_pairs_join(pairs, cand_texts, threshold: float, n_buckets: int):
@@ -480,7 +492,16 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     >256-docs-per-key star cap: pairs between two non-representative
     members of a mass-duplicate band key are not enumerated."""
     pairs = minhash_candidates(sf_dir, n_buckets).materialize()
+    cand_ids = _pair_ids(pairs)
+    verified = _verify_strategy(pairs, _candidate_texts(sf_dir, cand_ids),
+                                len(cand_ids), threshold, n_buckets,
+                                broadcast_max_candidates)
+    return verified.sort(["doc_a", "doc_b"])
 
+
+def _pair_ids(pairs) -> np.ndarray:
+    """Distinct doc ids appearing in a (doc_a, doc_b) pair Dataset —
+    per-batch unique, driver holds the candidate-bounded id array."""
     def ids_of(b: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate([
             b["doc_a"].to_numpy(zero_copy_only=False),
@@ -488,20 +509,30 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
         return pa.table({"doc_id": pa.array(u, pa.int64())})
 
     id_parts = pairs.map_batches(ids_of, batch_format="pyarrow").to_pandas()
-    cand_ids = np.unique(id_parts["doc_id"].to_numpy())
-    cand_texts = _candidate_texts(sf_dir, cand_ids)
+    if "doc_id" not in id_parts.columns:   # zero candidate pairs
+        return np.empty(0, np.int64)
+    return np.unique(id_parts["doc_id"].to_numpy())
 
-    if len(cand_ids) <= broadcast_max_candidates:
+
+def _verify_strategy(pairs, cand_texts, n_candidates: int,
+                     threshold: float, n_buckets: int,
+                     broadcast_max_candidates: int):
+    """The broadcast-vs-shuffle verify selection shared by
+    ``minhash_lsh_pairs`` and ``neardup_incremental`` (semantics and
+    trade-offs documented on ``minhash_lsh_pairs``)."""
+    if n_candidates == 0:            # no pairs anywhere: typed empty
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    if n_candidates <= broadcast_max_candidates:
         sub = cand_texts.to_pandas()              # candidate-bounded rows
         ref = ray.put(dict(zip(sub["doc_id"].astype(int), sub["text"])))
-        verified = pairs.map_batches(
+        return pairs.map_batches(
             _LazyJaccardVerify,
             fn_constructor_kwargs={"docs_ref": ref, "threshold": threshold},
             batch_format="pandas", concurrency=(1, 4), num_cpus=1)
-    else:
-        verified = _verify_pairs_join(pairs, cand_texts, threshold,
-                                      n_buckets)
-    return verified.sort(["doc_a", "doc_b"])
+    return _verify_pairs_join(pairs, cand_texts, threshold, n_buckets)
 
 
 # ---------------------------------------------------------------- simhash
@@ -1128,3 +1159,121 @@ def dedup_incremental(corpus, new, text_col: str = "text",
         new.map_batches(side_new, batch_format="pyarrow"))
     return unioned.groupby("_db") \
         .map_groups(finish, batch_format="pandas").sort(id_col)
+
+
+# ------------------------------------------------------ incremental (near)
+def neardup_incremental(corpus, new, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.6,
+                        n_buckets: int = 32,
+                        broadcast_max_candidates: int = 50_000):
+    """NEAR-dup ingestion gate: rows of ``new`` that survive near-dup
+    screening against ``corpus`` AND within the increment — the fuzzy
+    sibling of ``dedup_incremental`` for continuously-fed corpora.
+
+    Semantics (component-consistent with ``neardup_groups``): build
+    verified near-dup components over corpus∪increment; a new doc
+    DROPS iff its component contains any corpus doc (it is transitively
+    near the corpus) or a smaller-id new doc (the increment keeps one
+    representative per new-only component). Singletons pass.
+
+    Scale shape, stage by stage:
+    - both sides stream through ``MinHasher`` once; ids are packed
+      ``2·id + side`` so the two id spaces cannot collide (ids must be
+      in [0, 2^62) — fail-loud guarded);
+    - the band-bucket join enumerates NEW×ALL pairs only —
+      corpus×corpus pairs are never built. That cannot change the gate:
+      a corpus–corpus edge could only merge two components that each
+      already contain a corpus doc, and both verdicts are already
+      "drop";
+    - the >256-per-key flood guard stars members around the key's min
+      id, keeping only star edges that touch a new doc;
+    - exact-Jaccard verify reuses ``_verify_strategy`` (broadcast vs
+      shuffle by candidate count, identical output);
+    - components come from the DISTRIBUTED label propagation
+      (``functions.components``); only the final drop-id list (bounded
+      by the increment, not the corpus) reaches the driver for the
+      broadcast anti-filter — same trade-off as
+      ``dedup_keep_representatives``.
+
+    Returns all columns of ``new``, survivors only, sorted by
+    ``id_col``."""
+    from ..functions.components import connected_components
+    from ..functions.joins import broadcast_semi
+
+    def pack(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 62)):
+                raise ValueError("neardup_incremental: ids must be in "
+                                 "[0, 2^62) for side packing")
+            return pa.table({"doc_id": pa.array(ids * 2 + side, pa.int64()),
+                             "text": b[text_col]})
+        return fn
+
+    packed = corpus.map_batches(pack(0), batch_format="pyarrow").union(
+        new.map_batches(pack(1), batch_format="pyarrow")).materialize()
+
+    bands = packed.map_batches(MinHasher, batch_format="pyarrow",
+                               batch_size=1024, concurrency=(1, 4),
+                               num_cpus=1)
+
+    def inc_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:
+        df = g[["doc_id", "key"]].drop_duplicates()
+        is_new = (df["doc_id"].to_numpy() % 2) == 1
+        sizes = df.groupby("key")["doc_id"].transform("size").to_numpy()
+        small = df[sizes <= max_allpairs]
+        ns = small[is_new[sizes <= max_allpairs]]
+        m = ns.merge(small, on="key", suffixes=("_n", "_x"))
+        m = m[m["doc_id_n"] != m["doc_id_x"]]
+        out = pd.DataFrame({
+            "doc_a": np.minimum(m["doc_id_n"], m["doc_id_x"]),
+            "doc_b": np.maximum(m["doc_id_n"], m["doc_id_x"])})
+        big = df[sizes > max_allpairs]
+        if len(big):
+            # flood star around the key's min id; keep edges touching a
+            # new doc (same guard + rationale as _candidate_pairs_raw)
+            rep = big.groupby("key")["doc_id"].transform("min").to_numpy()
+            mem = big["doc_id"].to_numpy()
+            touch_new = ((rep % 2) == 1) | ((mem % 2) == 1)
+            keep = (rep != mem) & touch_new
+            star = pd.DataFrame({"doc_a": np.minimum(rep[keep], mem[keep]),
+                                 "doc_b": np.maximum(rep[keep], mem[keep])})
+            out = pd.concat([out, star], ignore_index=True)
+        return out.drop_duplicates()
+
+    raw = bands.map_batches(_band_key_bucket(n_buckets),
+                            batch_format="pyarrow") \
+        .groupby("bucket").map_groups(inc_join, batch_format="pandas")
+    pairs = pair_distinct(raw, "doc_a", "doc_b", n_buckets).materialize()
+    cand_ids = _pair_ids(pairs)
+    verified = _verify_strategy(pairs, _semi_filter_ids(packed, cand_ids),
+                                len(cand_ids), threshold, n_buckets,
+                                broadcast_max_candidates)
+
+    comp = connected_components(verified, "doc_a", "doc_b")
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        g = g.assign(is_new=(node % 2) == 1)
+        # component has a corpus member ⇔ min(is_new) == False
+        has_corpus = g.groupby("label")["is_new"].transform("min") \
+            .to_numpy() == False  # noqa: E712 (numpy bool compare)
+        newg = g[g["is_new"]]
+        rep = newg.groupby("label")["node"].transform("min").to_numpy()
+        nn = newg["node"].to_numpy()
+        drop = nn[has_corpus[g["is_new"].to_numpy()] | (nn != rep)]
+        return pd.DataFrame({"node": drop})
+
+    from ..functions.hashing import mix64
+
+    def lab_bucket(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_lb", pa.array((mix64(lab) % np.uint64(n_buckets))
+                            .astype(np.int32), pa.int32()))
+
+    drop_nodes = comp.map_batches(lab_bucket, batch_format="pyarrow") \
+        .groupby("_lb").map_groups(drops, batch_format="pandas").to_pandas()
+    drop_ids = set() if "node" not in drop_nodes.columns else \
+        set(((drop_nodes["node"].to_numpy() - 1) // 2).tolist())
+    return broadcast_semi(new, drop_ids, id_col, anti=True).sort(id_col)
