@@ -51,6 +51,25 @@ def make_worker_log_silencer():
             "ray.data._internal.arrow_ops.transform_pyarrow"
         ).addFilter(_Drop())
 
+        class _DropEmptySchemaDivergence(logging.Filter):
+            # Ray 2.49 warns "Operator produced a RefBundle with a
+            # different schema ..." whenever a stage emits an EMPTY
+            # block after non-empty ones (filter/repartition leave
+            # zero-row bundles whose schema prints as ""/None). Those
+            # are routine in the crawl loop's per-round filters; only
+            # the empty-new-schema variant is dropped — a real
+            # non-empty schema divergence still warns.
+            def filter(self, record: logging.LogRecord) -> bool:
+                msg = record.getMessage()
+                if "produced a RefBundle with a different schema" not in msg:
+                    return True
+                return not ("new schema: ." in msg
+                            or "new schema: None." in msg)
+
+        logging.getLogger(
+            "ray.data._internal.execution.streaming_executor_state"
+        ).addFilter(_DropEmptySchemaDivergence())
+
     return _silence
 
 

@@ -135,3 +135,44 @@ def test_native_t2_trace_vs_golden(site_t2x, tmp_root):
     # the dead link IS in the native t2 trace as fetch_404
     assert any(a == "fetch_404" for _, _, a in res.trace)
     assert res.n_documents == len(g.documents)
+
+
+def test_log_silencer_filters_only_cosmetic_records():
+    """The worker log silencer drops ONLY the two cosmetic Ray Data
+    messages (schema-hash failure; empty-block schema divergence) —
+    a real non-empty schema divergence must stay visible."""
+    import logging
+
+    from olx_ray import make_worker_log_silencer
+
+    make_worker_log_silencer()()
+
+    def emits(logger_name: str, msg: str) -> bool:
+        rec = logging.LogRecord(logger_name, logging.WARNING, __file__,
+                                0, msg, None, None)
+        return all(f.filter(rec)
+                   for f in logging.getLogger(logger_name).filters)
+
+    exec_log = "ray.data._internal.execution.streaming_executor_state"
+    assert not emits(exec_log,
+                     "Operator produced a RefBundle with a different "
+                     "schema than the previous one. Previous schema: "
+                     "a: int64, new schema: . This may lead to "
+                     "unexpected behavior.")
+    assert not emits(exec_log,
+                     "Operator produced a RefBundle with a different "
+                     "schema than the previous one. Previous schema: "
+                     "a: int64, new schema: None. This may lead to "
+                     "unexpected behavior.")
+    # a REAL divergence (both schemas non-empty) is NOT filtered
+    assert emits(exec_log,
+                 "Operator produced a RefBundle with a different "
+                 "schema than the previous one. Previous schema: "
+                 "a: int64, new schema: a: double. This may lead to "
+                 "unexpected behavior.")
+    assert emits(exec_log, "some other warning")
+
+    hash_log = "ray.data._internal.arrow_ops.transform_pyarrow"
+    assert not emits(hash_log,
+                     "Failed to hash the schemas (for deduplication)")
+    assert emits(hash_log, "some other warning")
