@@ -113,7 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_keys": relational.union_distinct_keys,
         "nation_order_stats": relational.nation_order_stats,
         "segment_order_stats_native_join": relational.segment_order_stats_native_join,
-        "part_type_volume": relational.part_type_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q12_priority_lines": relational.q12_priority_lines,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -145,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
+        # exact char-n-gram set-similarity join (swapped in for
+        # part_type_volume, which stays library+pytest — see COVERAGE.md)
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
         "neardup_groups_embedding": dedup.neardup_groups_embedding,
@@ -171,7 +173,6 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct_keys": relational.UNION_DISTINCT_SQL,
         "nation_order_stats": relational.NATION_ORDER_SQL,
         "segment_order_stats_native_join": relational.SEGMENT_ORDER_NATIVE_SQL,
-        "part_type_volume": relational.PART_TYPE_SQL,
         "q6_forecast_revenue": relational.Q6_SQL,
         "q12_priority_lines": relational.Q12_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         # because both are recall-1.0-pinned + exact-verified on the
         # fixtures (see MINHASH_LSH_SQL's derivation note)
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "embedding_neardup_lsh": dedup.EMBEDDING_NEARDUP_SQL,
         "neardup_groups_embedding": dedup.NEARDUP_GROUPS_EMBEDDING_SQL,
         "duplicate_spans": substrings.DUPLICATE_SPANS_SQL,

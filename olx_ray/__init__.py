@@ -63,8 +63,11 @@ def make_worker_log_silencer():
                 msg = record.getMessage()
                 if "produced a RefBundle with a different schema" not in msg:
                     return True
-                return not ("new schema: ." in msg
-                            or "new schema: None." in msg)
+                return not (
+                    "new schema: ." in msg
+                    or "new schema: None." in msg
+                    or "new schema: PandasBlockSchema(names=[], types=[])"
+                       in msg)
 
         logging.getLogger(
             "ray.data._internal.execution.streaming_executor_state"

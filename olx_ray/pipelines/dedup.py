@@ -10,6 +10,9 @@ First-class training-data operators:
 - ``simhash_pairs``     — 64-bit simhash + banded hamming candidates.
 - ``ngram_jaccard``     — the exact word-3-gram Jaccard used as the
   verifier (exposed for candidate pairs).
+- ``ngram_jaccard_pairs`` — EXACT char-n-gram Jaccard set-similarity
+  join (per-doc distinct gram hashes → per-gram pair emission with set
+  sizes riding along → pair-bucket count finish; oracle-checked).
 - ``embedding_neardup_pairs`` — EXACT cosine ≥ τ pairs over the
   embeddings table (oracle via DuckDB list_cosine_similarity) as a
   chunked all-pairs scan: plasma-resident normalized chunks, one in a
@@ -360,10 +363,11 @@ class _LazyJaccardVerify:
 
     _MEMO_CAP = 20_000
 
-    def __init__(self, docs_ref, threshold: float):
+    def __init__(self, docs_ref, threshold: float, sset_fn=None):
         self.docs: dict[int, str] = ray.get(docs_ref)
         self.memo: dict[int, set] = {}
         self.threshold = threshold
+        self.sset_fn = sset_fn or shingles
 
     def _sset(self, i: int, _t) -> set:
         s = self.memo.get(i)
@@ -375,7 +379,7 @@ class _LazyJaccardVerify:
             # and the gather — scoring against "" would fabricate
             # jaccard 1.0 for two missing ids (and the shuffle path's
             # inner join would DROP the pair: silent divergence)
-            s = self.memo[i] = shingles(self.docs[i])
+            s = self.memo[i] = self.sset_fn(self.docs[i])
         return s
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
@@ -411,11 +415,14 @@ def _candidate_texts(sf_dir: str, cand_ids: np.ndarray):
                             cand_ids)
 
 
-def _verify_pairs_join(pairs, cand_texts, threshold: float, n_buckets: int):
+def _verify_pairs_join(pairs, cand_texts, threshold: float, n_buckets: int,
+                       sset_fn=None):
     """SHUFFLE strategy (the 100 TB path): the candidate texts ride two
     ``bucket_hash_join``s to their pairs; every shuffle moves only
     candidate-bounded rows, per-task memory is bucket-bounded, and
-    nothing text-sized ever touches the driver."""
+    nothing text-sized ever touches the driver. ``sset_fn`` overrides
+    the shingle-set function (default: word 3-gram ``shingles``)."""
+    sset_fn = sset_fn or shingles
     from ..functions.joins import bucket_hash_join
 
     cand_texts = cand_texts.materialize()         # consumed by two joins
@@ -452,7 +459,7 @@ def _verify_pairs_join(pairs, cand_texts, threshold: float, n_buckets: int):
         def sset(i: int, t) -> set:
             s = memo.get(i)
             if s is None:
-                s = memo[i] = shingles(t)
+                s = memo[i] = sset_fn(t)
             return s
 
         return _jaccard_table(b, sset, threshold, texts_in_batch=True)
@@ -516,7 +523,7 @@ def _pair_ids(pairs) -> np.ndarray:
 
 def _verify_strategy(pairs, cand_texts, n_candidates: int,
                      threshold: float, n_buckets: int,
-                     broadcast_max_candidates: int):
+                     broadcast_max_candidates: int, sset_fn=None):
     """The broadcast-vs-shuffle verify selection shared by
     ``minhash_lsh_pairs`` and ``neardup_incremental`` (semantics and
     trade-offs documented on ``minhash_lsh_pairs``)."""
@@ -530,9 +537,171 @@ def _verify_strategy(pairs, cand_texts, n_candidates: int,
         ref = ray.put(dict(zip(sub["doc_id"].astype(int), sub["text"])))
         return pairs.map_batches(
             _LazyJaccardVerify,
-            fn_constructor_kwargs={"docs_ref": ref, "threshold": threshold},
+            fn_constructor_kwargs={"docs_ref": ref, "threshold": threshold,
+                                   "sset_fn": sset_fn},
             batch_format="pandas", concurrency=(1, 4), num_cpus=1)
-    return _verify_pairs_join(pairs, cand_texts, threshold, n_buckets)
+    return _verify_pairs_join(pairs, cand_texts, threshold, n_buckets,
+                              sset_fn=sset_fn)
+
+
+# --------------------------------------- exact n-gram Jaccard (set-sim join)
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
+                        n_buckets: int = 32):
+    """EXACT character-n-gram Jaccard near-dup pairs
+    ``(doc_a, doc_b, jaccard)`` — every document pair whose DISTINCT
+    char-n-gram sets have Jaccard ≥ ``threshold``. The exact
+    set-similarity join of the dedup family, complementing
+    ``minhash_lsh_pairs`` (word-shingle LSH: approximate candidates +
+    exact verify); oracle = ``NGRAM_JACCARD_SQL``.
+
+    Exact set-similarity joins flood on hot grams (a gram in k docs ⇒
+    O(k²) pairs — natural text makes k ≈ corpus size for stop-grams),
+    so this uses PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et
+    al. WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al.
+    PPJoin): under a global gram order by (document frequency, hash),
+    two sets with Jaccard ≥ t MUST share a gram inside both sets'
+    first ``|x| − ceil(t·|x|) + 1`` grams — so pairs are enumerated
+    from the rarity-ordered PREFIXES only (hot grams sit at the end of
+    the order and enter almost no prefixes), then verified exactly.
+
+    Distributed shape — no driver state beyond the candidate id array:
+
+    1. ``map_batches``: per doc, distinct n-gram 64-bit rolling hashes
+       (the ``substrings._window_hashes`` kernel — one O(chars) numpy
+       pass per batch, code-point positions so hashing matches SQL
+       ``substr`` character semantics) plus the doc's set size;
+    2. gram-bucket groupby: a bucket holds EVERY occurrence of its
+       grams ⇒ document frequency is decidable locally (zero extra
+       shuffle for the df pass);
+    3. doc-bucket groupby: per doc, rank grams by (df, hash), keep the
+       prefix;
+    4. gram-bucket groupby over prefix rows: per-gram pairs + the size
+       filter (``min ≥ t·max``, else J < t), bucket-deduped, then
+       globally ``pair_distinct``-ed;
+    5. exact verify via the shared broadcast-vs-shuffle
+       ``_verify_strategy`` with a char-n-gram set function — the same
+       machinery the minhash path uses, so candidates bound every cost.
+
+    Mass-duplicate clusters still produce quadratic OUTPUT (k identical
+    docs genuinely have k²/2 qualifying pairs) — inherent to the exact
+    operator; the approximate scale path is ``minhash_lsh_pairs``.
+    64-bit hashes stand in for gram equality (collision odds documented
+    in ``substrings``)."""
+    import functools
+
+    from ..functions.hashing import bucket_of, mix64
+    from .substrings import _window_hashes
+
+    def grams(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        h, row_idx, _pos = _window_hashes(texts, n)
+        if not len(h):
+            return pa.table({"gram_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64()),
+                             "gbucket": pa.array([], pa.int32())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, row_idx))
+        row_s, h_s = row_idx[order], h[order]
+        first = np.r_[True, (row_s[1:] != row_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        row_u, h_u = row_s[first], h_s[first]
+        sizes = np.bincount(row_u, minlength=len(texts)).astype(np.int64)
+        return pa.table({
+            "gram_hash": pa.array(h_u, pa.uint64()),
+            "doc_id": pa.array(ids[row_u], pa.int64()),
+            "set_size": pa.array(sizes[row_u], pa.int64()),
+            "gbucket": pa.array(
+                (mix64(h_u) % np.uint64(n_buckets)).astype(np.int32),
+                pa.int32())})
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["gram_hash", "doc_id", "set_size"]].copy()
+        out["df"] = g.groupby("gram_hash")["doc_id"].transform("size") \
+            .to_numpy().astype(np.int64)
+        out["dbucket"] = bucket_of(out["doc_id"].to_numpy(),
+                                   n_buckets).astype(np.int32)
+        return out
+
+    def prefix_select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "gram_hash"], kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        s = g["set_size"].to_numpy()
+        p = s - np.ceil(threshold * s).astype(np.int64) + 1
+        out = g.loc[rank < p, ["gram_hash", "doc_id", "set_size"]]
+        out = out.assign(gbucket=(mix64(
+            out["gram_hash"].to_numpy().astype(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int32))
+        return out
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["gram_hash", "doc_id", "set_size"]]
+        m = df.merge(df, on="gram_hash", suffixes=("_l", "_r"))
+        m = m[m["doc_id_l"].to_numpy() < m["doc_id_r"].to_numpy()]
+        sl = m["set_size_l"].to_numpy(np.float64)
+        sr = m["set_size_r"].to_numpy(np.float64)
+        # size filter: min < t·max ⇒ J ≤ min/max < t, never a result
+        m = m[np.minimum(sl, sr) >= threshold * np.maximum(sl, sr)]
+        out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
+        return pd.DataFrame({
+            "doc_a": out["doc_id_l"].to_numpy(np.int64),
+            "doc_b": out["doc_id_r"].to_numpy(np.int64)})
+
+    pairs = (_read_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(grams, batch_format="pyarrow")
+             .groupby("gbucket").map_groups(annotate_df,
+                                            batch_format="pandas")
+             .groupby("dbucket").map_groups(prefix_select,
+                                            batch_format="pandas")
+             .groupby("gbucket").map_groups(candidates,
+                                            batch_format="pandas"))
+    pairs = pair_distinct(pairs, "doc_a", "doc_b", n_buckets).materialize()
+    cand_ids = _pair_ids(pairs)
+    verified = _verify_strategy(
+        pairs, _candidate_texts(sf_dir, cand_ids), len(cand_ids),
+        threshold, n_buckets, broadcast_max_candidates=50_000,
+        sset_fn=functools.partial(_char_gram_set, n=n))
+    return verified.sort(["doc_a", "doc_b"])
+
+
+def _char_gram_set(text: str, n: int = 5) -> set:
+    """Distinct char-n-gram hash set of one text — the verify-side twin
+    of the batched ``grams`` stage (same ``_window_hashes`` kernel, so
+    verify and candidate generation agree bit-for-bit)."""
+    from .substrings import _window_hashes
+
+    h, _, _ = _window_hashes([text or ""], n)
+    return set(h.tolist())
+
+
+# Validated against the engine at sf0.001/sf0.01 (driver mirror). Char
+# n-grams via substr (1-based, character semantics — the engine hashes
+# UTF-32 code points so positions agree on non-ASCII too); the WHERE
+# applies to the ROUNDED jaccard, mirroring the engine's finish.
+NGRAM_JACCARD_SQL_TMPL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(length(text) - {n} + 1, 0))) AS i,
+         text
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, substr(text, i, {n}) AS gram FROM pos
+), sz AS (
+  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c / (sa.n_grams + sb.n_grams - c), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.doc_a
+JOIN sz sb ON sb.doc_id = inter.doc_b
+WHERE round(c / (sa.n_grams + sb.n_grams - c), 6) >= {thr}
+ORDER BY doc_a, doc_b
+"""
+
+NGRAM_JACCARD_SQL = NGRAM_JACCARD_SQL_TMPL.format(n=5, thr=0.5)
 
 
 # ---------------------------------------------------------------- simhash

@@ -164,6 +164,13 @@ def test_log_silencer_filters_only_cosmetic_records():
                      "schema than the previous one. Previous schema: "
                      "a: int64, new schema: None. This may lead to "
                      "unexpected behavior.")
+    assert not emits(exec_log,
+                     "Operator produced a RefBundle with a different "
+                     "schema than the previous one. Previous schema: "
+                     "PandasBlockSchema(names=['a'], types=[dtype("
+                     "'int64')]), new schema: PandasBlockSchema("
+                     "names=[], types=[]). This may lead to "
+                     "unexpected behavior.")
     # a REAL divergence (both schemas non-empty) is NOT filtered
     assert emits(exec_log,
                  "Operator produced a RefBundle with a different "

@@ -121,3 +121,14 @@ def test_union_distinct_keys_empty_inputs(ray_session, tmp_path):
                    str(tmp_path / "supplier.parquet"))
     out = union_distinct_keys(str(tmp_path)).to_pandas()
     assert len(out) == 1 and out["n_distinct"].iloc[0] == 0
+
+
+def test_part_type_volume_library_oracle(ray_session):
+    """part_type_volume left the 50-entry driver surface (swapped for
+    ngram_jaccard_pairs — see __ray_entry__.queries) but stays a
+    library operator; pin it against its SQL here."""
+    from olx_ray.pipelines import relational
+
+    got = _normalize(_to_pandas(relational.part_type_volume(SF_DIR)))
+    want = _normalize(_duck(relational.PART_TYPE_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -304,3 +304,28 @@ def test_dedup_incremental_oracle_and_strategies(ray_session):
         assert dedup_incremental(
             rd.from_pandas(corpus_df), rd.from_pandas(empty),
             strategy=strat).count() == 0
+
+
+def test_ngram_jaccard_pairs_distinct_gram_semantics(ray_session, tmp_path):
+    """Set (not bag) semantics: a gram repeated WITHIN one doc counts
+    once in both the set size and the intersection — 'ababab' vs
+    'ababab' is jaccard 1.0, and 'aaaa' (one distinct 3-gram) vs
+    'aaab' shares 'aaa' with sizes 1 and 2 → 1/2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["ababab", "ababab", "aaaa", "aaab"]})
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = ngram_jaccard_pairs(str(d), threshold=0.4, n=3).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    # doc1/doc2 identical: grams {aba, bab} → 1.0
+    assert got[(1, 2)] == 1.0
+    # doc3 {aaa} vs doc4 {aaa, aab}: 1 / 2
+    assert got[(3, 4)] == 0.5
+    # cross-pairs share nothing above threshold
+    assert set(got) == {(1, 2), (3, 4)}
