@@ -545,7 +545,7 @@ def _verify_strategy(pairs, cand_texts, n_candidates: int,
 
 
 # --------------------------------------- exact n-gram Jaccard (set-sim join)
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
                         n_buckets: int = 32):
     """EXACT character-n-gram Jaccard near-dup pairs
     ``(doc_a, doc_b, jaccard)`` — every document pair whose DISTINCT
@@ -576,8 +576,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
     3. doc-bucket groupby: per doc, rank grams by (df, hash), keep the
        prefix;
     4. gram-bucket groupby over prefix rows: per-gram pairs + the size
-       filter (``min ≥ t·max``, else J < t), bucket-deduped, then
-       globally ``pair_distinct``-ed;
+       filter (``min ≥ t·max``, else J < t) + PPJoin's POSITIONAL
+       filter (a pair sharing a prefix gram at ranks ``(i, j)`` in the
+       global order can overlap at most ``min(|x|−i, |y|−j)``; the
+       bound is tight at the pair's FIRST shared gram, so keeping a
+       pair iff ANY of its emissions passes is exact), bucket-deduped,
+       then globally ``pair_distinct``-ed;
     5. exact verify via the shared broadcast-vs-shuffle
        ``_verify_strategy`` with a char-n-gram set function — the same
        machinery the minhash path uses, so candidates bound every cost.
@@ -586,11 +590,22 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
     docs genuinely have k²/2 qualifying pairs) — inherent to the exact
     operator; the approximate scale path is ``minhash_lsh_pairs``.
     64-bit hashes stand in for gram equality (collision odds documented
-    in ``substrings``)."""
+    in ``substrings``).
+
+    Default ``threshold=0.8`` (the standard near-dup dedup operating
+    point): prefix length is ``(1−t)·|x|+1``, so candidate volume — the
+    whole cost of an exact set-sim join — scales with ``(1−t)²``; at
+    0.5 half of every doc enters the prefix and shared-vocabulary text
+    floods (measured 63M candidates at sf0.1 vs ~10³ true pairs).
+    Filters use ``t − 5e-7`` (the round-to-6-decimals slack of the
+    finish, mirroring the SQL's round-then-threshold) so no boundary
+    pair is prefiltered away."""
     import functools
 
     from ..functions.hashing import bucket_of, mix64
     from .substrings import _window_hashes
+
+    t_eff = threshold - 5e-7        # round(J, 6) >= t  ⟺  J >= t − 5e-7
 
     def grams(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -626,21 +641,33 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
         g = g.sort_values(["doc_id", "df", "gram_hash"], kind="mergesort")
         rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
         s = g["set_size"].to_numpy()
-        p = s - np.ceil(threshold * s).astype(np.int64) + 1
+        p = s - np.ceil(t_eff * s).astype(np.int64) + 1
         out = g.loc[rank < p, ["gram_hash", "doc_id", "set_size"]]
-        out = out.assign(gbucket=(mix64(
-            out["gram_hash"].to_numpy().astype(np.uint64))
-            % np.uint64(n_buckets)).astype(np.int32))
+        out = out.assign(
+            pos=rank[rank < p].astype(np.int64),
+            gbucket=(mix64(out["gram_hash"].to_numpy().astype(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int32))
         return out
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        df = g[["gram_hash", "doc_id", "set_size"]]
+        df = g[["gram_hash", "doc_id", "set_size", "pos"]]
         m = df.merge(df, on="gram_hash", suffixes=("_l", "_r"))
         m = m[m["doc_id_l"].to_numpy() < m["doc_id_r"].to_numpy()]
         sl = m["set_size_l"].to_numpy(np.float64)
         sr = m["set_size_r"].to_numpy(np.float64)
         # size filter: min < t·max ⇒ J ≤ min/max < t, never a result
-        m = m[np.minimum(sl, sr) >= threshold * np.maximum(sl, sr)]
+        keep = np.minimum(sl, sr) >= t_eff * np.maximum(sl, sr)
+        # positional filter (PPJoin): overlap needed for J ≥ t is
+        # c ≥ t(|x|+|y|)/(1+t); sharing THIS gram at 0-based global
+        # ranks (i, j) bounds overlap by min(|x|−i, |y|−j) at the
+        # pair's first shared gram (no shared gram precedes it) —
+        # and any LATER shared gram has larger ranks, hence a smaller
+        # bound, so per-emission filtering + OR across emissions
+        # (the drop_duplicates below + bucket pair_distinct) is exact
+        need = t_eff * (sl + sr) / (1.0 + t_eff)
+        remain = np.minimum(sl - m["pos_l"].to_numpy(np.float64),
+                            sr - m["pos_r"].to_numpy(np.float64))
+        m = m[keep & (remain >= need)]
         out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
         return pd.DataFrame({
             "doc_a": out["doc_id_l"].to_numpy(np.int64),
@@ -701,7 +728,7 @@ WHERE round(c / (sa.n_grams + sb.n_grams - c), 6) >= {thr}
 ORDER BY doc_a, doc_b
 """
 
-NGRAM_JACCARD_SQL = NGRAM_JACCARD_SQL_TMPL.format(n=5, thr=0.5)
+NGRAM_JACCARD_SQL = NGRAM_JACCARD_SQL_TMPL.format(n=5, thr=0.8)
 
 
 # ---------------------------------------------------------------- simhash
