@@ -1,0 +1,44 @@
+"""Block-format normalization helpers.
+
+Two Ray 2.49 internals make MIXED block formats noisy and slightly
+slow on shuffle paths:
+
+- ``PandasBlockAccessor.to_arrow`` (ray/data/_internal/pandas_block.py)
+  converts via ``pa.Table.from_pandas``, which attaches ``b'pandas'``
+  schema METADATA — and ``pa.Schema.__hash__`` raises on schemas with
+  metadata, so every sort-reduce merge logs "Failed to hash the
+  schemas (for deduplication)" AND loses ``unify_schemas``'s
+  early-exit (the schema-set dedup) on every merge.
+- A ``union`` of pandas-origin and Arrow-origin streams emits the
+  "Operator produced a RefBundle with a different schema" warning
+  even when names/types agree exactly.
+
+The fix is to hand shuffles metadata-free ARROW blocks: ``df_arrow``
+converts one pandas kernel result, ``as_arrow`` normalizes a whole
+stream (fuses with the upstream map operator — no extra task wave).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def nometa(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def df_arrow(df: pd.DataFrame) -> pa.Table:
+    """One pandas kernel result → metadata-free Arrow table (use as the
+    return conversion of a ``batch_format="pandas"`` fn whose output
+    feeds a sort/groupby/union)."""
+    return nometa(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def as_arrow(ds):
+    """Normalize a Dataset's blocks to metadata-free Arrow.
+
+    ``batch_size=None`` maps WHOLE blocks — no cross-block concat, so
+    this stage itself never calls ``unify_schemas`` on the (possibly
+    metadata-carrying) inputs it is cleaning."""
+    return ds.map_batches(nometa, batch_format="pyarrow", batch_size=None)

@@ -91,10 +91,12 @@ def connected_components(edges, col_a: str, col_b: str, *,
         old_nodes = node[own]
         # own rows are already node-sorted within the bucket
         assert len(old) == len(seg), "labels must cover every node"
-        return pd.DataFrame({
+        from .blocks import df_arrow
+
+        return df_arrow(pd.DataFrame({
             "node": old_nodes,
             "label": new,
-            "changed": (new < old).astype(np.int8)})
+            "changed": (new < old).astype(np.int8)}))
 
     def as_src(b: pa.Table) -> pa.Table:
         return pa.table({"src": b["node"], "label": b["label"]})
@@ -111,7 +113,12 @@ def connected_components(edges, col_a: str, col_b: str, *,
                 "node": b["node"], "label": b["label"],
                 "is_own": pa.array(np.ones(b.num_rows, np.int8), pa.int8())}),
             batch_format="pyarrow")
-        labels = (prop.union(own)
+        # prop's blocks are pandas-origin (the join's pandas post), own's
+        # are Arrow: normalize before the union so the union is
+        # format-uniform and the groupby sort sees hashable schemas
+        from .blocks import as_arrow
+
+        labels = (as_arrow(prop).union(own)
                   .map_batches(_bucketize("node", n_buckets),
                                batch_format="pyarrow")
                   .groupby("_cb").map_groups(resolve, batch_format="pandas")

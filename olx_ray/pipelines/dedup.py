@@ -307,9 +307,11 @@ def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
                           b[col_b].to_numpy(zero_copy_only=False), n_buckets)
         return b.append_column("pair_bucket", pa.array(pb, pa.int32()))
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+    def distinct(g: pd.DataFrame) -> pa.Table:
+        from ..functions.blocks import df_arrow
+
         keep = [c for c in g.columns if c != "pair_bucket"]
-        return g.drop_duplicates([col_a, col_b])[keep]
+        return df_arrow(g.drop_duplicates([col_a, col_b])[keep])
 
     return pairs.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("pair_bucket").map_groups(distinct, batch_format="pandas")
@@ -629,15 +631,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
                 (mix64(h_u) % np.uint64(n_buckets)).astype(np.int32),
                 pa.int32())})
 
-    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.blocks import df_arrow
+
+    def annotate_df(g: pd.DataFrame) -> pa.Table:
         out = g[["gram_hash", "doc_id", "set_size"]].copy()
         out["df"] = g.groupby("gram_hash")["doc_id"].transform("size") \
             .to_numpy().astype(np.int64)
         out["dbucket"] = bucket_of(out["doc_id"].to_numpy(),
                                    n_buckets).astype(np.int32)
-        return out
+        return df_arrow(out)
 
-    def prefix_select(g: pd.DataFrame) -> pd.DataFrame:
+    def prefix_select(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["doc_id", "df", "gram_hash"], kind="mergesort")
         rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
         s = g["set_size"].to_numpy()
@@ -647,9 +651,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
             pos=rank[rank < p].astype(np.int64),
             gbucket=(mix64(out["gram_hash"].to_numpy().astype(np.uint64))
                      % np.uint64(n_buckets)).astype(np.int32))
-        return out
+        return df_arrow(out)
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+    def candidates(g: pd.DataFrame) -> pa.Table:
         df = g[["gram_hash", "doc_id", "set_size", "pos"]]
         m = df.merge(df, on="gram_hash", suffixes=("_l", "_r"))
         m = m[m["doc_id_l"].to_numpy() < m["doc_id_r"].to_numpy()]
@@ -669,9 +673,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
                             sr - m["pos_r"].to_numpy(np.float64))
         m = m[keep & (remain >= need)]
         out = m[["doc_id_l", "doc_id_r"]].drop_duplicates()
-        return pd.DataFrame({
+        return df_arrow(pd.DataFrame({
             "doc_a": out["doc_id_l"].to_numpy(np.int64),
-            "doc_b": out["doc_id_r"].to_numpy(np.int64)})
+            "doc_b": out["doc_id_r"].to_numpy(np.int64)}))
 
     pairs = (_read_docs(sf_dir, ["doc_id", "text"])
              .map_batches(grams, batch_format="pyarrow")
@@ -945,7 +949,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
             return pa.table({"vec_a": pa.array(a, pa.int64()),
                              "vec_b": pa.array(c, pa.int64())})
 
-    return rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+    from ..functions.blocks import as_arrow
+
+    return as_arrow(rd.read_parquet(path, columns=["vec_id", "embedding"])) \
         .map_batches(Scan, batch_format="pyarrow", batch_size=1024,
                      fn_constructor_kwargs={"chunks": data_refs,
                                             "ranges": ranges,
