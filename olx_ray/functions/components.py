@@ -19,11 +19,19 @@ whose pair-frame is driver-resident). Per round:
 3. converge: ``sum(changed) == 0`` — an exact small aggregate, not a
    checksum heuristic.
 
-Round count = graph diameter + 1. For the near-dup graphs this engine
-feeds it (LSH cliques and the >256-docs-per-key star caps), diameter
-is a small constant; ``max_iters`` guards pathological chains and the
-docstring names pointer-doubling (label(label(n)) self-joins) as the
-O(log n) escalation if a workload ever needs it.
+Round count = graph diameter + 1 for pure min propagation. For the
+near-dup graphs this engine feeds it (LSH cliques and the
+>256-docs-per-key star caps), diameter is a small constant; for
+pathological high-diameter graphs (chains), POINTER DOUBLING engages
+adaptively: after ``shortcut_after`` unconverged rounds, every
+propagation round is followed by a shortcut round ``label(v) ←
+label(label(v))`` (one self-join of the label table — valid because
+labels are always node ids of the same component, monotonically
+non-increasing, so shortcutting preserves the invariant and halves
+pointer-chain depth), giving O(log n) total rounds. Convergence is
+still decided only by the propagation round's exact changed-count, so
+the fixpoint test is unchanged. Small-diameter graphs converge before
+the escalation triggers and never pay the extra join.
 """
 
 from __future__ import annotations
@@ -44,11 +52,36 @@ def _bucketize(col: str, n_buckets: int):
     return fn
 
 
+def _shortcut_round(labels, n_buckets: int):
+    """Pointer doubling: ``label(v) ← label(label(v))``. Every label
+    value is itself a node of the table (labels start as node ids and
+    only ever adopt other nodes' ids), so the pointer lookup is an
+    inner self-join that loses no rows."""
+    from .blocks import df_arrow
+    from .joins import bucket_hash_join
+
+    ptr = labels.map_batches(
+        lambda b: pa.table({"_k": b["node"], "plabel": b["label"]}),
+        batch_format="pyarrow")
+    hang = labels.map_batches(
+        lambda b: pa.table({"_k": b["label"], "node": b["node"]}),
+        batch_format="pyarrow")
+    return bucket_hash_join(
+        hang, ptr, on="_k", n_buckets=n_buckets,
+        columns_left=["_k", "node"], columns_right=["_k", "plabel"],
+        post=lambda j: df_arrow(pd.DataFrame({
+            "node": j["node"].to_numpy(),
+            "label": j["plabel"].to_numpy()})))
+
+
 def connected_components(edges, col_a: str, col_b: str, *,
-                         n_buckets: int = 32, max_iters: int = 64):
+                         n_buckets: int = 32, max_iters: int = 64,
+                         shortcut_after: int = 4):
     """→ Dataset ``(node, label)`` for every distinct endpoint of
     ``edges``; ``label`` = min node id of the node's component.
-    Deterministic; raises if ``max_iters`` rounds don't converge."""
+    Deterministic; raises if ``max_iters`` rounds don't converge.
+    ``shortcut_after``: propagation rounds before pointer doubling
+    engages (see module docstring); ``None`` disables the escalation."""
     from .joins import bucket_hash_join
 
     def sym(b: pa.Table) -> pa.Table:
@@ -101,7 +134,7 @@ def connected_components(edges, col_a: str, col_b: str, *,
     def as_src(b: pa.Table) -> pa.Table:
         return pa.table({"src": b["node"], "label": b["label"]})
 
-    for _ in range(max_iters):
+    for round_no in range(max_iters):
         prop = bucket_hash_join(
             sym_edges, labels.map_batches(as_src, batch_format="pyarrow"),
             on="src", n_buckets=n_buckets,
@@ -126,11 +159,15 @@ def connected_components(edges, col_a: str, col_b: str, *,
         # sum() is None on an empty dataset (no edges → no nodes)
         if not labels.sum("changed"):
             break
+        if shortcut_after is not None and round_no + 1 >= shortcut_after:
+            labels = _shortcut_round(
+                labels.drop_columns(["changed"]), n_buckets).materialize()
+            # convergence stays decided by the NEXT propagation round
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds "
-            "(graph diameter exceeds the guard — raise max_iters or use a "
-            "pointer-doubling variant)")
+            "(raise max_iters; with pointer doubling engaged this needs "
+            "a component of diameter ≫ 2^max_iters)")
     return labels.drop_columns(["changed"])
 
 

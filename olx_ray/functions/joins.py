@@ -348,3 +348,156 @@ def range_join(left, right, value_col: str, lo_col: str, hi_col: str,
 
     return lt.union(rt).groupby("_chunk").map_groups(
         join_chunk, batch_format="pyarrow")
+
+
+# --------------------------------------------------- semi joins at scale
+def _key_hashes(arr) -> np.ndarray:
+    """uint64 hashes of a key column (Arrow array / numpy): integer
+    keys go through ``mix64`` (avalanche, so sequential ids spread),
+    strings/binary through ``hash64_array``. Build and probe sides of
+    ``bloom_semi`` MUST share this function."""
+    import pyarrow as pa
+
+    from .hashing import hash64_array, mix64
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.Array) and (
+            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)
+            or pa.types.is_large_binary(arr.type)):
+        return hash64_array(arr)
+    np_arr = arr.to_numpy(zero_copy_only=False) if isinstance(arr, pa.Array) \
+        else np.asarray(arr)
+    if np_arr.dtype.kind in "iu":
+        return mix64(np_arr.astype(np.int64, copy=False))
+    return hash64_array(np_arr.tolist())
+
+
+def bucket_semi(left, keys_ds, key: str, *, anti: bool = False,
+                n_buckets: int = 32):
+    """EXACT distributed semi (or anti) join — keep ``left`` rows whose
+    ``key`` is (not) present in ``keys_ds[key]`` — when the key side is
+    too big to broadcast: both sides bucket by key HASH (so integer and
+    string keys both work; the right side ships its key column ONLY,
+    per-batch deduplicated), and each bucket task runs one vectorized
+    ``isin`` on the VALUES. One shuffle, no driver state; right-side
+    duplicate keys cannot duplicate left rows (membership, not a
+    join)."""
+    import pyarrow as pa
+
+    from .blocks import df_arrow
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    types = dict(zip(lschema.names, lschema.types))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        bk = (_key_hashes(b[key]) % np.uint64(n_buckets)).astype(np.int32)
+        t = b.select(lcols)
+        t = t.append_column("_bucket", pa.array(bk, pa.int32()))
+        return t.append_column("_side", pa.array(
+            np.zeros(b.num_rows, np.int8), pa.int8()))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = pc.unique(b[key].combine_chunks()
+                       if isinstance(b[key], pa.ChunkedArray) else b[key])
+        n = len(ks)
+        out = {c: (ks.cast(types[key]) if c == key else pa.nulls(n, types[c]))
+               for c in lcols}
+        t = pa.table(out)
+        bk = (_key_hashes(ks) % np.uint64(n_buckets)).astype(np.int32)
+        t = t.append_column("_bucket", pa.array(bk, pa.int32()))
+        return t.append_column("_side", pa.array(np.ones(n, np.int8),
+                                                 pa.int8()))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["_side"]
+        l = g.filter(pc.equal(side, 0)).select(lcols).to_pandas()
+        rk = g.filter(pc.equal(side, 1))[key].to_pandas()
+        mask = l[key].isin(rk).to_numpy()
+        return df_arrow(l[~mask] if anti else l[mask])
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = keys_ds.map_batches(tag_right, batch_format="pyarrow")
+    return lt.union(rt).groupby("_bucket").map_groups(
+        filter_bucket, batch_format="pyarrow")
+
+
+def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
+               exact: bool = True, fpr: float = 0.01,
+               capacity: int | None = None, n_buckets: int = 32,
+               fan_in: int = 32):
+    """Bloom-accelerated semi/anti join — the classic runtime-filter
+    pushdown for a key side too big to broadcast exactly: a bloom over
+    the key side's hashes is built DISTRIBUTED (per-block blooms of one
+    shared geometry, OR-merged through the bounded ``summary_tree``),
+    broadcast once (``ray.put``; workers read the bit array zero-copy),
+    and probed vectorized per batch. Rows the bloom rejects are
+    DEFINITELY absent from the key side — for a semi join they drop
+    before any shuffle, so the exact verify (``bucket_semi``) moves
+    only ``matches + fpr · non-matches`` rows instead of the whole
+    input.
+
+    ``exact=True`` (default) returns exactly ``bucket_semi``'s answer.
+    ``exact=False`` skips the verify: a SEMI keeps ~``fpr`` of
+    non-matching rows; an ANTI wrongly drops ~``fpr`` of its rows —
+    acceptable only for best-effort prefilters, never for dedup gates.
+
+    Both ``ds`` (anti) and ``keys_ds`` (exact) are consumed twice —
+    pass re-executable pipelines (reads), not one-shot streams.
+    ``capacity`` sizes the bloom (default: ``keys_ds.count()`` rows —
+    an upper bound on distinct keys)."""
+    import pyarrow as pa
+
+    from .summaries import summary_tree
+    from ..state.bloom import Bloom
+
+    if capacity is None:
+        capacity = max(int(keys_ds.count()), 1)
+    proto = Bloom.for_capacity(capacity, fpr)
+    m_bits, k_hashes = proto.m, proto.k
+
+    def partial(b: pa.Table) -> pa.Table:
+        bl = Bloom(m_bits, k_hashes)
+        bl.add(_key_hashes(b[key]))
+        return pa.table({"bits": pa.array([bl.bits.tobytes()],
+                                          pa.large_binary())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        acc = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+        for raw in b["bits"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          pa.large_binary())})
+
+    bits_row = summary_tree(keys_ds, partial, merge, fan_in=fan_in,
+                            batch_format="pyarrow").take_all()
+    # an empty key side yields no summary rows → empty bloom
+    ref = ray.put(bits_row[0]["bits"] if bits_row
+                  else np.zeros((m_bits + 63) // 64, np.uint64).tobytes())
+
+    def probe(b: pa.Table, *, keep_hits: bool) -> pa.Table:
+        bl = Bloom(m_bits, k_hashes)
+        # zero-copy view of the shared plasma buffer (read-only is fine
+        # for contains); no per-batch copy of the bit array
+        bl.bits = np.frombuffer(ray.get(ref), dtype=np.uint64)
+        hits = bl.contains(_key_hashes(b[key]))
+        return b.filter(pa.array(hits if keep_hits else ~hits))
+
+    if not exact:
+        return ds.map_batches(probe, batch_format="pyarrow",
+                              fn_kwargs={"keep_hits": not anti})
+    possible = ds.map_batches(probe, batch_format="pyarrow",
+                              fn_kwargs={"keep_hits": True})
+    verified = bucket_semi(possible, keys_ds, key, anti=anti,
+                           n_buckets=n_buckets)
+    if not anti:
+        return verified
+    definite = ds.map_batches(probe, batch_format="pyarrow",
+                              fn_kwargs={"keep_hits": False})
+    return definite.union(verified)

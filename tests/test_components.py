@@ -66,6 +66,20 @@ def test_cc_max_iters_guard(ray_session):
         _cc(edges, max_iters=2)
 
 
+def test_cc_pointer_doubling_on_long_chain(ray_session):
+    """A 200-node path has diameter 199: pure min propagation needs
+    ~200 rounds, pointer doubling O(log n). Within a 20-round budget
+    the default (adaptive doubling) must converge with exact labels
+    while the propagation-only mode must hit the guard."""
+    n = 200
+    chain = pd.DataFrame({"a": np.arange(1, n, dtype=np.int64),
+                          "b": np.arange(2, n + 1, dtype=np.int64)})
+    lab = _cc(chain, max_iters=20)
+    assert len(lab) == n and set(lab.values()) == {1}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(chain, max_iters=20, shortcut_after=None)
+
+
 def test_label_table_singletons_and_members(ray_session):
     import ray.data as rd
 
