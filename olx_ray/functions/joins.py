@@ -90,8 +90,19 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
 
     Schema alignment for the union uses Arrow TYPED null columns — a
     pandas ``pd.NA`` widen turns columns to object dtype and makes the
-    shuffle sort ~10× slower."""
+    shuffle sort ~10× slower.
+
+    ``hot_keys="auto"`` runs ``detect_hot_keys`` over the left key
+    column first (a bounded Misra-Gries summary tree — no key shuffle)
+    and salts whatever it flags; the left side is then consumed twice
+    (detection + join), so pass a re-executable pipeline."""
     import pyarrow as pa
+
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys={hot_keys!r}: pass keys, None, "
+                             "or 'auto'")
+        hot_keys = detect_hot_keys(left, on, n_buckets=n_buckets)
 
     has_hot = hot_keys is not None and len(hot_keys) > 0   # len(): works
     #           for list/set/ndarray alike (bool(ndarray) would raise)
@@ -501,3 +512,68 @@ def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
     definite = ds.map_batches(probe, batch_format="pyarrow",
                               fn_kwargs={"keep_hits": False})
     return definite.union(verified)
+
+
+# ------------------------------------------------- skew auto-detection
+def detect_hot_keys(ds, on: str, *, threshold_frac: float | None = None,
+                    n_buckets: int = 32, capacity: int | None = None,
+                    fan_in: int = 32) -> np.ndarray:
+    """Heavy-hitter values of integer column ``on`` — the keys worth
+    salting in ``bucket_hash_join`` — found WITHOUT shuffling the keys:
+    per-batch exact counts reduce to Misra-Gries summaries (mergeable,
+    undercount ≤ N/(capacity+1) — Agarwal et al. PODS'12) that move
+    through the bounded ``summary_tree``; the total row count N rides
+    the same tree as a meta row, so hotness needs no second pass.
+
+    Returns every key whose TRUE count can reach ``threshold_frac``·N
+    (default ``1/(2·n_buckets)`` — half a bucket's fair share): the MG
+    lower bound plus the undercount ceiling is compared against the
+    threshold, so a genuinely hot key is never missed; a borderline
+    cold key may be flagged, which only costs a little extra right-side
+    replication (join output is identical either way)."""
+    import pyarrow as pa
+
+    from .summaries import summary_tree
+
+    capacity = capacity or max(256, 16 * n_buckets)
+    thr = threshold_frac if threshold_frac is not None \
+        else 1.0 / (2 * n_buckets)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= capacity:
+            return df
+        df = df.sort_values(["n", "k"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        df["n"] = df["n"] - int(df["n"].iloc[capacity])
+        return df[df["n"] > 0]
+
+    from .blocks import df_arrow
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(k, return_counts=True)
+        data = _reduce(pd.DataFrame({"k": u, "n": c.astype(np.int64)}))
+        meta = pd.DataFrame({"k": [np.int64(0)], "n": [np.int64(len(k))]})
+        return df_arrow(pd.concat([data.assign(is_meta=np.int8(0)),
+                                   meta.assign(is_meta=np.int8(1))],
+                                  ignore_index=True))
+
+    def merge(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        meta_n = int(b.loc[b["is_meta"] == 1, "n"].sum())
+        data = b[b["is_meta"] == 0].groupby("k", as_index=False)["n"].sum()
+        out = _reduce(data).assign(is_meta=np.int8(0))
+        meta = pd.DataFrame({"k": [np.int64(0)], "n": [np.int64(meta_n)],
+                             "is_meta": [np.int8(1)]})
+        return df_arrow(pd.concat([out, meta], ignore_index=True))
+
+    summ = summary_tree(ds, partial, merge, fan_in=fan_in,
+                        batch_format="pyarrow").take_all()
+    frame = pd.DataFrame(summ)
+    n_total = int(frame.loc[frame["is_meta"] == 1, "n"].sum())
+    if n_total == 0:
+        return np.empty(0, np.int64)
+    data = frame[frame["is_meta"] == 0]
+    ceiling = data["n"].to_numpy() + n_total / (capacity + 1)
+    return np.sort(data.loc[ceiling >= thr * n_total, "k"]
+                   .to_numpy().astype(np.int64))

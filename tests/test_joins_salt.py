@@ -57,3 +57,36 @@ def test_salting_rejects_outer_join(ray_session):
     lds, rds, _, _ = _datasets()
     with pytest.raises(ValueError, match="inner"):
         bucket_hash_join(lds, rds, on="k", how="left", hot_keys=[7])
+
+
+def test_detect_hot_keys_finds_the_skewed_key(ray_session):
+    from olx_ray.functions.joins import detect_hot_keys
+
+    lds, _, lpd, _ = _datasets()
+    hot = detect_hot_keys(lds, "k")
+    assert 7 in hot
+    # nothing cold sneaks in: every flagged key is genuinely above the
+    # conservative ceiling (5000/7000 for key 7; uniform keys ~20/7000)
+    counts = lpd["k"].value_counts()
+    assert all(counts[k] > 50 for k in hot)
+
+
+def test_auto_hot_keys_output_identical(ray_session):
+    from olx_ray.functions.joins import bucket_hash_join
+
+    lds, rds, lpd, rpd = _datasets()
+    want = lpd.merge(rpd, on="k").sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    out = bucket_hash_join(lds, rds, on="k", hot_keys="auto") \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[want.columns], want)
+
+
+def test_detect_hot_keys_uniform_input_flags_nothing(ray_session):
+    import ray.data as rd
+
+    from olx_ray.functions.joins import detect_hot_keys
+
+    k = np.arange(20000, dtype=np.int64) % 5000     # 4 rows per key
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64())}))
+    assert len(detect_hot_keys(ds, "k", capacity=8192)) == 0
