@@ -46,6 +46,22 @@ QUERY_NAMES = [
 ]
 
 
+def host_calibration() -> float:
+    """Fixed single-core numpy workload (seconds) — a host-speed probe
+    reported with every bench so runs on a degraded/throttled sandbox
+    host are interpretable (observed >3× single-core swings between
+    sessions on identical code; healthy host ≈ 1.0–1.5 s, a reading of
+    ≥3 s means wall-times that session are NOT comparable)."""
+    import numpy as np
+
+    x = (np.arange(10_000_000, dtype=np.float64) % 977.0) + 1.0
+    t0 = time.monotonic()
+    for _ in range(2):
+        y = np.sqrt(x) * 1.5 + x * x
+        x = np.sort(y) / 977.0
+    return round(time.monotonic() - t0, 3)
+
+
 def _consume(res) -> int:
     import pandas as pd
     import pyarrow as pa
@@ -131,6 +147,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": NCPU,
+        "host_calib_sec": host_calibration(),
         **crawl,
     }
     print(json.dumps(result))
