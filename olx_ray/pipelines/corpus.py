@@ -467,3 +467,80 @@ def epoch_shuffle(ds, epoch: int, id_col: str = "doc_id", seed: int = 0):
         return b
 
     return ds.map_batches(key, batch_format="pandas").sort("shuffle_key")
+
+
+# ------------------------------------------------------------- chunking
+def chunk_documents(sf_dir: str, max_tokens: int = 256, overlap: int = 32):
+    """Sliding token-window document chunking — the standard long-doc
+    preprocessing step before embedding / context-window training:
+    every doc splits into windows of ≤ ``max_tokens`` whitespace tokens
+    with ``overlap`` tokens shared between consecutive windows
+    (stride = max_tokens − overlap). Chunk starts are
+    ``0, stride, 2·stride, … < max(n_tokens − overlap, 1)``, so the
+    final window always reaches the last token and no window is wholly
+    contained in its predecessor; a zero-token doc emits NO chunks.
+
+    Output: ``(doc_id, chunk_idx, start_tok, n_tokens, chunk_text)``
+    with ``chunk_text`` the single-space rejoin of the token slice
+    (canonical — the tokenization already collapsed whitespace).
+    Embarrassingly parallel: one ``map_batches`` pass, no shuffle; the
+    oracle is ``CHUNK_DOCUMENTS_SQL`` (list_slice over the same split).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.split()
+        ids = b["doc_id"].to_numpy()
+        n = words.str.len().fillna(0).astype("int64").to_numpy()
+        n_chunks = np.where(n == 0, 0,
+                            -(-np.maximum(n - overlap, 1) // stride))
+        doc_rep = np.repeat(np.arange(len(b)), n_chunks)
+        cidx = np.concatenate([np.arange(c) for c in n_chunks]) \
+            if len(b) else np.empty(0, np.int64)
+        starts = cidx * stride
+        ends = np.minimum(starts + max_tokens, n[doc_rep])
+        wl = words.to_numpy()
+        texts = [" ".join(wl[d][s:e])
+                 for d, s, e in zip(doc_rep, starts, ends)]
+        return pd.DataFrame({
+            "doc_id": ids[doc_rep].astype(np.int64),
+            "chunk_idx": cidx.astype(np.int64),
+            "start_tok": starts.astype(np.int64),
+            "n_tokens": (ends - starts).astype(np.int64),
+            "chunk_text": texts})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(chunk, batch_format="pandas", batch_size=4096) \
+        .sort(["doc_id", "chunk_idx"])
+
+
+CHUNK_DOCUMENTS_SQL_TMPL = """
+WITH toks AS (
+  -- list_filter drops the empty fragments a leading/trailing/\t-only
+  -- separator produces, mirroring Python str.split() exactly
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), st AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, greatest(n - {overlap} - 1, 0), {stride}))
+           AS s
+  FROM sized
+)
+SELECT doc_id,
+       (s / {stride})::BIGINT AS chunk_idx,
+       s::BIGINT AS start_tok,
+       (least(s + {maxt}, n) - s)::BIGINT AS n_tokens,
+       array_to_string(list_slice(t, s + 1, least(s + {maxt}, n)), ' ')
+         AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+CHUNK_DOCUMENTS_SQL = CHUNK_DOCUMENTS_SQL_TMPL.format(
+    overlap=32, stride=224, maxt=256)

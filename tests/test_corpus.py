@@ -191,3 +191,53 @@ def test_epoch_shuffle_permutation_and_epoch_variation(ray_session):
     assert e0 != order(rd.from_pandas(df), 1)                    # epoch varies
     assert e0 != order(rd.from_pandas(df), 0, seed=99)           # seed varies
     assert e0 != list(range(200))                                # not identity
+
+
+def test_chunk_documents_oracle_and_edges(ray_session, tmp_path):
+    """chunk_documents == its DuckDB oracle on sf0.001, plus hand-built
+    edge docs: empty, whitespace-only, exactly max_tokens, one-past,
+    and an overlap-boundary length."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import (CHUNK_DOCUMENTS_SQL_TMPL,
+                                          chunk_documents)
+
+    def compare(sf_dir, maxt, ov):
+        got = chunk_documents(sf_dir, max_tokens=maxt, overlap=ov) \
+            .to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        want = con.execute(CHUNK_DOCUMENTS_SQL_TMPL.format(
+            overlap=ov, stride=maxt - ov, maxt=maxt)).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+        return got
+
+    compare(SF, 64, 16)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["", "   \t ",
+                 " ".join(f"w{i}" for i in range(8)),      # == max
+                 " ".join(f"w{i}" for i in range(9)),      # one past
+                 " ".join(f"w{i}" for i in range(6 + 2))]})  # n-ov on edge
+    d = tmp_path / "sf_chunks"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = compare(str(d), 8, 2)
+    g = got.set_index(["doc_id", "chunk_idx"])
+    assert 1 not in got["doc_id"].values and 2 not in got["doc_id"].values
+    assert g.loc[(3, 0), "n_tokens"] == 8 and (3, 1) not in g.index
+    # doc 4 (9 tokens): windows [0:8] and [6:9] — tail covered once
+    assert g.loc[(4, 0), "n_tokens"] == 8
+    assert g.loc[(4, 1), "start_tok"] == 6
+    assert g.loc[(4, 1), "chunk_text"] == "w6 w7 w8"
+    # reconstruction: chunk 0 + later chunks minus their overlap prefix
+    toks = (g.loc[(4, 0), "chunk_text"].split()
+            + g.loc[(4, 1), "chunk_text"].split()[2:])
+    assert toks == [f"w{i}" for i in range(9)]
