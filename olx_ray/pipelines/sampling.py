@@ -201,3 +201,63 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_id", "user_id", "value"]),
         "user_id", "value", k, tiebreak_col="event_id")
+
+
+def group_quantiles(ds, group_col: str, value_col: str, qs=(25, 50, 75),
+                    n_buckets: int = 32):
+    """EXACT per-group discrete quantiles (``quantile_disc`` semantics:
+    the smallest value whose cumulative count reaches ``ceil(q% · n)``)
+    at UNBOUNDED group cardinality — the grouped sibling of
+    ``corpus.token_quantiles``:
+
+    1. per-batch combiner: ``(group, value) → count`` (compresses
+       repeated values; raw rows never shuffle when values repeat);
+    2. one shuffle on group-HASH buckets — a bucket holds every
+       (value, count) of its groups, so quantiles are decidable
+       locally;
+    3. per bucket: ONE vectorized pass — sort by (group, value),
+       per-group cumulative counts, searchsorted per quantile — never
+       a Python loop over groups.
+
+    Output: one row per group — ``(group_col, q<p> …)`` wide columns.
+    """
+    qs = tuple(qs)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, value_col], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+        keys = g[group_col].to_numpy()
+        if keys.dtype.kind in "iu":
+            bucket = bucket_of(keys.astype(np.int64, copy=False), n_buckets)
+        else:
+            bucket = (hash64_array(g[group_col].tolist())
+                      % np.uint64(n_buckets)).astype(np.int32)
+        return g.assign(_bucket=bucket)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, value_col], as_index=False)["cnt"].sum()
+        g = g.sort_values([group_col, value_col], kind="mergesort") \
+            .reset_index(drop=True)
+        cum = g.groupby(group_col, sort=False)["cnt"].cumsum().to_numpy()
+        keys = g[group_col].to_numpy()
+        brk = np.r_[True, keys[1:] != keys[:-1]]
+        seg = np.flatnonzero(brk)                  # group start offsets
+        totals = np.r_[cum[seg[1:] - 1], cum[-1]]  # per-group n
+        vals = g[value_col].to_numpy()
+        out = {group_col: keys[seg]}
+        # ONE global searchsorted per quantile: lift the per-group
+        # cumulative counts onto a strictly-increasing axis by spacing
+        # groups BIG apart (cum restarts per group; rank ≤ total < BIG
+        # keeps every probe inside its own group's segment)
+        gi = np.cumsum(brk) - 1
+        big = float(totals.max()) + 1.0
+        t = gi * big + cum
+        for q in qs:
+            ranks = np.ceil(q / 100.0 * totals)
+            idx = np.searchsorted(t, np.arange(len(seg)) * big + ranks)
+            out[f"q{q}"] = vals[idx]
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_bucket").map_groups(finish, batch_format="pandas"))

@@ -171,3 +171,53 @@ def test_weighted_interleave_mixture_and_determinism(ray_session):
     # lands in the first few hundred rows of the stream
     assert (out3.head(400)["mix_source"] == "tiny").sum() >= 40
     assert (out3.tail(1000)["mix_source"] == "big").all()
+
+
+def test_group_quantiles_oracle_unbounded_groups(ray_session):
+    """group_quantiles == order-statistic SQL per group, on an
+    unbounded key (one group per orderkey) with duplicate values."""
+    import duckdb
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    from olx_ray.pipelines.sampling import group_quantiles
+
+    got = group_quantiles(ds, "l_orderkey", "l_quantity",
+                          qs=(25, 50, 90)).to_pandas() \
+        .sort_values("l_orderkey").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf}/lineitem.parquet')")
+    want = con.execute("""
+        SELECT l_orderkey,
+               max(CASE WHEN rk = ceil(0.25*n) THEN v END) AS q25,
+               max(CASE WHEN rk = ceil(0.50*n) THEN v END) AS q50,
+               max(CASE WHEN rk = ceil(0.90*n) THEN v END) AS q90
+        FROM (SELECT l_orderkey, l_quantity AS v,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_quantity) AS rk,
+                     count(*) OVER (PARTITION BY l_orderkey) AS n
+              FROM lineitem)
+        GROUP BY l_orderkey ORDER BY l_orderkey""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_quantiles_string_groups_and_dup_values(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from olx_ray.pipelines.sampling import group_quantiles
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4 + ["c"],
+        "v": [3, 1, 1, 2, 9,   4, 4, 4, 4,   7]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(3)
+    out = group_quantiles(ds, "g", "v", qs=(50, 100)).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    # a: sorted [1,1,2,3,9] → p50 = rank ceil(2.5)=3 → 2; p100 → 9
+    # b: all 4s; c: single 7
+    assert out.to_dict("list") == {
+        "g": ["a", "b", "c"], "q50": [2, 4, 7], "q100": [9, 4, 7]}
