@@ -442,7 +442,7 @@ def bucket_semi(left, keys_ds, key: str, *, anti: bool = False,
 def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
                exact: bool = True, fpr: float = 0.01,
                capacity: int | None = None, n_buckets: int = 32,
-               fan_in: int = 32):
+               fan_in: int = 32, max_bits: int = 1 << 30):
     """Bloom-accelerated semi/anti join — the classic runtime-filter
     pushdown for a key side too big to broadcast exactly: a bloom over
     the key side's hashes is built DISTRIBUTED (per-block blooms of one
@@ -462,7 +462,15 @@ def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
     Both ``ds`` (anti) and ``keys_ds`` (exact) are consumed twice —
     pass re-executable pipelines (reads), not one-shot streams.
     ``capacity`` sizes the bloom (default: ``keys_ds.count()`` rows —
-    an upper bound on distinct keys)."""
+    an upper bound on distinct keys).
+
+    MEMORY CONTRACT: the bit array moves whole through the build tree
+    and the broadcast, so ``max_bits`` (default 2^30 ≈ 128 MiB, good
+    for ~10^8 keys at 1 % fpr) clamps it. Past the clamp the bloom
+    still never drops a true match — only the false-positive rate
+    degrades (more rows reach the exact verify; ``exact=True`` output
+    is unchanged). A key side so large that even a degraded bloom
+    prunes nothing is ``bucket_semi`` territory."""
     import pyarrow as pa
 
     from .summaries import summary_tree
@@ -472,6 +480,10 @@ def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
         capacity = max(int(keys_ds.count()), 1)
     proto = Bloom.for_capacity(capacity, fpr)
     m_bits, k_hashes = proto.m, proto.k
+    if m_bits > max_bits:
+        m_bits = int(max_bits)
+        # re-derive k for the clamped geometry (k = m/n·ln2)
+        k_hashes = min(16, max(1, round(m_bits / capacity * np.log(2))))
 
     def partial(b: pa.Table) -> pa.Table:
         bl = Bloom(m_bits, k_hashes)

@@ -89,3 +89,15 @@ def test_bloom_semi_empty_key_side(ray_session):
     empty = pd.DataFrame({"k": pd.array([], dtype="int64")})
     assert bloom_semi(_mk(left), _mk(empty), "k").count() == 0
     assert bloom_semi(_mk(left), _mk(empty), "k", anti=True).count() == 100
+
+
+def test_bloom_semi_clamped_geometry_still_exact(ray_session, int_sides):
+    """max_bits far below for_capacity's ask degrades fpr only — the
+    exact answer is unchanged."""
+    from olx_ray.functions.joins import bloom_semi, broadcast_semi
+
+    left, keys = int_sides
+    want = broadcast_semi(_mk(left), set(keys["k"]), "k").to_pandas()
+    got = bloom_semi(_mk(left), _mk(keys), "k", max_bits=256).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
