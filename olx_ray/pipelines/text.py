@@ -552,3 +552,81 @@ DOCS_PER_LANG_SQL = """
 SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# -------------------------------------------------------------- BM25 search
+def bm25_topk(sf_dir: str, query: str, k: int = 10, *,
+              k1: float = 1.2, b: float = 0.75, fan_in: int = 32):
+    """BM25 top-k lexical retrieval (Robertson-Spärck Jones probabilistic
+    idf, the Okapi formula — public method) — the keyword-search
+    counterpart of the ANN family, in two streaming passes with only
+    query-bounded state:
+
+    1. stats pass: one summary tree collects N, total doc length and
+       the document frequency of the QUERY TERMS ONLY (≤ |query| + 2
+       summary rows per batch — never a vocabulary);
+    2. scoring pass: per batch, tf of query terms per doc (vectorized
+       explode + isin) → BM25 score → per-batch top-k partial; partials
+       merge through the same bounded tree to the global top-k.
+
+    Deterministic: ties break (score desc, doc_id asc). Scores use
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``; docs matching no term
+    never surface."""
+    from ..functions.summaries import summary_tree
+
+    terms = sorted(set(query.split()))
+    if not terms:
+        raise ValueError("empty query")
+
+    def stats_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        toks = bt["text"].str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64)
+        rows = {"__N__": len(bt), "__L__": int(lens.sum())}
+        ex = toks.explode().dropna()
+        hits = ex[ex.isin(terms)]
+        h = pd.DataFrame({"idx": hits.index.to_numpy(),
+                          "term": hits.to_numpy()}).drop_duplicates()
+        for t, c in h.groupby("term")["idx"].size().items():
+            rows[t] = int(c)
+        return pd.DataFrame({"key": list(rows), "n": list(rows.values())})
+
+    def stats_merge(bt: pd.DataFrame) -> pd.DataFrame:
+        return bt.groupby("key", as_index=False)["n"].sum()
+
+    stats = {r["key"]: r["n"] for r in summary_tree(
+        _read_docs(sf_dir, ["doc_id", "text"]), stats_partial,
+        stats_merge, fan_in=fan_in).take_all()}
+    n_docs = max(int(stats.get("__N__", 0)), 1)
+    avgdl = max(stats.get("__L__", 0) / n_docs, 1e-9)
+    idf = {t: float(np.log(1.0 + (n_docs - stats.get(t, 0) + 0.5)
+                           / (stats.get(t, 0) + 0.5)))
+           for t in terms}
+
+    def score_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        toks = bt["text"].str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        dl = dict(zip(bt["doc_id"].to_numpy(), lens))
+        ex = toks.explode().dropna()
+        hits = ex[ex.isin(terms)]
+        if not len(hits):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        ids = bt["doc_id"].to_numpy()[hits.index.to_numpy()]
+        tf = (pd.DataFrame({"doc_id": ids, "term": hits.to_numpy()})
+              .value_counts(["doc_id", "term"]).reset_index(name="tf"))
+        dlen = tf["doc_id"].map(dl).to_numpy(np.float64)
+        tfv = tf["tf"].to_numpy(np.float64)
+        w = tf["term"].map(idf).to_numpy(np.float64)
+        part = w * tfv * (k1 + 1.0) / (
+            tfv + k1 * (1.0 - b + b * dlen / avgdl))
+        out = pd.DataFrame({"doc_id": tf["doc_id"], "score": part}) \
+            .groupby("doc_id", as_index=False)["score"].sum()
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    def topk_merge(bt: pd.DataFrame) -> pd.DataFrame:
+        return bt.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+
+    return summary_tree(_read_docs(sf_dir, ["doc_id", "text"]),
+                        score_partial, topk_merge, fan_in=fan_in)

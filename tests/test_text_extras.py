@@ -112,3 +112,52 @@ def test_tfidf_strategy_agreement(ray_session):
     b = norm(tfidf_top_terms(SF, k=2, max_broadcast_vocab=0))
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   check_exact=False, rtol=1e-12)
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """bm25_topk == a plain-Python Okapi BM25 reference on sf0.001,
+    same idf/tf formulas and (score desc, doc_id asc) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from olx_ray.pipelines.text import bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    query = docs["text"].iloc[0].split()[:3]
+    query = " ".join(query + ["zz-never-seen"])
+    k1, b, k = 1.2, 0.75, 15
+
+    toks = [t.split() for t in docs["text"].fillna("")]
+    n = len(docs)
+    avgdl = max(sum(len(t) for t in toks) / max(n, 1), 1e-9)
+    terms = sorted(set(query.split()))
+    dfm = {t: sum(1 for d in toks if t in d) for t in terms}
+    idf = {t: float(np.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+           for t in terms}
+    rows = []
+    for did, d in zip(docs["doc_id"], toks):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf:
+                s += idf[t] * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(d) / avgdl))
+        if s > 0:
+            rows.append((did, s))
+    want = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+
+    got = bm25_topk(sf, query, k=k, k1=k1, b=b).to_pandas()
+    assert list(got["doc_id"]) == [r[0] for r in want]
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               [r[1] for r in want], rtol=1e-12)
+
+
+def test_bm25_empty_query_raises(ray_session):
+    import pytest
+
+    from olx_ray.pipelines.text import bm25_topk
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk("/root/testdata/sf0.001", "   ")
