@@ -40,16 +40,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .hashing import mix64
+from .hashing import append_bucket
 
 
 def _bucketize(col: str, n_buckets: int):
-    def fn(b: pa.Table) -> pa.Table:
-        k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column(
-            "_cb", pa.array((mix64(k) % np.uint64(n_buckets))
-                            .astype(np.int32), pa.int32()))
-    return fn
+    return append_bucket(col, n_buckets, name="_cb")
 
 
 def _shortcut_round(labels, n_buckets: int):

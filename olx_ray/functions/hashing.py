@@ -85,3 +85,16 @@ def digest_u64(arr: np.ndarray) -> int:
     mergeable across partitions, order-independent so retries/shuffles
     don't change it."""
     return int(np.sum(arr.astype(np.uint64), dtype=np.uint64)) & _MASK
+
+
+def append_bucket(col: str, n_buckets: int, name: str = "_bucket"):
+    """Batch fn appending an int32 key-hash bucket column — the shared
+    bucketizer of the iterative dataflow engines (connected components,
+    pagerank) and any groupby-by-bucket pipeline."""
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            name, pa.array(bucket_of(k, n_buckets), pa.int32()))
+    return fn

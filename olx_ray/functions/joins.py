@@ -102,6 +102,17 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
         if hot_keys != "auto":
             raise ValueError(f"hot_keys={hot_keys!r}: pass keys, None, "
                              "or 'auto'")
+        # validate the combination BEFORE detection: otherwise
+        # auto+post / auto+outer works on unskewed data and dies the
+        # day a key crosses the hotness threshold (latent
+        # data-dependent crash)
+        if how != "inner":
+            raise ValueError("hot_keys='auto' requires an inner join "
+                             "(salting cannot do outer joins)")
+        if post is not None:
+            raise ValueError("hot_keys='auto' is incompatible with "
+                             "post= (salting splits keys across "
+                             "sub-buckets)")
         hot_keys = detect_hot_keys(left, on, n_buckets=n_buckets)
 
     has_hot = hot_keys is not None and len(hot_keys) > 0   # len(): works
@@ -373,15 +384,24 @@ def _key_hashes(arr) -> np.ndarray:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if isinstance(arr, pa.Array) and (
-            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
-            or pa.types.is_binary(arr.type)
-            or pa.types.is_large_binary(arr.type)):
-        return hash64_array(arr)
+    if isinstance(arr, pa.Array):
+        if arr.null_count:
+            # a null int key would silently widen to float64/NaN and
+            # take the string-hash path — fail loudly instead
+            raise ValueError("bucket_semi/bloom_semi: key column "
+                             "contains nulls; filter or fill them first")
+        if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+                or pa.types.is_binary(arr.type)
+                or pa.types.is_large_binary(arr.type)):
+            return hash64_array(arr)
     np_arr = arr.to_numpy(zero_copy_only=False) if isinstance(arr, pa.Array) \
         else np.asarray(arr)
     if np_arr.dtype.kind in "iu":
         return mix64(np_arr.astype(np.int64, copy=False))
+    if np_arr.dtype.kind == "f":
+        raise TypeError("bucket_semi/bloom_semi: float key columns are "
+                        "not supported (equality on floats is not a "
+                        "join contract); cast to int or string")
     return hash64_array(np_arr.tolist())
 
 
@@ -461,8 +481,11 @@ def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,
 
     Both ``ds`` (anti) and ``keys_ds`` (exact) are consumed twice —
     pass re-executable pipelines (reads), not one-shot streams.
-    ``capacity`` sizes the bloom (default: ``keys_ds.count()`` rows —
-    an upper bound on distinct keys).
+    ``capacity`` sizes the bloom; the default (``keys_ds.count()``
+    rows, an upper bound on distinct keys) costs a THIRD execution of
+    ``keys_ds`` unless the count resolves from read metadata — pass
+    ``capacity`` explicitly when the key side is an expensive
+    pipeline.
 
     MEMORY CONTRACT: the bit array moves whole through the build tree
     and the broadcast, so ``max_bits`` (default 2^30 ≈ 128 MiB, good
@@ -551,13 +574,10 @@ def detect_hot_keys(ds, on: str, *, threshold_frac: float | None = None,
     thr = threshold_frac if threshold_frac is not None \
         else 1.0 / (2 * n_buckets)
 
+    from .summaries import mg_reduce
+
     def _reduce(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) <= capacity:
-            return df
-        df = df.sort_values(["n", "k"], ascending=[False, True],
-                            kind="mergesort").reset_index(drop=True)
-        df["n"] = df["n"] - int(df["n"].iloc[capacity])
-        return df[df["n"] > 0]
+        return mg_reduce(df, capacity, count_col="n", tie_cols=("k",))
 
     from .blocks import df_arrow
 

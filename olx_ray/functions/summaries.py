@@ -44,3 +44,21 @@ def summary_tree(ds, partial, merge, finish=None, *, fan_in: int = 32,
             .map_batches(finish or merge,
                          batch_format=finish_format or batch_format,
                          batch_size=None))
+
+
+def mg_reduce(g, capacity: int, count_col: str = "n", tie_cols=()):
+    """Misra-Gries reduction of an exact/merged count frame to at most
+    ``capacity`` rows: subtract the (capacity+1)-th largest count from
+    every count, keep the positive ones. Summaries reduced this way
+    are MERGEABLE (sum by key, re-reduce) with total undercount
+    ≤ N/(capacity+1) — Agarwal et al., "Mergeable Summaries" (PODS'12).
+    The single implementation behind ``text.word_freq_topk_approx`` and
+    ``joins.detect_hot_keys`` (their error bounds depend on this exact
+    reduction rule)."""
+    if len(g) <= capacity:
+        return g
+    cols = [count_col, *tie_cols]
+    g = g.sort_values(cols, ascending=[False] + [True] * len(tie_cols),
+                      kind="mergesort").reset_index(drop=True)
+    g[count_col] = g[count_col] - int(g[count_col].iloc[capacity])
+    return g[g[count_col] > 0]

@@ -610,7 +610,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
     t_eff = threshold - 5e-7        # round(J, 6) >= t  ⟺  J >= t − 5e-7
 
     def grams(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
+        texts = [t or "" for t in b["text"].to_pylist()]   # null → no grams
         h, row_idx, _pos = _window_hashes(texts, n)
         if not len(h):
             return pa.table({"gram_hash": pa.array([], pa.uint64()),

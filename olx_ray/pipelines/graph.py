@@ -29,15 +29,11 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.blocks import df_arrow
-from ..functions.hashing import bucket_of
+from ..functions.hashing import append_bucket
 
 
 def _bucketize(col: str, n_buckets: int):
-    def fn(b: pa.Table) -> pa.Table:
-        k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column(
-            "_gb", pa.array(bucket_of(k, n_buckets), pa.int32()))
-    return fn
+    return append_bucket(col, n_buckets, name="_gb")
 
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,

@@ -270,17 +270,12 @@ def word_freq_topk(sf_dir: str, k: int = 50):
 
 
 def _mg_reduce(g: pd.DataFrame, capacity: int) -> pd.DataFrame:
-    """Misra-Gries reduction of an exact/merged count frame to at most
-    ``capacity`` rows: subtract the (capacity+1)-th largest count from
-    every count and keep the positive ones. Summaries reduced this way
-    are MERGEABLE (sum by key, re-reduce) with total undercount
-    ≤ N/(capacity+1) — Agarwal et al., "Mergeable Summaries" (PODS'12)."""
-    if len(g) <= capacity:
-        return g
-    g = g.sort_values(["n", "word"], ascending=[False, True],
-                      kind="mergesort").reset_index(drop=True)
-    g["n"] = g["n"] - int(g["n"].iloc[capacity])
-    return g[g["n"] > 0]
+    """Word-keyed wrapper of the shared Misra-Gries reduction
+    (``functions/summaries.py::mg_reduce`` — one implementation, one
+    error bound)."""
+    from ..functions.summaries import mg_reduce
+
+    return mg_reduce(g, capacity, count_col="n", tie_cols=("word",))
 
 
 def word_freq_topk_approx(sf_dir: str, k: int = 50, capacity: int = 4096,
@@ -581,13 +576,16 @@ def bm25_topk(sf_dir: str, query: str, k: int = 10, *,
     def stats_partial(bt: pd.DataFrame) -> pd.DataFrame:
         toks = bt["text"].str.split()
         lens = toks.str.len().fillna(0).astype(np.int64)
+        # term keys are namespaced ("t:" prefix) so a query that
+        # literally contains "__N__"/"__L__" cannot collide with the
+        # corpus-stat sentinel rows
         rows = {"__N__": len(bt), "__L__": int(lens.sum())}
         ex = toks.explode().dropna()
         hits = ex[ex.isin(terms)]
         h = pd.DataFrame({"idx": hits.index.to_numpy(),
                           "term": hits.to_numpy()}).drop_duplicates()
         for t, c in h.groupby("term")["idx"].size().items():
-            rows[t] = int(c)
+            rows["t:" + t] = int(c)
         return pd.DataFrame({"key": list(rows), "n": list(rows.values())})
 
     def stats_merge(bt: pd.DataFrame) -> pd.DataFrame:
@@ -598,8 +596,8 @@ def bm25_topk(sf_dir: str, query: str, k: int = 10, *,
         stats_merge, fan_in=fan_in).take_all()}
     n_docs = max(int(stats.get("__N__", 0)), 1)
     avgdl = max(stats.get("__L__", 0) / n_docs, 1e-9)
-    idf = {t: float(np.log(1.0 + (n_docs - stats.get(t, 0) + 0.5)
-                           / (stats.get(t, 0) + 0.5)))
+    idf = {t: float(np.log(1.0 + (n_docs - stats.get("t:" + t, 0) + 0.5)
+                           / (stats.get("t:" + t, 0) + 0.5)))
            for t in terms}
 
     def score_partial(bt: pd.DataFrame) -> pd.DataFrame:

@@ -329,3 +329,22 @@ def test_ngram_jaccard_pairs_distinct_gram_semantics(ray_session, tmp_path):
     assert got[(3, 4)] == 0.5
     # cross-pairs share nothing above threshold
     assert set(got) == {(1, 2), (3, 4)}
+
+
+def test_ngram_jaccard_pairs_null_text(ray_session, tmp_path):
+    """A NULL text row must contribute no grams, not crash the
+    candidate stage (review finding: the verify twin guarded nulls,
+    the batched side didn't)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello world five", None,
+                                    "hello world five"], pa.string())})
+    d = tmp_path / "sf_null"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = ngram_jaccard_pairs(str(d), threshold=0.5, n=5).to_pandas()
+    assert list(out["doc_a"]) == [1] and list(out["doc_b"]) == [3]

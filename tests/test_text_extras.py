@@ -161,3 +161,26 @@ def test_bm25_empty_query_raises(ray_session):
 
     with pytest.raises(ValueError, match="empty query"):
         bm25_topk("/root/testdata/sf0.001", "   ")
+
+
+def test_bm25_sentinel_token_in_query(ray_session, tmp_path):
+    """A query containing the literal tokens __N__/__L__ must not
+    corrupt the corpus stats (review finding: shared namespace)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.text import bm25_topk
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["__N__ alpha beta", "alpha beta gamma", "delta"]})
+    d = tmp_path / "sf_bm"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = bm25_topk(str(d), "__N__ alpha", k=3).to_pandas()
+    # doc 1 matches both terms → ranks first; doc 3 matches nothing
+    assert list(out["doc_id"])[0] == 1
+    assert 3 not in set(out["doc_id"])
+    # idf uses the real N=3: alpha df=2 → idf = ln(1 + 1.5/2.5) > 0
+    assert (out["score"] > 0).all() and np.isfinite(out["score"]).all()
