@@ -348,3 +348,42 @@ def test_ngram_jaccard_pairs_null_text(ray_session, tmp_path):
     pq.write_table(t, str(d / "documents.parquet"))
     out = ngram_jaccard_pairs(str(d), threshold=0.5, n=5).to_pandas()
     assert list(out["doc_a"]) == [1] and list(out["doc_b"]) == [3]
+
+
+def test_ngram_jaccard_pairs_random_brute_force(ray_session, tmp_path):
+    """Randomized property check of the prefix + positional filters:
+    on small-alphabet random strings (dense shared grams — the filter
+    stress case) the distributed result equals brute-force distinct
+    char-gram Jaccard over all pairs, at two thresholds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.dedup import _char_gram_set, ngram_jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    texts = ["".join(rng.choice(list("abc"), rng.integers(5, 40)))
+             for _ in range(40)]
+    # plant near-dups: copies with small edits
+    texts += [t[:-1] + "a" for t in texts[:6]]
+    ids = list(range(1, len(texts) + 1))
+    d = tmp_path / "sf_rand"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": texts}),
+                   str(d / "documents.parquet"))
+
+    for thr in (0.5, 0.8):
+        got = ngram_jaccard_pairs(str(d), threshold=thr, n=3).to_pandas()
+        got_pairs = {(a, b): j for a, b, j in
+                     zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+        want = {}
+        sets = {i: _char_gram_set(t, 3) for i, t in zip(ids, texts)}
+        for i in ids:
+            for j in ids:
+                if i < j and (sets[i] or sets[j]):
+                    inter = len(sets[i] & sets[j])
+                    u = len(sets[i]) + len(sets[j]) - inter
+                    jac = round(inter / u, 6) if u else 1.0
+                    if jac >= thr:
+                        want[(i, j)] = jac
+        assert got_pairs == want, thr
