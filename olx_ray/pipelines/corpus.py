@@ -544,3 +544,92 @@ ORDER BY doc_id, chunk_idx
 
 CHUNK_DOCUMENTS_SQL = CHUNK_DOCUMENTS_SQL_TMPL.format(
     overlap=32, stride=224, maxt=256)
+
+
+# ------------------------------------------------------------ health report
+def corpus_report(sf_dir: str, top_words: int = 20,
+                  mg_capacity: int = 4096, kmv_k: int = 4096,
+                  fan_in: int = 32):
+    """ONE-PASS corpus health report — the dashboard numbers every
+    ingestion round wants, composed from the bounded-summary kernels so
+    a 100 TB corpus costs one streaming read and zero shuffles:
+
+    - ``n_docs`` / ``total_tokens`` / ``total_chars`` / ``mean_tokens``
+      (exact scalar folds);
+    - ``lang:<l>`` doc counts (exact — langs are bounded);
+    - ``distinct_text_est`` / ``exact_dup_rate_est`` — KMV bottom-k
+      over whitespace-normalized text hashes (exact below ``kmv_k``
+      distinct; ±1/√k above);
+    - ``word:<w>`` top-``top_words`` counts — Misra-Gries heavy
+      hitters (lower bounds, undercount ≤ tokens/(capacity+1)).
+
+    All metrics ride ONE ``summary_tree`` as tagged rows
+    ``(metric, key, val)``; per-batch summary size is bounded by
+    ``langs + kmv_k + mg_capacity + 3`` rows regardless of batch size.
+    Output: a tidy ``(metric, key, value)`` frame. KMV hashes travel as
+    float64 (2^-53 relative rounding — irrelevant to an estimate)."""
+    from ..functions.hashing import hash64_array
+    from ..functions.summaries import mg_reduce, summary_tree
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().fillna(0).astype("int64")
+        rows = [("n_docs", "", float(len(b))),
+                ("tokens", "", float(lens.sum())),
+                ("chars", "", float(b["text"].fillna("").str.len().sum()))]
+        if "lang" in b.columns:
+            for lang, c in b["lang"].value_counts().items():
+                rows.append(("lang", str(lang), float(c)))
+        norm = b["text"].fillna("").str.split().str.join(" ")
+        h = np.unique(hash64_array(norm.tolist()))[:kmv_k]
+        kmv = pd.DataFrame({"metric": "kmv", "key": "",
+                            "val": h.astype(np.float64)})
+        ex = toks.explode().dropna()
+        wc = ex.value_counts().rename_axis("key").reset_index(name="n")
+        wc = mg_reduce(wc, mg_capacity, count_col="n", tie_cols=("key",))
+        words = pd.DataFrame({"metric": "word", "key": wc["key"],
+                              "val": wc["n"].astype(np.float64)})
+        head = pd.DataFrame(rows, columns=["metric", "key", "val"])
+        return pd.concat([head, kmv, words], ignore_index=True)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        scal = b[b["metric"].isin(["n_docs", "tokens", "chars", "lang"])]
+        out.append(scal.groupby(["metric", "key"], as_index=False)
+                   ["val"].sum())
+        kmv = np.unique(b.loc[b["metric"] == "kmv", "val"]
+                        .to_numpy())[:kmv_k]
+        out.append(pd.DataFrame({"metric": "kmv", "key": "", "val": kmv}))
+        wc = b[b["metric"] == "word"].groupby("key", as_index=False) \
+            ["val"].sum().rename(columns={"val": "n"})
+        wc = mg_reduce(wc, mg_capacity, count_col="n", tie_cols=("key",))
+        out.append(pd.DataFrame({"metric": "word", "key": wc["key"],
+                                 "val": wc["n"].astype(np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = merge(b)
+        get = lambda m: float(b.loc[b["metric"] == m, "val"].sum())
+        n_docs, tokens, chars = get("n_docs"), get("tokens"), get("chars")
+        kmv = np.unique(b.loc[b["metric"] == "kmv", "val"].to_numpy())
+        if len(kmv) < kmv_k:
+            distinct = float(len(kmv))
+        else:
+            distinct = (kmv_k - 1) * (2.0 ** 64) / float(kmv[kmv_k - 1])
+        rows = [("n_docs", "", n_docs), ("total_tokens", "", tokens),
+                ("total_chars", "", chars),
+                ("mean_tokens", "", round(tokens / max(n_docs, 1), 6)),
+                ("distinct_text_est", "", round(distinct, 1)),
+                ("exact_dup_rate_est", "",
+                 round(max(0.0, 1.0 - distinct / max(n_docs, 1)), 6))]
+        langs = b[b["metric"] == "lang"].sort_values("key")
+        rows += [("lang", k, v) for k, v in
+                 zip(langs["key"], langs["val"])]
+        wc = b[b["metric"] == "word"].sort_values(
+            ["val", "key"], ascending=[False, True]).head(top_words)
+        rows += [("word", k, v) for k, v in zip(wc["key"], wc["val"])]
+        return pd.DataFrame(rows, columns=["metric", "key", "value"])
+
+    return summary_tree(
+        _read_docs(sf_dir, ["doc_id", "text", "lang"]), partial, merge,
+        finish, fan_in=fan_in, batch_size=4096)

@@ -241,3 +241,34 @@ def test_chunk_documents_oracle_and_edges(ray_session, tmp_path):
     toks = (g.loc[(4, 0), "chunk_text"].split()
             + g.loc[(4, 1), "chunk_text"].split()[2:])
     assert toks == [f"w{i}" for i in range(9)]
+
+
+def test_corpus_report_exact_below_capacity(ray_session):
+    """On sf0.001 every sketch is below capacity, so the one-pass
+    report must be EXACT: scalars, lang counts, distinct texts,
+    dup rate, and the top-word ranking."""
+    import pandas as pd
+
+    from olx_ray.pipelines.corpus import corpus_report
+
+    rep = corpus_report(SF, top_words=10).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    get = lambda m: rep.loc[rep["metric"] == m, "value"].iloc[0]
+    toks = docs["text"].fillna("").str.split()
+    assert get("n_docs") == len(docs)
+    assert get("total_tokens") == int(toks.str.len().sum())
+    assert get("total_chars") == int(docs["text"].fillna("").str.len().sum())
+    norm = toks.str.join(" ")
+    n_distinct = norm.nunique()
+    assert get("distinct_text_est") == n_distinct
+    assert abs(get("exact_dup_rate_est")
+               - (1 - n_distinct / len(docs))) < 1e-6
+    langs = rep[rep["metric"] == "lang"].set_index("key")["value"]
+    for lang, c in docs["lang"].value_counts().items():
+        assert langs[str(lang)] == c
+    words = rep[rep["metric"] == "word"]
+    vc = toks.explode().dropna().value_counts()
+    want = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(words["key"]) == [w for w, _ in want]
+    assert list(words["value"]) == [float(c) for _, c in want]
