@@ -83,59 +83,105 @@ def _partial_bucket_agg(ds, keys, bucket_from, partial_spec, finish_spec,
 # ---------------------------------------------------------------- queries
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered scan → partial agg per batch → tiny final
-    groupby → derived averages. The shuffle moves O(batches × 6 keys)."""
+    groupby → derived averages. The shuffle moves O(batches × 6 keys).
+
+    Money arithmetic is EXACT-DECIMAL on both sides: the source columns
+    are exact 2-decimal values, so the engine sums INTEGER UNITS (cents
+    / 10⁻⁴ / 10⁻⁶ for price / disc_price / charge — int64 per-batch
+    partials, arbitrary-precision Python-int finish) and rounds
+    half-away-from-zero once, while the oracle casts through DECIMAL.
+    Float summation of ~10⁷ doubles carries ~10⁻⁴ absolute error, and a
+    true sum landing exactly on a half-cent (observed: sf0.001 N/F
+    sum_disc_price = …055.9650) then makes 2-decimal parity a coin
+    flip between engines — integer units remove the flip at any scale.
+    Averages divide the identical exact sums as IEEE doubles on both
+    sides; a double quotient can never sit exactly on a half-cent
+    ((2k+1)/200 is not dyadic), so rounding agrees."""
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] <= cutoff]
-        disc_price = b["l_extendedprice"] * (1 - b["l_discount"])
-        charge = disc_price * (1 + b["l_tax"])
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        disc_c = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.rint(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        dp4 = price_c * (100 - disc_c)          # units of 10^-4
+        ch6 = dp4 * (100 + tax_c)               # units of 10^-6
         g = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"], "l_linestatus": b["l_linestatus"],
-            "sum_qty": b["l_quantity"], "sum_base_price": b["l_extendedprice"],
-            "sum_disc_price": disc_price, "sum_charge": charge,
-            "sum_disc": b["l_discount"], "count_order": 1,
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "l_linestatus": b["l_linestatus"].to_numpy(),
+            "qty_i": qty, "price_c": price_c, "dp4": dp4, "ch6": ch6,
+            "disc_c": disc_c, "count_order": np.ones(len(qty), np.int64),
         }).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         return g
 
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_tax", "l_shipdate"])
-    sums = {c: (c, "sum") for c in ("sum_qty", "sum_base_price",
-                                    "sum_disc_price", "sum_charge",
-                                    "sum_disc", "count_order")}
-    agg = _partial_small_agg(
-        li.map_batches(partial, batch_format="pandas", batch_size=131072),
-        ["l_returnflag", "l_linestatus"], sums, sums)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["avg_qty"] = b["sum_qty"] / b["count_order"]
-        b["avg_price"] = b["sum_base_price"] / b["count_order"]
-        b["avg_disc"] = b["sum_disc"] / b["count_order"]
-        b = b.drop(columns=["sum_disc"])
-        # float aggregates rounded to cents: summation ORDER differs
-        # between engines, so raw doubles differ in the last ulps
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
-                  "avg_qty", "avg_price", "avg_disc"):
-            b[c] = b[c].round(2)
-        return b
+        # object dtype → Python-int summation: exact at ANY scale (the
+        # 10^-6-unit charge sum would overflow int64 near sf≈40)
+        for c in ("qty_i", "price_c", "dp4", "ch6", "disc_c",
+                  "count_order"):
+            b[c] = b[c].astype(object)
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+            .sum()
+        n = g["count_order"].astype(np.int64).to_numpy()
+        qty = np.array([float(v) for v in g["qty_i"]])
+        price = np.array([float(v) / 100.0 for v in g["price_c"]])
+        # round half away from zero in INTEGER units (data is positive)
+        dp = np.array([float((v + 50) // 100) / 100.0 for v in g["dp4"]])
+        ch = np.array([float((v + 5000) // 10000) / 100.0
+                       for v in g["ch6"]])
+        disc = np.array([float(v) / 100.0 for v in g["disc_c"]])
+        return pd.DataFrame({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": np.round(qty, 2),
+            "sum_base_price": np.round(price, 2),
+            "sum_disc_price": dp,
+            "sum_charge": ch,
+            "count_order": n,
+            "avg_qty": np.round(qty / n, 2),
+            "avg_price": np.round(price / n, 2),
+            "avg_disc": np.round(disc / n, 2)})
 
-    return agg.map_batches(finish, batch_format="pandas") \
+    return li.map_batches(partial, batch_format="pandas",
+                          batch_size=131072) \
+        .repartition(1).map_batches(finish, batch_format="pandas") \
         .sort(["l_returnflag", "l_linestatus"])
 
 
+# DECIMAL casts make every sum exact (the source data is exact
+# 2-decimal); round() on DECIMAL is half-away-from-zero, matching the
+# engine's integer-unit rounding; averages divide the exact sums as
+# DOUBLEs exactly like the engine (see q1 docstring).
 Q1_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2)))                     AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)))                AS sbp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))))             AS sdp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             * (1 + CAST(l_tax AS DECIMAL(18,2))))                  AS sch,
+         sum(CAST(l_discount AS DECIMAL(18,2)))                     AS sd,
+         count(*)                                                   AS count_order
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                       AS sum_qty,
-       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       count(*)                                                        AS count_order,
-       round(sum(l_quantity) / count(*), 2)                            AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 2)                       AS avg_price,
-       round(sum(l_discount) / count(*), 2)                            AS avg_disc
-FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+       CAST(round(sq, 2) AS DOUBLE)                 AS sum_qty,
+       CAST(round(sbp, 2) AS DOUBLE)                AS sum_base_price,
+       CAST(round(sdp, 2) AS DOUBLE)                AS sum_disc_price,
+       CAST(round(sch, 2) AS DOUBLE)                AS sum_charge,
+       count_order,
+       round(CAST(sq AS DOUBLE) / count_order, 2)   AS avg_qty,
+       round(CAST(sbp AS DOUBLE) / count_order, 2)  AS avg_price,
+       round(CAST(sd AS DOUBLE) / count_order, 2)   AS avg_disc
+FROM s ORDER BY l_returnflag, l_linestatus
 """
 
 

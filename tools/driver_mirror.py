@@ -118,6 +118,20 @@ def main() -> int:
         print(f"{name:35s} {tag:9s} {rec['sec']:6.2f}s rows={rec['spark_rows']}"
               + (f" err={rec['err']}" if rec["err"] else ""), flush=True)
 
+    # the driver also smoke-checks entry() (sf0.001, ≥0 rows, stable
+    # schema) — mirror that too so an entry() regression can't hide
+    if not only:
+        t0 = time.time()
+        try:
+            res = e.entry()
+            res = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(res) >= 0 and len(res.columns) > 0
+            print(f"{'entry()':35s} {'GREEN':9s} {time.time()-t0:6.2f}s "
+                  f"rows={len(res)}", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            n_fail += 1
+            print(f"{'entry()':35s} {'FAIL':9s} err={ex}", flush=True)
+
     print(f"\n== {n_green} GREEN / {n_rowsonly} rows-only / {n_fail} FAIL ==")
     with open("/tmp/driver_mirror.json", "w") as f:
         json.dump(report, f, indent=1)
