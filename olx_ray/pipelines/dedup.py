@@ -961,23 +961,28 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
 
 
 def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
-                          n_tables: int = 24, n_bits: int = 4):
+                          n_tables: int = 64, n_bits: int = 4):
     """APPROXIMATE embedding near-dup: random-hyperplane band buckets →
     in-bucket exact cosine verify → pair distinct. Band rows multiply
     the corpus by n_tables, the only all-to-all is the (table, key)
     groupby, and verification is a vectorized matmul per bucket. At
-    τ=0.45 (θ≈63°) recall≈1 needs r=4 bits × 24 tables (measured 1.0 at
-    sf0.01), which is MORE pair work than the exact chunked scan — so
-    this is the scale path only for higher thresholds / when candidate
-    pruning matters; recall vs the exact scan is measured in tests.
+    τ=0.45 (θ≈63°) a 4-bit table catches an AT-THRESHOLD pair with
+    p = (1−θ/π)⁴ ≈ 0.177, so 64 tables put the hardest pair's miss
+    probability at (1−p)⁶⁴ ≈ 4·10⁻⁶ — 24 tables left it at ~1 % and
+    measurably dropped 3 of 144 true pairs at sf0.1. This is MORE pair
+    work than the exact chunked scan at this low threshold — the LSH
+    path wins at higher thresholds / when candidate pruning matters;
+    recall vs the exact scan is measured in tests.
 
     ORACLE CONTRACT: `__ray_entry__.oracle_sql` registers the exact
     all-pairs `EMBEDDING_NEARDUP_SQL` as this operator's equality
-    oracle — valid because recall is measured exactly 1.0 on the
-    deterministic sf0.001/sf0.01 fixtures with THESE band parameters.
+    oracle — valid because recall is MEASURED exactly 1.0 on the
+    deterministic sf0.001/sf0.01/sf0.1 fixtures with THESE band
+    parameters, and the at-threshold miss bound above leaves ~10⁻³
+    expected misses per thousand true pairs of regenerated data.
     Changing n_tables/n_bits (or the plane seed) can drop recall below
-    1.0 and fail the driver's parity gate; re-measure recall at both
-    gate SFs before touching them."""
+    1.0 and fail the driver's parity gate; re-measure at all gate SFs
+    before touching them."""
     planes = None  # lazily sized from the first batch's dim (fixed seed
     #                → every worker derives the identical planes)
     weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))

@@ -36,7 +36,14 @@ def _user_bucket(ds, n_buckets: int):
 # shared bounded-key combiner helpers (single definition — see
 # functions/smallagg.py for the validity bound and rationale)
 from ..functions.smallagg import finish_small as _finish_small  # noqa: E402
-from ..functions.smallagg import round2_fn as _round2  # noqa: E402
+from ..functions.money import cents  # noqa: E402
+
+
+def _cents_to_value(b: pd.DataFrame) -> pd.DataFrame:
+    """Exact int cents sum → currency double (see functions/money.py)."""
+    b = b.copy()
+    b["total_value"] = b["total_c"].astype(np.float64) / 100.0
+    return b.drop(columns=["total_c"])
 
 
 def _read(sf_dir: str, columns=None):
@@ -45,19 +52,23 @@ def _read(sf_dir: str, columns=None):
 
 def events_by_type(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # exact integer cents (functions/money.py): float sums rounded
+        # at 2dp are a coin flip when a true sum hits a half-cent
+        b = b.assign(value_c=cents(b["value"]))
         return b.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), total_value=("value", "sum"),
+            n=("value_c", "size"), total_c=("value_c", "sum"),
             min_value=("value", "min"), max_value=("value", "max"))
 
     ds = _read(sf_dir, ["event_type", "value"]) \
         .map_batches(partial, batch_format="pandas", batch_size=65536)
     out = _finish_small(ds, ["event_type"], dict(
-        n=("n", "sum"), total_value=("total_value", "sum"),
+        n=("n", "sum"), total_c=("total_c", "sum"),
         min_value=("min_value", "min"), max_value=("max_value", "max")))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        b["avg_value"] = (b["total_value"] / b["n"]).round(2)
-        b["total_value"] = b["total_value"].round(2)
+        total = b["total_c"].astype(np.float64) / 100.0   # exact 2dp
+        b["total_value"] = total
+        b["avg_value"] = (total / b["n"]).round(2)
         return b[["event_type", "n", "total_value", "avg_value",
                   "min_value", "max_value"]]
 
@@ -65,8 +76,12 @@ def events_by_type(sf_dir: str):
 
 
 EVENTS_BY_TYPE_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
-       round(avg(value), 2) AS avg_value, min(value) AS min_value,
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 2) AS avg_value,
+       min(value) AS min_value,
        max(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -80,22 +95,25 @@ def events_tumbling_hourly(sf_dir: str):
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["window_start"] = b["ts"].dt.floor("h")
+        b["value_c"] = cents(b["value"])
         g = b.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("value", "size"), total_value=("value", "sum"))
+            n=("value_c", "size"), total_c=("value_c", "sum"))
         return g
 
     ds = _read(sf_dir, ["ts", "event_type", "value"]) \
         .map_batches(bucket, batch_format="pandas", batch_size=65536)
     return _finish_small(ds, ["event_type", "window_start"],
                          dict(n=("n", "sum"),
-                              total_value=("total_value", "sum"))) \
-        .map_batches(_round2(["total_value"]), batch_format="pandas") \
+                              total_c=("total_c", "sum"))) \
+        .map_batches(_cents_to_value, batch_format="pandas") \
         .sort(["event_type", "window_start"])
 
 
 EVENTS_TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 ORDER BY event_type, window_start
 """
@@ -147,15 +165,17 @@ def user_activity_topk(sf_dir: str, k: int = 25, n_buckets: int = 32):
     top-ks) → tiny global sort over n_buckets × k rows."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(value_c=cents(b["value"]))
         g = b.groupby("user_id", as_index=False).agg(
-            n_events=("value", "size"), total_value=("value", "sum"))
+            n_events=("value_c", "size"), total_c=("value_c", "sum"))
         g["_kb"] = bucket_of(g["user_id"].to_numpy(), n_buckets)
         return g
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("user_id", as_index=False).agg(
-            n_events=("n_events", "sum"), total_value=("total_value", "sum"))
-        out["total_value"] = out["total_value"].round(2)
+            n_events=("n_events", "sum"), total_c=("total_c", "sum"))
+        out["total_value"] = out["total_c"].astype(np.float64) / 100.0
+        out = out.drop(columns=["total_c"])
         return out.sort_values(["n_events", "total_value", "user_id"],
                                ascending=[False, False, True]).head(k)
 
@@ -168,9 +188,12 @@ def user_activity_topk(sf_dir: str, k: int = 25, n_buckets: int = 32):
 
 
 USER_ACTIVITY_SQL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM events GROUP BY user_id
-ORDER BY n_events DESC, round(sum(value), 2) DESC, user_id LIMIT 25
+ORDER BY n_events DESC, sum(CAST(value AS DECIMAL(18,2))) DESC, user_id
+LIMIT 25
 """
 
 
@@ -266,22 +289,24 @@ def events_sliding_2h(sf_dir: str):
                           "window_start": w0 - pd.Timedelta(hours=1),
                           "value": b["value"]})
         both = pd.concat([a, c], ignore_index=True)
+        both["value_c"] = cents(both["value"])
         return both.groupby(["event_type", "window_start"],
                             as_index=False).agg(
-            n=("value", "size"), total_value=("value", "sum"))
+            n=("value_c", "size"), total_c=("value_c", "sum"))
 
     ds = _read(sf_dir, ["ts", "event_type", "value"]) \
         .map_batches(explode, batch_format="pandas", batch_size=65536)
     return _finish_small(ds, ["event_type", "window_start"],
                          dict(n=("n", "sum"),
-                              total_value=("total_value", "sum"))) \
-        .map_batches(_round2(["total_value"]), batch_format="pandas") \
+                              total_c=("total_c", "sum"))) \
+        .map_batches(_cents_to_value, batch_format="pandas") \
         .sort(["event_type", "window_start"])
 
 
 EVENTS_SLIDING_SQL = """
 SELECT event_type, window_start, count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM (SELECT event_type, date_trunc('hour', ts) AS window_start, value
       FROM events
       UNION ALL

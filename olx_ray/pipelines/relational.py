@@ -56,6 +56,22 @@ def _filter_ts(ds, col: str, op: str, ts: str):
 # functions/smallagg.py for the validity bound and rationale)
 from ..functions.smallagg import partial_small_agg as _partial_small_agg  # noqa: E402
 from ..functions.smallagg import round_cols as _round_col  # noqa: E402
+from ..functions.money import cents, object_sum, units_to_currency  # noqa: E402
+
+
+def _units_col(ds, col: str, unit_decimals: int = 4):
+    """Map an integer-units money column to exact currency (the
+    half-cent-boundary-proof finish — see functions/money.py)."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[col] = units_to_currency(b[col].to_numpy(), unit_decimals)
+        return b
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _rev_units(b: pd.DataFrame) -> np.ndarray:
+    """Per-row revenue ``price·(1−discount)`` in exact 10⁻⁴ units."""
+    return cents(b["l_extendedprice"]) * (100 - cents(b["l_discount"]))
 
 
 def _partial_bucket_agg(ds, keys, bucket_from, partial_spec, finish_spec,
@@ -200,10 +216,10 @@ def q3_shipping_priority(sf_dir: str):
     li = _filter_ts(li, "l_shipdate", ">", "1998-01-01")
 
     def prep_li(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        b["o_orderkey"] = b["l_orderkey"]
-        return b[["o_orderkey", "revenue"]]
+        # exact 10⁻⁴-unit revenue (functions/money.py: float sums at
+        # 2dp are a coin flip when the true sum hits a half-cent)
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                             "revenue": _rev_units(b)})
 
     def per_order(df: pd.DataFrame) -> pd.DataFrame:
         # group key = join key (+ functionally dependent cols): every
@@ -219,13 +235,15 @@ def q3_shipping_priority(sf_dir: str):
                            columns_right=["o_orderkey", "o_orderdate",
                                           "o_orderpriority"],
                            post=per_order)
-    return _round_col(agg, ["revenue"]) \
+    return _units_col(agg, "revenue") \
         .sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -259,10 +277,9 @@ def q5_supplier_volume(sf_dir: str):
                         on="l_suppkey")
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        b["o_orderkey"] = b["l_orderkey"]
-        return b[["o_orderkey", "s_nationkey", "revenue"]]
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                             "s_nationkey": b["s_nationkey"].to_numpy(),
+                             "revenue": _rev_units(b)})
 
     def same_nation_partial(df: pd.DataFrame) -> pd.DataFrame:
         # fused into the join task: the same-nation filter + a partial
@@ -286,11 +303,14 @@ def q5_supplier_volume(sf_dir: str):
     agg = _partial_small_agg(joined.map_batches(name_of, batch_format="pandas"),
                              ["n_name"], dict(revenue=("revenue", "sum")),
                              dict(revenue=("revenue", "sum")))
-    return _round_col(agg, ["revenue"]).sort("revenue", descending=True)
+    return _units_col(agg, "revenue").sort("revenue", descending=True)
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -309,10 +329,8 @@ def q10_returned_revenue(sf_dir: str):
     li = li.filter(expr="l_returnflag == 'R'")
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        b["o_orderkey"] = b["l_orderkey"]
-        return b[["o_orderkey", "revenue"]]
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                             "revenue": _rev_units(b)})
 
     def per_cust_partial(df: pd.DataFrame) -> pd.DataFrame:
         # combiner fused into the join task: a customer's orders span
@@ -336,13 +354,15 @@ def q10_returned_revenue(sf_dir: str):
     cd = cd.rename(columns={"c_custkey": "o_custkey"})[
         ["o_custkey", "c_name", "c_acctbal", "n_name"]]
     agg = broadcast_join(agg, cd, on="o_custkey")
-    return _round_col(agg, ["revenue"]) \
+    return _units_col(agg, "revenue") \
         .sort(["revenue", "o_custkey"], descending=[True, False]).limit(20)
 
 
 Q10_SQL = """
 SELECT o_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_returnflag = 'R' AND c_nationkey = n_nationkey
@@ -411,20 +431,40 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def global_lineitem_stats(sf_dir: str):
-    """Whole-table scalar aggregates — one row out."""
+    """Whole-table scalar aggregates — one row out. avg_price divides
+    the EXACT cents sum (functions/money.py) so both engines round the
+    identical double; a float Mean's summation-order error makes the
+    2-decimal average a coin flip when the true average sits on a
+    half-cent."""
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_shipdate"])
-    row = ds.aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                       Mean("l_extendedprice", alias_name="avg_price"),
-                       Min("l_shipdate", alias_name="min_ship"),
-                       Max("l_shipdate", alias_name="max_ship"),
-                       Count(alias_name="n_rows"))
-    row["sum_qty"] = round(row["sum_qty"], 2)
-    row["avg_price"] = round(row["avg_price"], 2)
-    return pa.table({k: [v] for k, v in row.items()})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qty_i": [int(np.rint(b["l_quantity"].to_numpy()).sum())],
+            "price_c": [int(cents(b["l_extendedprice"]).sum())],
+            "min_ship": [b["l_shipdate"].min()],
+            "max_ship": [b["l_shipdate"].max()],
+            "n_rows": [np.int64(len(b))]})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = int(b["n_rows"].sum())
+        price_c = object_sum(b["price_c"])
+        return pd.DataFrame({
+            "sum_qty": [float(object_sum(b["qty_i"]))],
+            "avg_price": [np.round(float(price_c) / 100.0 / n, 2)],
+            "min_ship": [b["min_ship"].min()],
+            "max_ship": [b["max_ship"].max()],
+            "n_rows": [np.int64(n)]})
+
+    return ds.map_batches(partial, batch_format="pandas",
+                          batch_size=131072) \
+        .repartition(1).map_batches(finish, batch_format="pandas")
 
 
 GLOBAL_STATS_SQL = """
-SELECT round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 2) AS avg_price,
+SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 2) AS avg_price,
        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
        count(*) AS n_rows
 FROM lineitem
@@ -536,18 +576,26 @@ def nation_order_stats(sf_dir: str):
     cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     cd = cd.rename(columns={"c_custkey": "o_custkey"})[["o_custkey", "n_name"]]
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    j = broadcast_join(orders, cd, on="o_custkey")
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                             "volume_c": cents(b["o_totalprice"])})
+
+    j = broadcast_join(orders.map_batches(to_cents, batch_format="pandas"),
+                       cd, on="o_custkey")
     agg = _partial_small_agg(
         j, ["n_name"],
-        dict(n_orders=("o_totalprice", "size"),
-             total_volume=("o_totalprice", "sum")),
+        dict(n_orders=("volume_c", "size"),
+             total_volume=("volume_c", "sum")),
         dict(n_orders=("n_orders", "sum"),
              total_volume=("total_volume", "sum")))
-    return _round_col(agg, ["total_volume"]).sort("n_name")
+    return _units_col(agg, "total_volume", 2).sort("n_name")
 
 
 NATION_ORDER_SQL = """
-SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_volume
+SELECT n_name, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_volume
 FROM orders, customer, nation
 WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -561,9 +609,8 @@ def part_type_volume(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
-        return b[["l_partkey", "revenue"]]
+        return pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(),
+                             "revenue": _rev_units(b)})
 
     j = broadcast_join(li.map_batches(prep, batch_format="pandas"), part,
                        on="l_partkey")
@@ -571,11 +618,14 @@ def part_type_volume(sf_dir: str):
         j, ["p_type"],
         dict(revenue=("revenue", "sum"), n_items=("revenue", "size")),
         dict(revenue=("revenue", "sum"), n_items=("n_items", "sum")))
-    return _round_col(agg, ["revenue"]).sort("p_type")
+    return _units_col(agg, "revenue").sort("p_type")
 
 
 PART_TYPE_SQL = """
-SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT p_type,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem, part WHERE l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
@@ -588,21 +638,28 @@ def segment_order_stats_native_join(sf_dir: str):
     broadcast/bucket strategies to cover the built-in API path. The
     join is hash-partitioned on the key across ``num_partitions``."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                             "volume_c": cents(b["o_totalprice"])})
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    j = orders.join(cust, join_type="inner", num_partitions=16,
-                    on=("o_custkey",), right_on=("c_custkey",))
+    j = orders.map_batches(to_cents, batch_format="pandas") \
+        .join(cust, join_type="inner", num_partitions=16,
+              on=("o_custkey",), right_on=("c_custkey",))
     agg = _partial_small_agg(
         j, ["c_mktsegment"],
-        dict(n_orders=("o_totalprice", "size"),
-             total_volume=("o_totalprice", "sum")),
+        dict(n_orders=("volume_c", "size"),
+             total_volume=("volume_c", "sum")),
         dict(n_orders=("n_orders", "sum"),
              total_volume=("total_volume", "sum")))
-    return _round_col(agg, ["total_volume"]).sort("c_mktsegment")
+    return _units_col(agg, "total_volume", 2).sort("c_mktsegment")
 
 
 SEGMENT_ORDER_NATIVE_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_volume
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_volume
 FROM orders, customer WHERE o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -618,20 +675,24 @@ def q6_forecast_revenue(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         m = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
              & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
-             & (b["l_quantity"] < 24))
-        return pd.DataFrame({"revenue":
-                             [(b.loc[m, "l_extendedprice"]
-                               * b.loc[m, "l_discount"]).sum()]})
+             & (b["l_quantity"] < 24)).to_numpy()
+        # exact 10^-4 units (price_cents · disc_cents)
+        u = cents(b["l_extendedprice"])[m] * cents(b["l_discount"])[m]
+        return pd.DataFrame({"revenue": [int(u.sum())]})
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"revenue": [round(b["revenue"].sum(), 2)]})
+        return pd.DataFrame({"revenue":
+                             [units_to_currency(object_sum(b["revenue"]),
+                                                4)]})
 
     return li.map_batches(partial, batch_format="pandas", batch_size=131072) \
         .repartition(1).map_batches(finish, batch_format="pandas")
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -700,24 +761,34 @@ def q14_promo_revenue(sf_dir: str):
     j = broadcast_join(li, part, on="l_partkey")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        rev = b["l_extendedprice"] * (1 - b["l_discount"])
-        promo = rev.where(b["p_type"].str.startswith("PROMO"), 0.0)
-        return pd.DataFrame({"promo": [promo.sum()], "total": [rev.sum()]})
+        u = _rev_units(b)                       # exact 10^-4 units
+        is_promo = b["p_type"].str.startswith("PROMO").to_numpy()
+        return pd.DataFrame({"promo": [int(u[is_promo].sum())],
+                             "total": [int(u.sum())]})
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # exact integer sums → currency doubles exactly as the SQL's
+        # CAST(DECIMAL AS DOUBLE) produces them (float(int) is exact,
+        # one IEEE division) → identical quotient; a double quotient
+        # can never sit exactly on a half-cent (see money.py)
+        promo = float(object_sum(b["promo"])) / 10000.0
+        total = float(object_sum(b["total"])) / 10000.0
         return pd.DataFrame({"promo_revenue":
-                             [round(100.0 * b["promo"].sum()
-                                    / b["total"].sum(), 2)]})
+                             [np.round(100.0 * promo / total, 2)]})
 
     return j.map_batches(partial, batch_format="pandas", batch_size=131072) \
         .repartition(1).map_batches(finish, batch_format="pandas")
 
 
 Q14_SQL = """
-SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+SELECT round(100.00
+             * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 2) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
