@@ -1228,7 +1228,8 @@ FROM comp ORDER BY vec_id
 
 
 def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
-                               strategy: str = "distributed"):
+                               strategy: str = "distributed",
+                               keep: str = "min_id", n_buckets: int = 32):
     """THE corpus-dedup operator: drop every non-representative member
     of each near-dup group; survivors keep their text.
 
@@ -1238,26 +1239,81 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
     ``strategy="distributed"`` the components themselves come from the
     object-store label propagation (``functions.components``) — the
     driver touches only the final drop-id list, which the broadcast
-    needs regardless."""
-    if strategy == "distributed":
-        import pyarrow.compute as pc
+    needs regardless.
 
+    ``keep`` picks the survivor per group: ``"min_id"`` (the label
+    itself — zero extra work) or ``"best_quality"`` (what production
+    dedup actually wants: the highest heuristic ``quality`` member,
+    ties → min id). Quality mode stays distributed end-to-end: group
+    members' texts are selected with ``bucket_semi`` (no driver id
+    set), scored with the ``text.QualityScore`` kernel, joined back to
+    their labels with one bucket join, and reduced to one survivor per
+    label with a vectorized per-bucket pass."""
+    import pyarrow.compute as pc
+
+    if strategy == "distributed":
         from ..functions.components import connected_components
 
         comp = connected_components(minhash_lsh_pairs(sf_dir, threshold),
-                                    "doc_a", "doc_b")
-        non_rep = comp.map_batches(
-            lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
-                       .select(["node"]),
-            batch_format="pyarrow").to_pandas()
-        drop_ids = set(non_rep["node"].tolist())
+                                    "doc_a", "doc_b").materialize()
+        if keep == "best_quality":
+            drop_ids = _quality_drop_ids(sf_dir, comp, n_buckets)
+        else:
+            non_rep = comp.map_batches(
+                lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
+                           .select(["node"]),
+                batch_format="pyarrow").to_pandas()
+            drop_ids = set(non_rep["node"].tolist())
     else:
+        if keep != "min_id":
+            raise ValueError("keep='best_quality' requires "
+                             "strategy='distributed'")
         group_of, _ = _neardup_unionfind(sf_dir, threshold)
         drop_ids = {x for x, g in group_of.items() if g != x}
     from ..functions.joins import broadcast_semi
 
     return broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
                           drop_ids, "doc_id", anti=True).sort("doc_id")
+
+
+def _quality_drop_ids(sf_dir: str, comp, n_buckets: int) -> set:
+    """Per-group best-quality survivor selection (see
+    ``dedup_keep_representatives``): → the pair-bounded drop-id set."""
+    from ..functions.blocks import df_arrow
+    from ..functions.joins import bucket_hash_join, bucket_semi
+    from .text import QualityScore
+
+    members = bucket_semi(
+        _read_docs(sf_dir, ["doc_id", "text"]),
+        comp.map_batches(lambda b: pa.table({"doc_id": b["node"]}),
+                         batch_format="pyarrow"),
+        "doc_id", n_buckets=n_buckets)
+    scored = members.map_batches(QualityScore, batch_format="pandas",
+                                 batch_size=2048, concurrency=(1, 4)) \
+        .map_batches(lambda b: pa.table({
+            "node": b["doc_id"].cast(pa.int64()),
+            "quality": b["quality"].cast(pa.float64())}),
+            batch_format="pyarrow")
+    labeled = bucket_hash_join(
+        scored, comp, on="node", n_buckets=n_buckets,
+        columns_left=["node", "quality"], columns_right=["node", "label"],
+        post=lambda j: df_arrow(j[["node", "label", "quality"]]))
+
+    def drops(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["label", "quality", "node"],
+                          ascending=[True, False, True], kind="mergesort")
+        lab = g["label"].to_numpy()
+        first = np.r_[True, lab[1:] != lab[:-1]]      # the survivor row
+        return df_arrow(g.loc[~first, ["node"]])
+
+    from ..functions.hashing import append_bucket
+
+    non_rep = (labeled
+               .map_batches(append_bucket("label", n_buckets, "_qb"),
+                            batch_format="pyarrow")
+               .groupby("_qb").map_groups(drops, batch_format="pandas")
+               .to_pandas())
+    return set(non_rep["node"].tolist())
 
 
 # ----------------------------------------------------------- incremental

@@ -387,3 +387,38 @@ def test_ngram_jaccard_pairs_random_brute_force(ray_session, tmp_path):
                     if jac >= thr:
                         want[(i, j)] = jac
         assert got_pairs == want, thr
+
+
+def test_dedup_keep_best_quality_representative(ray_session, tmp_path):
+    """keep='best_quality' survives the highest-quality group member
+    (computed with the same QualityScore kernel), not the min id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+
+    from olx_ray.pipelines.dedup import dedup_keep_representatives
+    from olx_ray.pipelines.text import QualityScore
+
+    base = ("the quick brown fox jumps over the lazy dog near the " * 6)
+    richer = base + "meanwhile regional markets showed steady growth"
+    texts = {1: base.strip(), 2: richer.strip(),
+             10: "completely unrelated purple elephants dance tonight",
+             11: "another standalone document about sailing ships"}
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": [texts[k] for k in sorted(texts)]})
+    d = tmp_path / "sf_q"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    q = QualityScore()(pd.DataFrame({"doc_id": [1, 2],
+                                     "text": [texts[1], texts[2]]}))
+    best = int(q.sort_values(["quality", "doc_id"],
+                             ascending=[False, True])["doc_id"].iloc[0])
+    assert best == 2, "fixture must make the larger id higher quality"
+
+    surv = dedup_keep_representatives(str(d), keep="best_quality") \
+        .to_pandas()
+    assert set(surv["doc_id"]) == {best, 10, 11}
+    surv_min = dedup_keep_representatives(str(d)).to_pandas()
+    assert set(surv_min["doc_id"]) == {1, 10, 11}
