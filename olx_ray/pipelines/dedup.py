@@ -37,8 +37,12 @@ import ray.data as rd
 
 from ..functions.hashing import hash64
 
-N_PERM = 128
-N_BANDS = 32          # 32 bands × 4 rows → catches J≳0.6 reliably
+N_PERM = 256
+N_BANDS = 64          # 64 bands × 4 rows: an AT-threshold pair
+# (J=0.6 exactly) is caught with prob 1−(1−0.6⁴)⁶⁴ ≈ 1−1.4e-4 — the
+# 32-band geometry left a 1.2 % per-pair miss, the same fragility that
+# measurably cost the embedding LSH 3/144 pairs at sf0.1 (candidates
+# are verified exactly afterwards, so extra bands only ADD recall)
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
