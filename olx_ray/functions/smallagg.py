@@ -31,18 +31,25 @@ def round_cols(ds, cols, nd: int = 2):
     return ds.map_batches(round2_fn(cols, nd), batch_format="pandas")
 
 
-def finish_small(ds, keys, agg_spec):
+def finish_small(ds, keys, agg_spec, object_cols=()):
     """Coalesce (small) per-batch partials to one block and aggregate in
     pandas — the finish half only; the caller's map_batches partial
-    stage already did the scalable work."""
+    stage already did the scalable work.
+
+    ``object_cols``: integer partial columns whose GLOBAL total could
+    overflow int64 at extreme scale (10⁻⁴-unit money sums near the
+    100 TB regime) are promoted to Python ints before the final sum —
+    a silent int64 wrap would emit garbage with no error."""
     def agg(b: pd.DataFrame) -> pd.DataFrame:
+        for c in object_cols:
+            b[c] = b[c].astype(object)
         return b.groupby(keys, as_index=False).agg(**agg_spec)
 
     return ds.repartition(1).map_batches(agg, batch_format="pandas")
 
 
 def partial_small_agg(ds, keys, partial_spec, finish_spec,
-                      batch_size=65536):
+                      batch_size=65536, object_cols=()):
     """Both halves: vectorized pandas partial per batch, then the
     `finish_small` coalesce."""
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -51,4 +58,4 @@ def partial_small_agg(ds, keys, partial_spec, finish_spec,
     return finish_small(
         ds.map_batches(partial, batch_format="pandas",
                        batch_size=batch_size),
-        keys, finish_spec)
+        keys, finish_spec, object_cols=object_cols)

@@ -580,7 +580,7 @@ def corpus_report(sf_dir: str, top_words: int = 20,
         if "lang" in b.columns:
             for lang, c in b["lang"].value_counts().items():
                 rows.append(("lang", str(lang), float(c)))
-        norm = b["text"].fillna("").str.split().str.join(" ")
+        norm = toks.str.join(" ")     # reuse the one tokenize pass
         h = np.unique(hash64_array(norm.tolist()))[:kmv_k]
         kmv = pd.DataFrame({"metric": "kmv", "key": "",
                             "val": h.astype(np.float64)})

@@ -1255,6 +1255,8 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
     label with a vectorized per-bucket pass."""
     import pyarrow.compute as pc
 
+    if keep not in ("min_id", "best_quality"):
+        raise ValueError(f"keep={keep!r}: pass 'min_id' or 'best_quality'")
     if strategy == "distributed":
         from ..functions.components import connected_components
 

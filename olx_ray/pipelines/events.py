@@ -36,7 +36,7 @@ def _user_bucket(ds, n_buckets: int):
 # shared bounded-key combiner helpers (single definition — see
 # functions/smallagg.py for the validity bound and rationale)
 from ..functions.smallagg import finish_small as _finish_small  # noqa: E402
-from ..functions.money import cents  # noqa: E402
+from ..functions.money import cents, round_half_away  # noqa: E402
 
 
 def _cents_to_value(b: pd.DataFrame) -> pd.DataFrame:
@@ -63,12 +63,15 @@ def events_by_type(sf_dir: str):
         .map_batches(partial, batch_format="pandas", batch_size=65536)
     out = _finish_small(ds, ["event_type"], dict(
         n=("n", "sum"), total_c=("total_c", "sum"),
-        min_value=("min_value", "min"), max_value=("max_value", "max")))
+        min_value=("min_value", "min"), max_value=("max_value", "max")),
+        object_cols=("total_c",))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         total = b["total_c"].astype(np.float64) / 100.0   # exact 2dp
         b["total_value"] = total
-        b["avg_value"] = (total / b["n"]).round(2)
+        # half-away like DuckDB round(DOUBLE,2); pandas .round is
+        # half-even and diverges on exact scaled-.5 quotient ties
+        b["avg_value"] = round_half_away((total / b["n"]).to_numpy())
         return b[["event_type", "n", "total_value", "avg_value",
                   "min_value", "max_value"]]
 

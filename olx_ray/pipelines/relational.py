@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.hashing import bucket_of
 from ..functions.joins import broadcast_join, broadcast_semi, bucket_hash_join
@@ -56,7 +55,8 @@ def _filter_ts(ds, col: str, op: str, ts: str):
 # functions/smallagg.py for the validity bound and rationale)
 from ..functions.smallagg import partial_small_agg as _partial_small_agg  # noqa: E402
 from ..functions.smallagg import round_cols as _round_col  # noqa: E402
-from ..functions.money import cents, object_sum, units_to_currency  # noqa: E402
+from ..functions.money import (cents, object_sum, round_half_away,  # noqa: E402
+                               units_to_currency)
 
 
 def _units_col(ds, col: str, unit_decimals: int = 4):
@@ -111,18 +111,19 @@ def q1_pricing_summary(sf_dir: str):
     sum_disc_price = …055.9650) then makes 2-decimal parity a coin
     flip between engines — integer units remove the flip at any scale.
     Averages divide the identical exact sums as IEEE doubles on both
-    sides; a double quotient can never sit exactly on a half-cent
-    ((2k+1)/200 is not dyadic), so rounding agrees."""
+    sides and round through ``money.round_half_away`` — bit-identical
+    to DuckDB's ``round(DOUBLE, 2)``; a pandas ``.round`` would be
+    half-EVEN and diverge on quotients whose ×100 product lands
+    exactly on .5 (0.005 → 0.0 vs DuckDB's 0.01)."""
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] <= cutoff]
         qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
-        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100) \
-            .astype(np.int64)
-        disc_c = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
-        tax_c = np.rint(b["l_tax"].to_numpy() * 100).astype(np.int64)
-        dp4 = price_c * (100 - disc_c)          # units of 10^-4
+        price_c = cents(b["l_extendedprice"])
+        disc_c = cents(b["l_discount"])
+        tax_c = cents(b["l_tax"])
+        dp4 = _rev_units(b)                     # units of 10^-4
         ch6 = dp4 * (100 + tax_c)               # units of 10^-6
         g = pd.DataFrame({
             "l_returnflag": b["l_returnflag"].to_numpy(),
@@ -160,9 +161,12 @@ def q1_pricing_summary(sf_dir: str):
             "sum_disc_price": dp,
             "sum_charge": ch,
             "count_order": n,
-            "avg_qty": np.round(qty / n, 2),
-            "avg_price": np.round(price / n, 2),
-            "avg_disc": np.round(disc / n, 2)})
+            # quotients round HALF-AWAY like DuckDB round(DOUBLE, 2):
+            # np.round is half-even and diverges on exact scaled-.5
+            # ties (see functions/money.py::round_half_away)
+            "avg_qty": round_half_away(qty / n),
+            "avg_price": round_half_away(price / n),
+            "avg_disc": round_half_away(disc / n)})
 
     return li.map_batches(partial, batch_format="pandas",
                           batch_size=131072) \
@@ -302,7 +306,8 @@ def q5_supplier_volume(sf_dir: str):
 
     agg = _partial_small_agg(joined.map_batches(name_of, batch_format="pandas"),
                              ["n_name"], dict(revenue=("revenue", "sum")),
-                             dict(revenue=("revenue", "sum")))
+                             dict(revenue=("revenue", "sum")),
+                             object_cols=("revenue",))
     return _units_col(agg, "revenue").sort("revenue", descending=True)
 
 
@@ -451,7 +456,7 @@ def global_lineitem_stats(sf_dir: str):
         price_c = object_sum(b["price_c"])
         return pd.DataFrame({
             "sum_qty": [float(object_sum(b["qty_i"]))],
-            "avg_price": [np.round(float(price_c) / 100.0 / n, 2)],
+            "avg_price": [round_half_away(float(price_c) / 100.0 / n)],
             "min_ship": [b["min_ship"].min()],
             "max_ship": [b["max_ship"].max()],
             "n_rows": [np.int64(n)]})
@@ -588,7 +593,8 @@ def nation_order_stats(sf_dir: str):
         dict(n_orders=("volume_c", "size"),
              total_volume=("volume_c", "sum")),
         dict(n_orders=("n_orders", "sum"),
-             total_volume=("total_volume", "sum")))
+             total_volume=("total_volume", "sum")),
+        object_cols=("total_volume",))
     return _units_col(agg, "total_volume", 2).sort("n_name")
 
 
@@ -617,7 +623,8 @@ def part_type_volume(sf_dir: str):
     agg = _partial_small_agg(
         j, ["p_type"],
         dict(revenue=("revenue", "sum"), n_items=("revenue", "size")),
-        dict(revenue=("revenue", "sum"), n_items=("n_items", "sum")))
+        dict(revenue=("revenue", "sum"), n_items=("n_items", "sum")),
+        object_cols=("revenue",))
     return _units_col(agg, "revenue").sort("p_type")
 
 
@@ -652,7 +659,8 @@ def segment_order_stats_native_join(sf_dir: str):
         dict(n_orders=("volume_c", "size"),
              total_volume=("volume_c", "sum")),
         dict(n_orders=("n_orders", "sum"),
-             total_volume=("total_volume", "sum")))
+             total_volume=("total_volume", "sum")),
+        object_cols=("total_volume",))
     return _units_col(agg, "total_volume", 2).sort("c_mktsegment")
 
 
@@ -774,7 +782,7 @@ def q14_promo_revenue(sf_dir: str):
         promo = float(object_sum(b["promo"])) / 10000.0
         total = float(object_sum(b["total"])) / 10000.0
         return pd.DataFrame({"promo_revenue":
-                             [np.round(100.0 * promo / total, 2)]})
+                             [round_half_away(100.0 * promo / total)]})
 
     return j.map_batches(partial, batch_format="pandas", batch_size=131072) \
         .repartition(1).map_batches(finish, batch_format="pandas")

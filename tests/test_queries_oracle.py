@@ -132,3 +132,53 @@ def test_part_type_volume_library_oracle(ray_session):
     got = _normalize(_to_pandas(relational.part_type_volume(SF_DIR)))
     want = _normalize(_duck(relational.PART_TYPE_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_avg_rounding_half_away_tie(ray_session, tmp_path):
+    """An average landing exactly on a scaled .5 tie (total 0.01 over
+    2 events → 0.005) must round like DuckDB (half-away → 0.01), not
+    numpy half-even (→ 0.00). Regression for the review finding."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.events import events_by_type
+
+    t = pa.table({
+        "event_type": ["x", "x", "y"],
+        "value": pa.array([0.0, 0.01, 2.675], pa.float64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 3),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_id": pa.array([1, 2, 3], pa.int64())})
+    d = tmp_path / "sf_tie"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = events_by_type(str(d)).to_pandas().set_index("event_type")
+    assert got.loc["x", "avg_value"] == 0.01     # half-away, not 0.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    from olx_ray.pipelines.events import EVENTS_BY_TYPE_SQL
+
+    want = con.execute(EVENTS_BY_TYPE_SQL).df().set_index("event_type")
+    for et in ("x", "y"):
+        assert got.loc[et, "avg_value"] == want.loc[et, "avg_value"], et
+        assert got.loc[et, "total_value"] == want.loc[et, "total_value"]
+
+
+def test_money_helpers_vectorized_matches_exact():
+    """units_to_currency's int64 fast path == the Python-int path
+    (incl. negatives); round_half_away pins the documented tie."""
+    import numpy as np
+
+    from olx_ray.functions.money import round_half_away, units_to_currency
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(-10**12, 10**12, 2000)
+    v = np.r_[v, [50, -50, 149, -149, 150, -150, 0]]
+    fast = units_to_currency(v, 4)
+    slow = units_to_currency([int(x) for x in v], 4)
+    np.testing.assert_array_equal(fast, slow)
+    assert round_half_away(0.005) == 0.01        # np.round gives 0.0
+    assert round_half_away(-0.005) == -0.01
+    assert round_half_away(2.675) == 2.68

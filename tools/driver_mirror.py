@@ -125,7 +125,7 @@ def main() -> int:
         try:
             res = e.entry()
             res = res.to_pandas() if hasattr(res, "to_pandas") else res
-            assert len(res) >= 0 and len(res.columns) > 0
+            assert len(res) > 0 and len(res.columns) > 0
             print(f"{'entry()':35s} {'GREEN':9s} {time.time()-t0:6.2f}s "
                   f"rows={len(res)}", flush=True)
         except Exception as ex:  # noqa: BLE001
