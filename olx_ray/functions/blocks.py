@@ -35,6 +35,26 @@ def df_arrow(df: pd.DataFrame) -> pa.Table:
     return nometa(pa.Table.from_pandas(df, preserve_index=False))
 
 
+def ensure_arrow_schema(ds):
+    """Return ``ds`` with a REAL Arrow schema: pandas-origin blocks
+    report numpy dtypes — and a mixed stream (e.g. one EMPTY pandas
+    block beside Arrow blocks) reports a schema like
+    ``[DataType(int64), <class 'object'>]`` — which breaks any
+    consumer building Arrow fields/null columns from ``ds.schema()``
+    (bucket joins, the export sink). Ray propagates the broken input
+    schema through a lazy normalization map without re-deriving it, so
+    the repair MATERIALIZES the normalized stream (rare path — only
+    when the schema is actually broken; Arrow datasets no-op)."""
+    sch = ds.schema()
+    if sch.types and all(isinstance(t, pa.DataType) for t in sch.types):
+        return ds
+    fixed = as_arrow(ds).materialize()
+    bad = [t for t in fixed.schema().types
+           if not isinstance(t, pa.DataType)]
+    assert not bad, f"schema still non-Arrow after normalization: {bad}"
+    return fixed
+
+
 def as_arrow(ds):
     """Normalize a Dataset's blocks to metadata-free Arrow.
 

@@ -130,6 +130,10 @@ def bucket_hash_join(left, right, on: str, n_buckets: int = 32,
         if has_hot else np.empty(0, np.int64)
     mult = salt if len(hot) else 1
 
+    from .blocks import ensure_arrow_schema
+
+    left = ensure_arrow_schema(left)
+    right = ensure_arrow_schema(right)
     lschema = left.schema()
     rschema = right.schema()
     ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
@@ -417,8 +421,9 @@ def bucket_semi(left, keys_ds, key: str, *, anti: bool = False,
     join)."""
     import pyarrow as pa
 
-    from .blocks import df_arrow
+    from .blocks import df_arrow, ensure_arrow_schema
 
+    left = ensure_arrow_schema(left)
     lschema = left.schema()
     lcols = list(lschema.names)
     types = dict(zip(lschema.names, lschema.types))

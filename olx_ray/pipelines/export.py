@@ -50,6 +50,11 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
     attempt can't sit beside this run's files. Data files land BEFORE
     the manifest, and the manifest rename is atomic — a kill at any
     point leaves each shard either complete or cleanly restartable."""
+    from ..functions.blocks import ensure_arrow_schema
+
+    # pandas-origin (or mixed) blocks report numpy dtypes in schema()
+    # — the Arrow field construction below needs a real Arrow schema
+    ds = ensure_arrow_schema(ds)
     os.makedirs(out_dir, exist_ok=True)
     done = set()
     rows: dict[int, int] = {}

@@ -1,0 +1,74 @@
+"""The continuous-ingestion round — the capstone composition every
+continuously-fed training corpus runs per increment, assembled from
+this engine's gates (each individually oracle-/invariant-tested):
+
+1. EXACT gate   — ``dedup_incremental``: drop increment rows whose
+   text the corpus already holds (corpus ships hashes only);
+2. NEAR gate    — ``neardup_incremental``: drop rows transitively
+   near-dup with the corpus or with a kept increment row (LSH
+   candidates + exact verify + distributed components);
+3. QUALITY gate — ``scoring.score_quality_model``: the trained
+   hashed-ngram classifier, broadcast once, actor-pool scored; rows
+   below ``quality_min`` drop (a bucket join attaches scores — the
+   increment is never collected);
+4. SINK         — ``export_shards``: survivors land as a hash-sharded
+   parquet increment under ``out_dir/round=N`` with atomic manifests
+   (resumable; a crashed round re-runs without duplicating shards).
+
+Everything streams; driver state is bounded by the gates' drop-id
+lists (increment-bounded) and the weight vector. Order matters: exact
+→ near → quality, so the expensive near-dup machinery sees only
+novel text and the model scores only near-unique survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.blocks import df_arrow
+from ..functions.joins import bucket_hash_join
+
+
+def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
+                     weights: np.ndarray | None = None,
+                     quality_min: float = 0.5, threshold: float = 0.6,
+                     n_shards: int = 16, n_buckets: int = 32) -> dict:
+    """Run one ingestion round of ``new`` against ``corpus`` → write
+    surviving ``(doc_id, text)`` rows to ``out_dir/round=<round_no>``;
+    returns the export manifest summary plus per-gate survivor counts.
+    ``weights``: a ``scoring.train_quality_model`` vector; ``None``
+    skips the quality gate (no model yet)."""
+    from .dedup import dedup_incremental, neardup_incremental
+    from .export import export_shards
+
+    counts = {"n_new": new.count()}
+    survivors = dedup_incremental(corpus, new,
+                                  n_buckets=n_buckets).materialize()
+    counts["after_exact"] = survivors.count()
+    survivors = neardup_incremental(corpus, survivors,
+                                    threshold=threshold,
+                                    n_buckets=n_buckets).materialize()
+    counts["after_near"] = survivors.count()
+
+    if weights is not None:
+        from .scoring import score_quality_model
+
+        scored = score_quality_model(survivors, weights)
+        keep = scored.map_batches(
+            lambda b: b.filter(pa.compute.greater_equal(
+                b["model_score"], pa.scalar(quality_min))).select(["doc_id"]),
+            batch_format="pyarrow")
+        survivors = bucket_hash_join(
+            survivors, keep, on="doc_id", n_buckets=n_buckets,
+            columns_left=["doc_id", "text"], columns_right=["doc_id"],
+            post=lambda j: df_arrow(j[["doc_id", "text"]]))
+        survivors = survivors.materialize()
+        counts["after_quality"] = survivors.count()
+
+    manifest = export_shards(survivors,
+                             f"{out_dir}/round={round_no}",
+                             key="doc_id", n_shards=n_shards)
+    counts["exported"] = int(sum(manifest["rows"].values()))
+    return {"counts": counts, "manifest": manifest}

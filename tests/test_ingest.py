@@ -1,0 +1,89 @@
+"""pipelines/ingest.py — the composed ingestion round: exact gate →
+near gate → quality gate → resumable export, with per-gate counts,
+content verification and crash-resume idempotence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _clean(i: int) -> str:
+    vocab = ["market", "report", "shows", "steady", "growth", "regional",
+             "sales", "quarter", "with", "the", "strong", "demand"]
+    rng = np.random.default_rng(i)
+    return " ".join(rng.choice(vocab, 14))
+
+
+def _junk(i: int) -> str:
+    rng = np.random.default_rng(900 + i)
+    return " ".join(rng.choice(["zzqx", "jjkk", "qqq", "xxzz"], 14))
+
+
+def test_ingest_round_gates_and_resume(ray_session, tmp_path):
+    from olx_ray.pipelines.ingest import ingest_increment
+    from olx_ray.pipelines.export import read_shards
+    from olx_ray.pipelines.scoring import train_quality_model
+
+    corpus_texts = {i: _clean(i) for i in range(1, 6)}
+    corpus = _ds(pd.DataFrame({
+        "doc_id": pd.array(sorted(corpus_texts), dtype="int64"),
+        "text": [corpus_texts[i] for i in sorted(corpus_texts)]}))
+
+    near_of_corpus = corpus_texts[2] + " extra"
+    base_new = _clean(50)
+    new_rows = {
+        100: corpus_texts[1],            # exact dup of corpus → exact gate
+        101: near_of_corpus,             # near-dup of corpus → near gate
+        102: base_new,                   # novel; pairs with 103
+        103: base_new + " suffix",       # near-dup of 102 → keep 102 only
+        104: _junk(1),                   # low quality → quality gate
+        105: _clean(60),                 # clean novel
+    }
+    new = _ds(pd.DataFrame({
+        "doc_id": pd.array(sorted(new_rows), dtype="int64"),
+        "text": [new_rows[i] for i in sorted(new_rows)]}))
+
+    w = train_quality_model([_clean(i) for i in range(200, 320)],
+                            [_junk(i) for i in range(200, 320)],
+                            dim=1 << 14)
+    out = str(tmp_path / "ingested")
+    res = ingest_increment(corpus, new, out, round_no=0, weights=w,
+                           quality_min=0.5, n_shards=4)
+    c = res["counts"]
+    assert c["n_new"] == 6
+    assert c["after_exact"] == 5          # 100 dropped
+    assert c["after_near"] == 3           # 101, 103 dropped
+    assert c["after_quality"] == 2        # 104 dropped
+    assert c["exported"] == 2
+
+    got = read_shards(f"{out}/round=0").to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [102, 105]
+    assert list(got["text"]) == [new_rows[102], new_rows[105]]
+
+    # resume: complete shards are skipped, nothing duplicates
+    res2 = ingest_increment(corpus, new, out, round_no=0, weights=w,
+                            quality_min=0.5, n_shards=4)
+    assert res2["manifest"]["written"] == []
+    assert read_shards(f"{out}/round=0").count() == 2
+
+
+def test_ingest_without_model_skips_quality_gate(ray_session, tmp_path):
+    from olx_ray.pipelines.ingest import ingest_increment
+    from olx_ray.pipelines.export import read_shards
+
+    corpus = _ds(pd.DataFrame({"doc_id": pd.array([1], dtype="int64"),
+                               "text": [_clean(1)]}))
+    new = _ds(pd.DataFrame({"doc_id": pd.array([10, 11], dtype="int64"),
+                            "text": [_junk(5), _clean(7)]}))
+    out = str(tmp_path / "nomodel")
+    res = ingest_increment(corpus, new, out, round_no=3, n_shards=2)
+    assert "after_quality" not in res["counts"]
+    assert res["counts"]["exported"] == 2          # junk passes, no model
+    assert read_shards(f"{out}/round=3").count() == 2
