@@ -138,6 +138,9 @@ def main() -> None:
 
     crawl_only = "--crawl-only" in sys.argv
     queries_only = "--queries-only" in sys.argv
+    calib_pre = host_calibration()     # bracket the run: the sandbox
+    # host's speed swings 1-15x on minute timescales, so a single probe
+    # can miss a mid-run degradation
     crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))
     queries = {} if crawl_only else run_queries()
     result = {
@@ -147,6 +150,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": NCPU,
+        "host_calib_pre_sec": calib_pre,
         "host_calib_sec": host_calibration(),
         **crawl,
     }
