@@ -101,3 +101,24 @@ def test_bloom_semi_clamped_geometry_still_exact(ray_session, int_sides):
     got = bloom_semi(_mk(left), _mk(keys), "k", max_bits=256).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
                                   check_dtype=False)
+
+
+def test_ensure_arrow_schema_repairs_mixed_stream(ray_session):
+    """A union of an Arrow stream and an (empty-able) pandas stream can
+    report schema types like <class 'object'>; ensure_arrow_schema must
+    repair it so bucket joins / export can build Arrow fields."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.functions.blocks import ensure_arrow_schema
+
+    arrow = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                    "t": ["a", "b"]}))
+    pandas_side = rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int64()), "t": ["c"]})) \
+        .map_batches(lambda b: b[b["k"] > 99], batch_format="pandas")
+    mixed = arrow.union(pandas_side)
+    fixed = ensure_arrow_schema(mixed)
+    types = fixed.schema().types
+    assert all(isinstance(t, pa.DataType) for t in types), types
+    assert fixed.count() == 2
