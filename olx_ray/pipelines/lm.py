@@ -80,11 +80,10 @@ def train_bigram_lm(sf_dir: str, vocab_size: int = 8192, *,
                        batch_size=4096)
           .groupby("_pb").map_groups(pair_finish, batch_format="pandas")
           .to_pandas())
-    # unigram CONTEXT counts = how often each id appears as "prev":
-    # derive from the UNPRUNED bigram partials' sums? pruning would bias
-    # the denominator — recompute exactly from the pair stream instead:
-    # c(p) = Σ_w c(p, w) BEFORE pruning. We fold it in the same pass by
-    # summing per-p totals from the unpruned groupby below.
+    # unigram CONTEXT counts c(p) = Σ_w c(p, w) must be the UNPRUNED
+    # totals (pruning the denominator would bias every probability), so
+    # they come from their own combiner pass over the corpus — vocab ids
+    # are bounded, making this a small-agg, not a word shuffle
     uni = np.zeros(len(vocab) + 1, dtype=np.int64)
 
     def ctx_partial(b: pd.DataFrame) -> pd.DataFrame:
