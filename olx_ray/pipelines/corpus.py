@@ -633,3 +633,73 @@ def corpus_report(sf_dir: str, top_words: int = 20,
     return summary_tree(
         _read_docs(sf_dir, ["doc_id", "text", "lang"]), partial, merge,
         finish, fan_in=fan_in, batch_size=4096)
+
+
+# ------------------------------------------------------------- drift
+def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
+                 bucket: int = 10, fan_in: int = 32) -> pd.DataFrame:
+    """Distribution drift between two corpus snapshots — the monitoring
+    pass a continuously-fed pipeline runs between crawls to catch
+    source shift before it poisons training:
+
+    - ``js_divergence_words``: Jensen-Shannon divergence between the
+      two word distributions, estimated from Misra-Gries heavy-hitter
+      summaries (capacity-bounded; tail mass lumped into one OTHER
+      cell so the distributions stay proper — undercount error is
+      bounded by N/(capacity+1) per side);
+    - ``len_hist_l1``: exact L1 distance between the normalized
+      token-length histograms (``length_histogram`` buckets);
+    - ``mean_tokens_delta``: exact mean-length shift.
+
+    Each side costs one streaming pass (bounded summaries only — the
+    ``word_freq_topk_approx`` tree + the histogram small-agg); the
+    comparison is driver-side over capacity-bounded frames.
+    Symmetric in its arguments by construction (JS is symmetric, L1
+    is, delta is absolute)."""
+    from .text import word_freq_topk_approx
+
+    def side(sf):
+        words = word_freq_topk_approx(sf, k=capacity, capacity=capacity,
+                                      fan_in=fan_in).to_pandas()
+        hist = length_histogram(sf, bucket=bucket).to_pandas()
+        n_docs = int(hist["n_docs"].sum())
+        total_tokens = int((hist["bucket_lo"] * hist["n_docs"]).sum())
+        return words, hist, n_docs, total_tokens
+
+    wa, ha, na, ta = side(sf_dir_a)
+    wb, hb, nb, tb = side(sf_dir_b)
+
+    # word JS over the union of surfaced words + an OTHER bucket for
+    # the unsurfaced tail, so both sides are proper distributions
+    m = wa.rename(columns={"n": "ca"}).merge(
+        wb.rename(columns={"n": "cb"}), on="word", how="outer") \
+        .fillna(0.0)
+    sum_a, sum_b = float(m["ca"].sum()), float(m["cb"].sum())
+    tot_a = float(wa["n"].sum()) if len(wa) else 1.0
+    tot_b = float(wb["n"].sum()) if len(wb) else 1.0
+    # MG counts cover ~all mass below capacity; normalize by the
+    # surfaced totals and carry the residual as OTHER (0 if exhaustive)
+    pa_ = np.r_[m["ca"].to_numpy() / max(sum_a, 1.0),
+                [max(0.0, 1.0 - tot_a / max(sum_a, 1.0))]][: len(m) + 1]
+    pb_ = np.r_[m["cb"].to_numpy() / max(sum_b, 1.0),
+                [max(0.0, 1.0 - tot_b / max(sum_b, 1.0))]][: len(m) + 1]
+    pa_, pb_ = pa_ / pa_.sum(), pb_ / pb_.sum()
+    mid = 0.5 * (pa_ + pb_)
+
+    def kl(p, q):
+        mask = p > 0
+        return float(np.sum(p[mask] * np.log2(p[mask] / q[mask])))
+
+    js = 0.5 * kl(pa_, mid) + 0.5 * kl(pb_, mid)
+
+    h = ha.rename(columns={"n_docs": "na"}).merge(
+        hb.rename(columns={"n_docs": "nb"}), on="bucket_lo",
+        how="outer").fillna(0.0)
+    l1 = float(np.abs(h["na"] / max(na, 1)
+                      - h["nb"] / max(nb, 1)).sum())
+    return pd.DataFrame({
+        "js_divergence_words": [round(js, 6)],
+        "len_hist_l1": [round(l1, 6)],
+        "mean_tokens_delta": [round(abs(ta / max(na, 1)
+                                        - tb / max(nb, 1)), 6)],
+        "n_docs_a": [np.int64(na)], "n_docs_b": [np.int64(nb)]})

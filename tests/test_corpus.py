@@ -272,3 +272,41 @@ def test_corpus_report_exact_below_capacity(ray_session):
     want = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(words["key"]) == [w for w, _ in want]
     assert list(words["value"]) == [float(c) for _, c in want]
+
+
+def test_corpus_drift_zero_and_detects_shift(ray_session, tmp_path):
+    """Identical snapshots → ~zero drift on every axis; a junk-injected
+    snapshot → clear word-JS and length-histogram movement. Symmetric."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import corpus_drift
+
+    rng = np.random.default_rng(8)
+    vocab = ["market", "report", "shows", "steady", "growth", "sales"]
+    base = [" ".join(rng.choice(vocab, 12)) for _ in range(80)]
+
+    def write(texts, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": texts}), str(d / "documents.parquet"))
+        return str(d)
+
+    a = write(base, "snap_a")
+    a2 = write(list(base), "snap_a2")
+    drifted = base[:40] + ["zzqx jjkk " * 30 for _ in range(40)]
+    b = write(drifted, "snap_b")
+
+    same = corpus_drift(a, a2)
+    assert float(same["js_divergence_words"].iloc[0]) < 1e-9
+    assert float(same["len_hist_l1"].iloc[0]) == 0.0
+    assert float(same["mean_tokens_delta"].iloc[0]) == 0.0
+
+    moved = corpus_drift(a, b)
+    assert float(moved["js_divergence_words"].iloc[0]) > 0.2
+    assert float(moved["len_hist_l1"].iloc[0]) > 0.5
+    rev = corpus_drift(b, a)
+    assert float(rev["js_divergence_words"].iloc[0]) == \
+        float(moved["js_divergence_words"].iloc[0])
