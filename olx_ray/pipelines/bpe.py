@@ -104,10 +104,10 @@ def train_bpe(sf_dir: str, n_merges: int = 200, *,
             a, b = str(pc["a"].iloc[0]), str(pc["b"].iloc[0])
             merges.append((a, b))
             ab = a + b
-            hit = syms.apply(lambda s: any(
-                s[i] == a and s[i + 1] == b for i in range(len(s) - 1)))
-            syms = syms.where(~hit, syms.apply(
-                lambda s: _apply_merge(s, a, b, ab)))
+            # _apply_merge is a no-op on words without the pair; a
+            # pre-scan "hit" mask would cost a second full pass for
+            # nothing (Series.where evaluates `other` eagerly anyway)
+            syms = syms.apply(lambda s: _apply_merge(s, a, b, ab))
         return merges
     if strategy != "distributed":
         raise ValueError(f"strategy={strategy!r}")

@@ -644,12 +644,23 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
 
     - ``js_divergence_words``: Jensen-Shannon divergence between the
       two word distributions, estimated from Misra-Gries heavy-hitter
-      summaries (capacity-bounded; tail mass lumped into one OTHER
-      cell so the distributions stay proper — undercount error is
-      bounded by N/(capacity+1) per side);
+      summaries — the surfaced counts normalize against the EXACT
+      per-side token totals (their own one-row scalar fold), with the
+      unsurfaced remainder lumped into one OTHER cell so the
+      distributions stay proper. This sees HEAD changes and tail MASS
+      changes; two equal-mass but disjoint tails are invisible to any
+      heavy-hitter summary, which is what the next signal is for;
+    - ``vocab_jaccard_est``: KMV bottom-k resemblance estimate of the
+      two DISTINCT-WORD sets (k smallest word hashes per side; J ≈
+      fraction of the union-sketch's bottom-k present in both —
+      Broder'97 minwise resemblance, ±1/√k) — catches membership
+      turnover (spam tails, new sources) that preserves head and
+      mass;
     - ``len_hist_l1``: exact L1 distance between the normalized
-      token-length histograms (``length_histogram`` buckets);
-    - ``mean_tokens_delta``: exact mean-length shift.
+      token-length histograms (``length_histogram`` buckets — bucket
+      resolution, the histogram's own contract);
+    - ``mean_tokens_delta``: EXACT mean-length shift (from the same
+      exact token totals, not the quantized histogram).
 
     Each side costs one streaming pass (bounded summaries only — the
     ``word_freq_topk_approx`` tree + the histogram small-agg); the
@@ -658,31 +669,60 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
     is, delta is absolute)."""
     from .text import word_freq_topk_approx
 
+    from ..functions.hashing import hash64_array
+
     def side(sf):
         words = word_freq_topk_approx(sf, k=capacity, capacity=capacity,
                                       fan_in=fan_in).to_pandas()
         hist = length_histogram(sf, bucket=bucket).to_pandas()
         n_docs = int(hist["n_docs"].sum())
-        total_tokens = int((hist["bucket_lo"] * hist["n_docs"]).sum())
-        return words, hist, n_docs, total_tokens
 
-    wa, ha, na, ta = side(sf_dir_a)
-    wb, hb, nb, tb = side(sf_dir_b)
+        def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+            toks = b["text"].fillna("").str.split()
+            n = toks.str.len().fillna(0).astype("int64")
+            # KMV partial: k smallest distinct word hashes in the batch
+            ex = toks.explode().dropna()
+            h = np.unique(hash64_array(ex.tolist()))[:capacity] \
+                if len(ex) else np.empty(0, np.uint64)
+            pad = np.full(max(capacity - len(h), 0),
+                          np.iinfo(np.uint64).max, np.uint64)
+            return pd.DataFrame({"t": [int(n.sum())] * 1,
+                                 "kmv": [np.r_[h, pad][:capacity]
+                                         .tobytes()]})
+
+        total_tokens, sketch = 0, np.empty(0, np.uint64)
+        if n_docs:
+            parts = _read_docs(sf, ["text"]).map_batches(
+                tok_partial, batch_format="pandas",
+                batch_size=8192).take_all()
+            total_tokens = int(sum(int(r["t"]) for r in parts))
+            allh = np.unique(np.concatenate(
+                [np.frombuffer(r["kmv"], np.uint64) for r in parts]))
+            sketch = allh[allh < np.iinfo(np.uint64).max][:capacity]
+        return words, hist, n_docs, total_tokens, sketch
+
+    wa, ha, na, ta, ka = side(sf_dir_a)
+    wb, hb, nb, tb, kb = side(sf_dir_b)
+    # minwise resemblance: bottom-k of the union; J ≈ |in both| / k
+    union = np.unique(np.concatenate([ka, kb]))[:capacity]
+    if len(union):
+        both = np.isin(union, ka) & np.isin(union, kb)
+        vocab_j = float(both.sum()) / len(union)
+    else:
+        vocab_j = 1.0
 
     # word JS over the union of surfaced words + an OTHER bucket for
     # the unsurfaced tail, so both sides are proper distributions
     m = wa.rename(columns={"n": "ca"}).merge(
         wb.rename(columns={"n": "cb"}), on="word", how="outer") \
         .fillna(0.0)
-    sum_a, sum_b = float(m["ca"].sum()), float(m["cb"].sum())
-    tot_a = float(wa["n"].sum()) if len(wa) else 1.0
-    tot_b = float(wb["n"].sum()) if len(wb) else 1.0
-    # MG counts cover ~all mass below capacity; normalize by the
-    # surfaced totals and carry the residual as OTHER (0 if exhaustive)
-    pa_ = np.r_[m["ca"].to_numpy() / max(sum_a, 1.0),
-                [max(0.0, 1.0 - tot_a / max(sum_a, 1.0))]][: len(m) + 1]
-    pb_ = np.r_[m["cb"].to_numpy() / max(sum_b, 1.0),
-                [max(0.0, 1.0 - tot_b / max(sum_b, 1.0))]][: len(m) + 1]
+    # normalize surfaced counts by the EXACT totals; the remainder
+    # (tokens the MG summary did not surface — the tail) is a proper
+    # OTHER cell, so tail-only divergence still moves the metric
+    pa_ = np.r_[m["ca"].to_numpy() / max(float(ta), 1.0),
+                [max(0.0, 1.0 - float(m["ca"].sum()) / max(float(ta), 1.0))]]
+    pb_ = np.r_[m["cb"].to_numpy() / max(float(tb), 1.0),
+                [max(0.0, 1.0 - float(m["cb"].sum()) / max(float(tb), 1.0))]]
     pa_, pb_ = pa_ / pa_.sum(), pb_ / pb_.sum()
     mid = 0.5 * (pa_ + pb_)
 
@@ -699,6 +739,7 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
                       - h["nb"] / max(nb, 1)).sum())
     return pd.DataFrame({
         "js_divergence_words": [round(js, 6)],
+        "vocab_jaccard_est": [round(vocab_j, 6)],
         "len_hist_l1": [round(l1, 6)],
         "mean_tokens_delta": [round(abs(ta / max(na, 1)
                                         - tb / max(nb, 1)), 6)],

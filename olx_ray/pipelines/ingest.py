@@ -53,6 +53,7 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
     counts["after_near"] = survivors.count()
 
     if weights is not None:
+        from ..functions.blocks import ensure_arrow_schema
         from .scoring import score_quality_model
 
         scored = score_quality_model(survivors, weights)
@@ -60,10 +61,15 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
             lambda b: b.filter(pa.compute.greater_equal(
                 b["model_score"], pa.scalar(quality_min))).select(["doc_id"]),
             batch_format="pyarrow")
+        # keep EVERY survivor column (not just doc_id/text): rounds
+        # exported before a model exists (weights=None bootstrap) must
+        # share one schema with later rounds
+        survivors = ensure_arrow_schema(survivors)
+        cols = list(survivors.schema().names)
         survivors = bucket_hash_join(
             survivors, keep, on="doc_id", n_buckets=n_buckets,
-            columns_left=["doc_id", "text"], columns_right=["doc_id"],
-            post=lambda j: df_arrow(j[["doc_id", "text"]]))
+            columns_left=cols, columns_right=["doc_id"],
+            post=lambda j: df_arrow(j[cols]))
         survivors = survivors.materialize()
         counts["after_quality"] = survivors.count()
 

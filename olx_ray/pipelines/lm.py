@@ -71,41 +71,27 @@ def train_bigram_lm(sf_dir: str, vocab_size: int = 8192, *,
         return g
 
     def pair_finish(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["p", "w"], as_index=False)["c"].sum()
-        return out[out["c"] >= min_count]
+        full = g.groupby(["p", "w"], as_index=False)["c"].sum()
+        # context totals c(p) must be UNPRUNED (pruning the denominator
+        # would bias every probability): emit per-bucket partial p-sums
+        # as sentinel rows (w = -1) so one corpus pass feeds both —
+        # pairs spread across buckets by pair hash, so the driver sums
+        # the sentinels per p afterwards
+        ctx = full.groupby("p", as_index=False)["c"].sum()
+        ctx["w"] = np.int64(-1)
+        pruned = full[full["c"] >= min_count]
+        return pd.concat([pruned, ctx[["p", "w", "c"]]],
+                         ignore_index=True)
 
-    bi = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                          columns=["text"])
-          .map_batches(pair_partial, batch_format="pandas",
-                       batch_size=4096)
-          .groupby("_pb").map_groups(pair_finish, batch_format="pandas")
-          .to_pandas())
-    # unigram CONTEXT counts c(p) = Σ_w c(p, w) must be the UNPRUNED
-    # totals (pruning the denominator would bias every probability), so
-    # they come from their own combiner pass over the corpus — vocab ids
-    # are bounded, making this a small-agg, not a word shuffle
+    rows = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+            .map_batches(pair_partial, batch_format="pandas",
+                         batch_size=4096)
+            .groupby("_pb").map_groups(pair_finish, batch_format="pandas")
+            .to_pandas())
+    bi = rows[rows["w"] >= 0]
+    ctx = rows[rows["w"] < 0].groupby("p", as_index=False)["c"].sum()
     uni = np.zeros(len(vocab) + 1, dtype=np.int64)
-
-    def ctx_partial(b: pd.DataFrame) -> pd.DataFrame:
-        v = ray.get(vocab_ref)
-        toks = b["text"].fillna("").str.split()
-        ex = toks.explode().dropna()
-        if not len(ex):
-            return pd.DataFrame({"p": pd.Series(dtype=np.int64),
-                                 "c": pd.Series(dtype=np.int64)})
-        doc = ex.index.to_numpy()
-        ids = ex.map(v).fillna(0).to_numpy().astype(np.int64)
-        same = doc[1:] == doc[:-1]
-        g = pd.Series(ids[:-1][same]).value_counts()
-        return pd.DataFrame({"p": g.index.to_numpy(np.int64),
-                             "c": g.to_numpy(np.int64)})
-
-    from ..functions.smallagg import finish_small
-
-    ctx = finish_small(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(ctx_partial, batch_format="pandas", batch_size=4096),
-        ["p"], dict(c=("c", "sum"))).to_pandas()
     uni[ctx["p"].to_numpy()] = ctx["c"].to_numpy()
     return {"vocab": vocab, "uni": uni,
             "bi": bi[["p", "w", "c"]].reset_index(drop=True),

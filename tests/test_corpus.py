@@ -310,3 +310,37 @@ def test_corpus_drift_zero_and_detects_shift(ray_session, tmp_path):
     rev = corpus_drift(b, a)
     assert float(rev["js_divergence_words"].iloc[0]) == \
         float(moved["js_divergence_words"].iloc[0])
+
+
+def test_corpus_drift_detects_tail_only_shift(ray_session, tmp_path):
+    """Identical heavy hitters but disjoint LONG TAILS (each tail word
+    below the MG surfacing threshold) must still register word drift —
+    the OTHER tail-mass cell regression from the review finding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import corpus_drift
+
+    head = "alpha beta gamma delta " * 5          # dominant everywhere
+    tail_a = [f"rare{i}" for i in range(300)]
+    tail_b = [f"spam{i}" for i in range(300)]
+
+    def write(tail, name):
+        texts = [head + " ".join(tail[i:i + 3]) for i in range(0, 300, 3)]
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": texts}), str(d / "documents.parquet"))
+        return str(d)
+
+    a, b = write(tail_a, "tail_a"), write(tail_b, "tail_b")
+    # capacity 8 surfaces only the head words; the two EQUAL-MASS
+    # disjoint tails are invisible to any heavy-hitter summary (JS
+    # correctly stays ~0) — the KMV vocabulary-resemblance signal is
+    # what must move: 4 shared head words vs 300 disjoint tail words
+    moved = corpus_drift(a, b, capacity=8)
+    assert float(moved["vocab_jaccard_est"].iloc[0]) < 0.3
+    same = corpus_drift(a, a, capacity=8)
+    assert float(same["vocab_jaccard_est"].iloc[0]) == 1.0
+    assert float(same["js_divergence_words"].iloc[0]) < 1e-9
