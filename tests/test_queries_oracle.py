@@ -182,3 +182,28 @@ def test_money_helpers_vectorized_matches_exact():
     assert round_half_away(0.005) == 0.01        # np.round gives 0.0
     assert round_half_away(-0.005) == -0.01
     assert round_half_away(2.675) == 2.68
+
+
+def test_round_half_away_bit_identical_to_duckdb():
+    """The money.round_half_away ≡ DuckDB round(DOUBLE, 2) claim,
+    pinned over the adversarial set: every k/200 tie (scaled-.5
+    doubles), negatives, large magnitudes, and random values."""
+    import duckdb
+    import numpy as np
+
+    from olx_ray.functions.money import round_half_away
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        np.arange(1, 2000, 2) / 200.0,
+        -(np.arange(1, 500, 2) / 200.0),
+        rng.random(1000) * 100,
+        [30158055.965, 0.005, 2.675, -2.675, 0.0]])
+    got = round_half_away(vals)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v AS SELECT * FROM "
+                "(SELECT unnest(?::DOUBLE[]) AS x)",
+                [list(map(float, vals))])
+    want = con.execute("SELECT round(x, 2) FROM v").df().iloc[:, 0] \
+        .to_numpy()
+    np.testing.assert_array_equal(got, want)
