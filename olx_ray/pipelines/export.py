@@ -152,6 +152,24 @@ def _live_files(sdir: str, man: dict) -> list[str]:
             if f.endswith(".parquet") and not f.startswith(".")]
 
 
+def committed_shard_files(out_dir: str) -> dict[int, list[str]]:
+    """``{shard_id: [file, ...]}`` for the COMMITTED shards only — the
+    per-shard view of ``read_shards``'s file discovery, for callers
+    that fan out one task per shard (e.g. ``semantic_dedup_indexed``)."""
+    out: dict[int, list[str]] = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("shard="):
+            continue
+        s = int(name.split("=", 1)[1])
+        man = storage.read_manifest(_manifest_path(out_dir, s))
+        if man is None:
+            continue
+        files = _live_files(os.path.join(out_dir, name), man)
+        if files:
+            out[s] = files
+    return out
+
+
 def read_shards(out_dir: str, columns: list[str] | None = None,
                 shards: list[int] | None = None):
     """Dataset over the COMMITTED shards only (manifest present) —

@@ -628,3 +628,81 @@ def bm25_topk(sf_dir: str, query: str, k: int = 10, *,
 
     return summary_tree(_read_docs(sf_dir, ["doc_id", "text"]),
                         score_partial, topk_merge, fan_in=fan_in)
+
+
+# --------------------------------------------------------------- gopher
+class GopherRules:
+    """Actor-pool stage: the Gopher document-quality rule set (Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", arXiv:2112.11446,
+    Table A1 — public heuristics). One tokenize per document feeds
+    every signal; regexes compiled once per actor.
+
+    ``fail_mask`` bit layout (bit set = rule FAILED):
+      0 word count outside [50, 100000]
+      1 mean word length outside [3, 10]
+      2 symbol-to-word ratio ('#' or ellipsis) >= 0.1
+      3 >= 90% of lines start with a bullet
+      4 >= 30% of lines end with an ellipsis
+      5 < 80% of words contain an alphabetic character
+      6 fewer than 2 of the required stopwords present
+    ``keep`` is simply ``fail_mask == 0``.
+    """
+
+    REQUIRED_STOPS = ("the", "be", "to", "of", "and",
+                      "that", "have", "with")
+    BULLETS = ("-", "*", "•", "●", "▪")
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"\S+")
+        self.alpha = re.compile(r"[a-zA-Z]")
+        self.symbol = re.compile(r"#|…|\.\.\.")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for text in batch["text"]:
+            t = text or ""
+            toks = self.word.findall(t)
+            n = len(toks)
+            mwl = sum(len(w) for w in toks) / n if n else 0.0
+            alpha = (sum(1 for w in toks if self.alpha.search(w)) / n
+                     if n else 0.0)
+            sym = len(self.symbol.findall(t)) / n if n else 0.0
+            lines = [ln.strip() for ln in t.split("\n")]
+            lines = [ln for ln in lines if ln]
+            nl = len(lines)
+            bullet = (sum(ln.startswith(self.BULLETS) for ln in lines) / nl
+                      if nl else 0.0)
+            ell = (sum(ln.endswith(("…", "...")) for ln in lines) / nl
+                   if nl else 0.0)
+            low = set(w.lower() for w in toks)
+            stops = sum(s in low for s in self.REQUIRED_STOPS)
+            mask = ((not 50 <= n <= 100_000) << 0
+                    | (not 3.0 <= mwl <= 10.0) << 1
+                    | (sym >= 0.1) << 2
+                    | (bullet >= 0.9) << 3
+                    | (ell >= 0.3) << 4
+                    | (alpha < 0.8) << 5
+                    | (stops < 2) << 6)
+            rows.append((n, round(mwl, 6), round(alpha, 6), round(sym, 6),
+                         round(bullet, 6), round(ell, 6), stops, mask))
+        out = batch[["doc_id"]].copy()
+        out[["n_words", "mean_word_len", "alpha_ratio", "symbol_ratio",
+             "bullet_frac", "ellipsis_frac", "stop_hits", "fail_mask"]] = rows
+        out["n_words"] = out["n_words"].astype(np.int64)
+        out["fail_mask"] = out["fail_mask"].astype(np.int32)
+        out["stop_hits"] = out["stop_hits"].astype(np.int32)
+        out["keep"] = out["fail_mask"] == 0
+        return out
+
+
+def gopher_rules(sf_dir: str):
+    """Per-document Gopher quality-rule evaluation → Dataset
+    ``(doc_id, signals..., fail_mask, keep)`` sorted by doc_id.
+    Composable as a corpus gate: ``.filter(expr="keep")`` upstream of
+    dedup/packing drops the failing documents while the signal columns
+    make the judgement auditable."""
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(GopherRules, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")

@@ -184,3 +184,62 @@ def test_bm25_sentinel_token_in_query(ray_session, tmp_path):
     assert 3 not in set(out["doc_id"])
     # idf uses the real N=3: alpha df=2 → idf = ln(1 + 1.5/2.5) > 0
     assert (out["score"] > 0).all() and np.isfinite(out["score"]).all()
+
+
+def _gopher_docs(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("the data to be of and that have with quality text "
+            "document corpus sample words tokens useful lines ") * 5
+    # 90 words, mwl ~4.7, all-alpha, stopwords present → passes all rules
+    docs = {
+        1: base,                                        # clean pass
+        2: "short doc",                                 # too few words
+        3: " ".join(["a"] * 80),                        # mwl < 3, no stops
+        4: base + " " + "#tag " * 20,                   # symbol ratio >= .1
+        5: "\n".join(["- item the be to of"] * 20),     # all-bullet lines
+        6: "\n".join([base, "wait...", "more...", "uh..."]),  # ellipsis
+        7: base.replace("the ", "123 ").replace("and ", "456 ")
+             .replace("to ", "789 ").replace("of ", "000 ")
+             .replace("be ", "111 ").replace("that ", "222 ")
+             .replace("have ", "333 ").replace("with ", "444 "),
+        8: "",                                          # empty
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+def test_gopher_rules_crafted(ray_session, tmp_path):
+    from olx_ray.pipelines.text import gopher_rules
+
+    _gopher_docs(tmp_path)
+    out = gopher_rules(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "keep"]) and out.loc[1, "fail_mask"] == 0
+    assert out.loc[2, "fail_mask"] & 1          # word count
+    assert out.loc[3, "fail_mask"] & 2          # mean word length
+    assert out.loc[4, "fail_mask"] & 4          # symbols
+    assert out.loc[5, "fail_mask"] & 8          # bullets
+    assert out.loc[6, "fail_mask"] & 16         # ellipsis lines
+    assert out.loc[6, "fail_mask"] & 16 and not out.loc[6, "fail_mask"] & 8
+    # doc 7: digits replace stopwords → alpha ratio AND stopword rules
+    assert out.loc[7, "fail_mask"] & 64
+    assert not bool(out.loc[8, "keep"])          # empty fails word count
+    assert out.loc[8, "fail_mask"] & 1
+    # keep is exactly fail_mask == 0
+    assert ((out["fail_mask"] == 0) == out["keep"]).all()
+
+
+def test_gopher_rules_corpus_deterministic(ray_session):
+    from olx_ray.pipelines.text import gopher_rules
+
+    a = gopher_rules(SF).to_pandas()
+    b = gopher_rules(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].is_unique
+    # signals are populated, not degenerate
+    # (the synthetic corpus is word soup — at most one required
+    # stopword per doc, so assert presence rather than >= 2)
+    assert (a["n_words"] > 0).any() and a["stop_hits"].max() >= 1
