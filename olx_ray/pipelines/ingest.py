@@ -2,6 +2,9 @@
 continuously-fed training corpus runs per increment, assembled from
 this engine's gates (each individually oracle-/invariant-tested):
 
+0. HEURISTIC gate (optional) — ``text.GopherRules``: per-row rule
+   filter (``heuristic_rules`` bitmask selects which rules enforce);
+   shuffle-free and the cheapest test, so it runs FIRST;
 1. EXACT gate   — ``dedup_incremental``: drop increment rows whose
    text the corpus already holds (corpus ships hashes only);
 2. NEAR gate    — ``neardup_incremental``: drop rows transitively
@@ -16,9 +19,10 @@ this engine's gates (each individually oracle-/invariant-tested):
    (resumable; a crashed round re-runs without duplicating shards).
 
 Everything streams; driver state is bounded by the gates' drop-id
-lists (increment-bounded) and the weight vector. Order matters: exact
-→ near → quality, so the expensive near-dup machinery sees only
-novel text and the model scores only near-unique survivors.
+lists (increment-bounded) and the weight vector. Order matters:
+heuristic → exact → near → quality, cheapest first — the expensive
+near-dup machinery sees only rule-passing novel text and the model
+scores only near-unique survivors.
 """
 
 from __future__ import annotations
@@ -34,16 +38,37 @@ from ..functions.joins import bucket_hash_join
 def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
                      weights: np.ndarray | None = None,
                      quality_min: float = 0.5, threshold: float = 0.6,
-                     n_shards: int = 16, n_buckets: int = 32) -> dict:
+                     n_shards: int = 16, n_buckets: int = 32,
+                     heuristic_rules: int | None = None) -> dict:
     """Run one ingestion round of ``new`` against ``corpus`` → write
     surviving ``(doc_id, text)`` rows to ``out_dir/round=<round_no>``;
     returns the export manifest summary plus per-gate survivor counts.
     ``weights``: a ``scoring.train_quality_model`` vector; ``None``
-    skips the quality gate (no model yet)."""
+    skips the quality gate (no model yet). ``heuristic_rules``: a
+    ``GopherRules.fail_mask`` bitmask — rows failing ANY selected rule
+    drop before the dedup gates (``None`` skips; ``-1`` enforces the
+    full rule set)."""
     from .dedup import dedup_incremental, neardup_incremental
     from .export import export_shards
 
     counts = {"n_new": new.count()}
+    if heuristic_rules is not None:
+        from .text import GopherRules
+
+        class _Gate:
+            def __init__(self, rules_mask: int):
+                self.rules = GopherRules()
+                self.mask = rules_mask
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                fail = self.rules(b)["fail_mask"].to_numpy()
+                return b.loc[(fail & self.mask) == 0]
+
+        new = new.map_batches(
+            _Gate, batch_format="pandas", concurrency=(1, 4),
+            fn_constructor_kwargs={"rules_mask": heuristic_rules}) \
+            .materialize()
+        counts["after_heuristic"] = new.count()
     survivors = dedup_incremental(corpus, new,
                                   n_buckets=n_buckets).materialize()
     counts["after_exact"] = survivors.count()

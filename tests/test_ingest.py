@@ -87,3 +87,41 @@ def test_ingest_without_model_skips_quality_gate(ray_session, tmp_path):
     assert "after_quality" not in res["counts"]
     assert res["counts"]["exported"] == 2          # junk passes, no model
     assert read_shards(f"{out}/round=3").count() == 2
+
+
+def test_ingest_heuristic_gate(ray_session, tmp_path):
+    """Gate 0: the Gopher stopword rule (bit 6 = 64) drops junk BEFORE
+    the dedup gates; no model needed."""
+    from olx_ray.pipelines.export import read_shards
+    from olx_ray.pipelines.ingest import ingest_increment
+
+    # _clean draws words randomly and may miss the required stopwords —
+    # pin two ("with the") so only the junk doc trips the stopword rule
+    corpus_texts = {i: _clean(i) + " with the" for i in range(1, 6)}
+    corpus = _ds(pd.DataFrame({
+        "doc_id": pd.array(sorted(corpus_texts), dtype="int64"),
+        "text": [corpus_texts[i] for i in sorted(corpus_texts)]}))
+    base_new = _clean(50) + " with the"
+    new_rows = {
+        100: corpus_texts[1],            # exact dup → exact gate
+        101: corpus_texts[2] + " extra",  # near-dup → near gate
+        102: base_new,                   # novel survivor
+        103: base_new + " suffix",       # near-dup of 102
+        104: _junk(1),                   # no stopwords → heuristic gate
+        105: _clean(60) + " with the",   # clean novel survivor
+    }
+    new = _ds(pd.DataFrame({
+        "doc_id": pd.array(sorted(new_rows), dtype="int64"),
+        "text": [new_rows[i] for i in sorted(new_rows)]}))
+
+    out = str(tmp_path / "ingested_h")
+    res = ingest_increment(corpus, new, out, round_no=0, weights=None,
+                           n_shards=4, heuristic_rules=64)
+    c = res["counts"]
+    assert c["n_new"] == 6
+    assert c["after_heuristic"] == 5      # 104 dropped first
+    assert c["after_exact"] == 4          # 100 dropped
+    assert c["after_near"] == 2           # 101, 103 dropped
+    assert "after_quality" not in c       # no model this round
+    got = read_shards(f"{out}/round=0").to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [102, 105]
