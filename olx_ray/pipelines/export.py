@@ -180,23 +180,22 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
     import ray.data as rd
 
     wanted = None if shards is None else set(shards)
-    paths = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("shard="):
-            continue
-        s = int(name.split("=", 1)[1])
-        if wanted is not None and s not in wanted:
-            continue
-        man = storage.read_manifest(_manifest_path(out_dir, s))
-        if man is None:
-            continue
-        paths.extend(_live_files(os.path.join(out_dir, name), man))
+    paths = [f for s, files in sorted(committed_shard_files(out_dir).items())
+             if wanted is None or s in wanted
+             for f in files]
     if not paths:
         # only-empty (or no committed) shards: serve the schema sidecar
         # so the result still carries the export's columns
         sidecar = os.path.join(out_dir, "_schema.parquet")
         if os.path.exists(sidecar):
-            return rd.read_parquet(sidecar, columns=columns)
+            # serve the sidecar as a zero-row Arrow block (no lazy
+            # read task for a 0-row file). NOTE the schema contract is
+            # Dataset-level (schema().names): Ray 2.49's to_pandas()
+            # drops columns for ANY zero-row dataset
+            tbl = pq.read_table(sidecar)
+            if columns is not None:
+                tbl = tbl.select(columns)
+            return rd.from_arrow(tbl)
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths, columns=columns)
 

@@ -48,55 +48,82 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
     ``GopherRules.fail_mask`` bitmask — rows failing ANY selected rule
     drop before the dedup gates (``None`` skips; ``-1`` enforces the
     full rule set)."""
+    import ray.data as rd
+
+    from ..functions.blocks import ensure_arrow_schema
     from .dedup import dedup_incremental, neardup_incremental
     from .export import export_shards
 
+    if new.schema() is None:
+        raise ValueError(
+            "ingest_increment: the increment dataset carries no schema "
+            "— pass a TYPED (possibly empty) Dataset so a zero-survivor "
+            "round can still export a schema-stable empty increment")
+    # pin the increment's Arrow schema up front: a gate that drops
+    # EVERY row leaves a schema-less Dataset, and the round must still
+    # export an empty (but typed) increment instead of crashing
+    new = ensure_arrow_schema(new)
+    sch = new.schema()
+    empty_tbl = pa.Table.from_arrays(
+        [pa.array([], t) for t in sch.types], names=list(sch.names))
+
     counts = {"n_new": new.count()}
+    alive = counts["n_new"] > 0
     if heuristic_rules is not None:
-        from .text import GopherRules
+        if alive:
+            from .text import GopherRules
 
-        class _Gate:
-            def __init__(self, rules_mask: int):
-                self.rules = GopherRules()
-                self.mask = rules_mask
+            class _Gate:
+                def __init__(self, rules_mask: int):
+                    self.rules = GopherRules()
+                    self.mask = rules_mask
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                fail = self.rules(b)["fail_mask"].to_numpy()
-                return b.loc[(fail & self.mask) == 0]
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    fail = self.rules(b)["fail_mask"].to_numpy()
+                    return b.loc[(fail & self.mask) == 0]
 
-        new = new.map_batches(
-            _Gate, batch_format="pandas", concurrency=(1, 4),
-            fn_constructor_kwargs={"rules_mask": heuristic_rules}) \
-            .materialize()
-        counts["after_heuristic"] = new.count()
-    survivors = dedup_incremental(corpus, new,
-                                  n_buckets=n_buckets).materialize()
-    counts["after_exact"] = survivors.count()
-    survivors = neardup_incremental(corpus, survivors,
-                                    threshold=threshold,
-                                    n_buckets=n_buckets).materialize()
-    counts["after_near"] = survivors.count()
+            new = new.map_batches(
+                _Gate, batch_format="pandas", concurrency=(1, 4),
+                fn_constructor_kwargs={"rules_mask": heuristic_rules}) \
+                .materialize()
+        counts["after_heuristic"] = new.count() if alive else 0
+        alive = counts["after_heuristic"] > 0
+    if alive:
+        survivors = dedup_incremental(corpus, new,
+                                      n_buckets=n_buckets).materialize()
+    counts["after_exact"] = survivors.count() if alive else 0
+    alive = counts["after_exact"] > 0
+    if alive:
+        survivors = neardup_incremental(corpus, survivors,
+                                        threshold=threshold,
+                                        n_buckets=n_buckets).materialize()
+    counts["after_near"] = survivors.count() if alive else 0
+    alive = counts["after_near"] > 0
 
     if weights is not None:
-        from ..functions.blocks import ensure_arrow_schema
-        from .scoring import score_quality_model
+        if alive:
+            from .scoring import score_quality_model
 
-        scored = score_quality_model(survivors, weights)
-        keep = scored.map_batches(
-            lambda b: b.filter(pa.compute.greater_equal(
-                b["model_score"], pa.scalar(quality_min))).select(["doc_id"]),
-            batch_format="pyarrow")
-        # keep EVERY survivor column (not just doc_id/text): rounds
-        # exported before a model exists (weights=None bootstrap) must
-        # share one schema with later rounds
-        survivors = ensure_arrow_schema(survivors)
-        cols = list(survivors.schema().names)
-        survivors = bucket_hash_join(
-            survivors, keep, on="doc_id", n_buckets=n_buckets,
-            columns_left=cols, columns_right=["doc_id"],
-            post=lambda j: df_arrow(j[cols]))
-        survivors = survivors.materialize()
-        counts["after_quality"] = survivors.count()
+            scored = score_quality_model(survivors, weights)
+            keep = scored.map_batches(
+                lambda b: b.filter(pa.compute.greater_equal(
+                    b["model_score"],
+                    pa.scalar(quality_min))).select(["doc_id"]),
+                batch_format="pyarrow")
+            # keep EVERY survivor column (not just doc_id/text): rounds
+            # exported before a model exists (weights=None bootstrap)
+            # must share one schema with later rounds
+            survivors = ensure_arrow_schema(survivors)
+            cols = list(survivors.schema().names)
+            survivors = bucket_hash_join(
+                survivors, keep, on="doc_id", n_buckets=n_buckets,
+                columns_left=cols, columns_right=["doc_id"],
+                post=lambda j: df_arrow(j[cols]))
+            survivors = survivors.materialize()
+        counts["after_quality"] = survivors.count() if alive else 0
+        alive = counts["after_quality"] > 0
+    if not alive:
+        survivors = rd.from_arrow(empty_tbl)
 
     manifest = export_shards(survivors,
                              f"{out_dir}/round={round_no}",

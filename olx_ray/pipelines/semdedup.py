@@ -57,8 +57,10 @@ def _prune_ordered(vecs: np.ndarray, eps: float,
     rows = np.arange(s)
     for lo in range(0, s, col_chunk):
         hi = min(lo + col_chunk, s)
-        cos = vecs @ vecs[lo:hi].T                   # (s, chunk)
-        cos[rows[:, None] >= np.arange(lo, hi)[None, :]] = -np.inf
+        # rows >= hi are masked for every column in [lo, hi) anyway —
+        # multiplying only the first hi rows halves the kernel's flops
+        cos = vecs[:hi] @ vecs[lo:hi].T              # (hi, chunk)
+        cos[rows[:hi, None] >= np.arange(lo, hi)[None, :]] = -np.inf
         max_prior[lo:hi] = cos.max(axis=0)
     return max_prior < eps
 
@@ -124,8 +126,13 @@ def semantic_dedup(sf_dir: str, eps: float = 0.93, n_clusters: int = 16,
                                  "cluster": pa.array([], pa.int32()),
                                  "cent_cos": pa.array([], pa.float64()),
                                  "vec": pa.array([], pa.list_(pa.float64()))})
+            from .similarity import cell_similarities
+
             ids, m = _normalized(b)
-            cl = (m @ self.cents.T).argmax(axis=1)
+            # shared shape-independent assignment kernel: the indexed
+            # path trusts build_ivf_layout's cells, so BOTH must derive
+            # the same argmax for the same row (see cell_similarities)
+            cl = cell_similarities(m, self.cents).argmax(axis=1)
             # per-row einsum, NOT a gemm column-select: einsum's
             # reduction is shape-independent, so the indexed path (which
             # recomputes cent_cos over cluster-sized row subsets) gets
@@ -158,12 +165,23 @@ def semantic_dedup_indexed(index_dir: str, eps: float = 0.93,
     and pruning its cluster locally. Identical output to
     ``semantic_dedup`` run with the layout's centroids (pinned by a
     test): the layout changes I/O, not math."""
+    import os
+
     import pyarrow.parquet as pq
 
     from .export import committed_shard_files
 
     if keep not in ("hard", "easy"):
         raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if not os.path.exists(f"{index_dir}/IVF_MANIFEST.json"):
+        # the layout manifest is build_ivf_layout's completeness marker
+        # (written AFTER every cell commits) — without this check a
+        # crashed build would silently drop every vector of the
+        # uncommitted cells from the output
+        raise ValueError(
+            f"{index_dir} has no IVF_MANIFEST.json — the layout build "
+            f"is incomplete (or the path is wrong); re-run "
+            f"build_ivf_layout before semantic_dedup_indexed")
     cents = np.load(f"{index_dir}/centroids.npy").astype(np.float64)
     cref = ray.put(cents)
 

@@ -155,6 +155,19 @@ def _score_cells(q_ids, q, cell_queries, k, vids, m, cell) -> pa.Table:
     return _truncate_local_topk(rows_q, rows_n, rows_c, k)
 
 
+def cell_similarities(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(rows, cells) cosine table for cell ASSIGNMENT — ``np.einsum``
+    on its default non-BLAS path, whose per-element reduction order
+    does not depend on how the batch was cut, so every assignment site
+    (layout build, query-time scan, semantic dedup) derives the
+    IDENTICAL cell for the same row regardless of batch shape. A gemm
+    picks shape-dependent BLAS kernels that drift in the last ulp and
+    can flip an argmax tie across paths, breaking the
+    indexed≡unindexed equality pins. ~1.5× a gemm at (5k×32×64);
+    assignment is a tiny fraction of every caller's cost."""
+    return np.einsum("ij,kj->ik", m, cents)
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
             seed: int = 11) -> np.ndarray:
     """Seeded Lloyd's k-means on a (normalized) sample — the IVF coarse
@@ -203,7 +216,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
                 return _empty_topk_table()
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
-            cell = (m @ self.cents.T).argmax(axis=1)
+            cell = cell_similarities(m, self.cents).argmax(axis=1)
             return _score_cells(self.q_ids, self.q, self.cells, self.k,
                                 vids, m, cell)
 
@@ -302,7 +315,8 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
             return b.append_column("cell", pa.array([], pa.int64()))
         m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cell = (m @ ray.get(cref).T).argmax(axis=1).astype(np.int64)
+        cell = cell_similarities(m, ray.get(cref)).argmax(axis=1) \
+            .astype(np.int64)
         return b.append_column("cell", pa.array(cell, pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

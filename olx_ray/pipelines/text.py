@@ -660,6 +660,19 @@ class GopherRules:
         self.symbol = re.compile(r"#|…|\.\.\.")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            # the 8-column assignment below raises on an empty rows
+            # list — return the typed empty frame instead
+            out = batch[["doc_id"]].copy()
+            for col in ("n_words",):
+                out[col] = pd.Series(dtype=np.int64)
+            for col in ("mean_word_len", "alpha_ratio", "symbol_ratio",
+                        "bullet_frac", "ellipsis_frac"):
+                out[col] = pd.Series(dtype=np.float64)
+            for col in ("stop_hits", "fail_mask"):
+                out[col] = pd.Series(dtype=np.int32)
+            out["keep"] = pd.Series(dtype=bool)
+            return out
         rows = []
         for text in batch["text"]:
             t = text or ""

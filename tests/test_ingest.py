@@ -125,3 +125,37 @@ def test_ingest_heuristic_gate(ray_session, tmp_path):
     assert "after_quality" not in c       # no model this round
     got = read_shards(f"{out}/round=0").to_pandas().sort_values("doc_id")
     assert list(got["doc_id"]) == [102, 105]
+
+
+def test_ingest_zero_survivor_round_exports_empty(ray_session, tmp_path):
+    """A gate dropping EVERY row must still export a typed empty round
+    (and an empty typed increment must not crash)."""
+    from olx_ray.pipelines.export import read_shards
+    from olx_ray.pipelines.ingest import ingest_increment
+
+    corpus = _ds(pd.DataFrame({
+        "doc_id": pd.array([1], dtype="int64"), "text": [_clean(1)]}))
+    junk_new = _ds(pd.DataFrame({
+        "doc_id": pd.array([100, 101], dtype="int64"),
+        "text": [_junk(1), _junk(2)]}))        # no stopwords anywhere
+
+    out = str(tmp_path / "zero")
+    res = ingest_increment(corpus, junk_new, out, round_no=0,
+                           weights=None, n_shards=2, heuristic_rules=64)
+    c = res["counts"]
+    assert c == {"n_new": 2, "after_heuristic": 0, "after_exact": 0,
+                 "after_near": 0, "exported": 0}
+    empty_round = read_shards(f"{out}/round=0")
+    assert empty_round.count() == 0
+    # schema-stable at the Dataset level (Ray 2.49's to_pandas() drops
+    # columns for ANY zero-row dataset, so assert on schema())
+    assert set(empty_round.schema().names) == {"doc_id", "text"}
+
+    # an EMPTY typed increment short-circuits every gate
+    empty_new = _ds(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="str")}))
+    res2 = ingest_increment(corpus, empty_new, str(tmp_path / "zero2"),
+                            round_no=0, weights=None, n_shards=2)
+    assert res2["counts"]["n_new"] == 0
+    assert res2["counts"]["exported"] == 0

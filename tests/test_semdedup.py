@@ -127,3 +127,32 @@ def test_semdedup_invariants_and_determinism(ray_session):
     assert a["vec_id"].is_unique
     with pytest.raises(ValueError):
         semantic_dedup(SF, keep="random")
+
+
+def test_semdedup_indexed_refuses_incomplete_layout(ray_session, tmp_path):
+    """A layout directory without the completeness marker (crashed
+    build) must fail loud, not silently drop uncommitted cells."""
+    import os
+
+    from olx_ray.pipelines.semdedup import semantic_dedup_indexed
+
+    broken = str(tmp_path / "broken_ivf")
+    os.makedirs(broken)
+    np.save(f"{broken}/centroids.npy", np.eye(4))   # build crashed here
+    with pytest.raises(ValueError, match="IVF_MANIFEST"):
+        semantic_dedup_indexed(broken, eps=0.5)
+
+
+def test_gopher_rules_empty_batch_kernel():
+    """The GopherRules kernel itself (used directly by ingest's gate)
+    returns a typed empty frame on an empty batch."""
+    from olx_ray.pipelines.text import GopherRules
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype="object")})
+    out = GopherRules()(empty)
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "doc_id", "n_words", "mean_word_len", "alpha_ratio",
+        "symbol_ratio", "bullet_frac", "ellipsis_frac", "stop_hits",
+        "fail_mask", "keep"]
