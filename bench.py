@@ -106,6 +106,33 @@ def run_crawl(ncpu: int) -> dict:
     }
 
 
+def _extra_ops() -> dict:
+    """Library operators timed alongside the driver-surface slice
+    (not `queries()` entries — that dict is capped at 50)."""
+    def _semdedup(sf):
+        from olx_ray.pipelines.semdedup import semantic_dedup
+
+        return semantic_dedup(sf, eps=0.35, n_clusters=16)
+
+    def _gopher(sf):
+        from olx_ray.pipelines.text import gopher_rules
+
+        return gopher_rules(sf)
+
+    def _dsir(sf):
+        import pyarrow.parquet as pq
+
+        from olx_ray.pipelines.dsir import dsir_select
+
+        pf = pq.ParquetFile(f"{sf}/documents.parquet")
+        target = next(pf.iter_batches(batch_size=16,
+                                      columns=["text"]))["text"].to_pylist()
+        return dsir_select(sf, target, k=100)
+
+    return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
+            "dsir_select": _dsir}
+
+
 def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
@@ -114,6 +141,10 @@ def run_queries() -> dict:
     for name in QUERY_NAMES:
         t0 = time.monotonic()
         _consume(q[name](SF_DIR))
+        out[name] = round(time.monotonic() - t0, 2)
+    for name, fn in _extra_ops().items():
+        t0 = time.monotonic()
+        _consume(fn(SF_DIR))
         out[name] = round(time.monotonic() - t0, 2)
     return out
 
