@@ -226,3 +226,25 @@ def semantic_dedup_indexed(index_dir: str, eps: float = 0.93,
         .map_batches(PruneCell, batch_format="pyarrow", batch_size=1,
                      concurrency=(1, 8), num_cpus=1) \
         .sort("vec_id")
+
+
+def semantic_dedup_corpus(sf_dir: str, eps: float = 0.93,
+                          n_clusters: int = 16, train_rows: int = 4096,
+                          keep: str = "hard",
+                          cents: np.ndarray | None = None):
+    """The composed corpus filter: run ``semantic_dedup`` over the
+    embeddings (vec_id ≡ doc_id in this engine's data model), collect
+    the DROPPED ids (duplicate-rate-bounded — the same contract as
+    ``dedup_keep_representatives``'s non-representative set), and
+    broadcast-ANTI-join the documents table — text streams once, never
+    shuffles, and the driver never holds anything corpus-sized."""
+    from ..functions.joins import broadcast_semi
+
+    mask = semantic_dedup(sf_dir, eps=eps, n_clusters=n_clusters,
+                          train_rows=train_rows, keep=keep, cents=cents)
+    dropped = mask.filter(expr="keep == False").select_columns(["vec_id"])
+    drop_ids = set(dropped.to_pandas()["vec_id"].tolist())
+    return broadcast_semi(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        drop_ids, "doc_id", anti=True).sort("doc_id")

@@ -156,3 +156,16 @@ def test_gopher_rules_empty_batch_kernel():
         "doc_id", "n_words", "mean_word_len", "alpha_ratio",
         "symbol_ratio", "bullet_frac", "ellipsis_frac", "stop_hits",
         "fail_mask", "keep"]
+
+
+def test_semantic_dedup_corpus_filters_docs(ray_session):
+    from olx_ray.pipelines.semdedup import semantic_dedup, semantic_dedup_corpus
+    from olx_ray.pipelines.similarity import _train_centroids
+
+    cents = _train_centroids(SF, 8, 4096)
+    mask = semantic_dedup(SF, eps=0.35, cents=cents).to_pandas()
+    kept = semantic_dedup_corpus(SF, eps=0.35, cents=cents).to_pandas()
+    want = sorted(mask.loc[mask["keep"], "vec_id"])
+    assert list(kept["doc_id"]) == want
+    assert kept["text"].notna().all()
+    assert len(kept) < len(mask)               # something was dropped
