@@ -90,13 +90,17 @@ def dsir_logratio(p_counts: np.ndarray, q_counts: np.ndarray) -> np.ndarray:
 
 def _segment_sums(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-doc sums of ``vals[offsets[i]:offsets[i+1]]``; empty
-    segments → 0 (reduceat both misreads and overflows on them)."""
+    segments → 0. reduceat runs over the NONEMPTY segment starts only
+    and the results scatter back (the ``scoring._pool`` pattern) —
+    clamping a trailing empty segment's start index instead would
+    split the final nonempty doc's sum and silently truncate it."""
     n = len(offsets) - 1
-    if len(vals) == 0:
-        return np.zeros(n)
-    idx = np.minimum(offsets[:-1], len(vals) - 1)
-    sums = np.add.reduceat(vals, idx)
-    return np.where(np.diff(offsets) > 0, sums, 0.0)
+    out = np.zeros(n)
+    nonempty = np.nonzero(np.diff(offsets) > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    out[nonempty] = np.add.reduceat(vals, offsets[:-1][nonempty])
+    return out
 
 
 def dsir_scores(ds_or_sf, logratio: np.ndarray, *, batch_size: int = 1024,

@@ -108,6 +108,15 @@ def semantic_dedup(sf_dir: str, eps: float = 0.93, n_clusters: int = 16,
     ``cents`` overrides centroid training (used by tests and by the
     indexed-path equality pin); by default centroids come from the
     same bounded-prefix-sample k-means as ``knn_ivf``."""
+    return _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows,
+                                keep, col_chunk, cents).sort("vec_id")
+
+
+def _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows, keep,
+                         col_chunk, cents):
+    """The unsorted mask plan — consumers that only aggregate the mask
+    (e.g. ``semantic_dedup_corpus`` collecting drop ids) skip the
+    corpus-sized final sort shuffle."""
     from .similarity import _train_centroids
 
     if keep not in ("hard", "easy"):
@@ -154,8 +163,7 @@ def semantic_dedup(sf_dir: str, eps: float = 0.93, n_clusters: int = 16,
         .map_batches(Assign, batch_format="pyarrow", batch_size=2048,
                      concurrency=(1, 8), num_cpus=1) \
         .groupby("cluster") \
-        .map_groups(prune, batch_format="pandas") \
-        .sort("vec_id")
+        .map_groups(prune, batch_format="pandas")
 
 
 def semantic_dedup_indexed(index_dir: str, eps: float = 0.93,
@@ -237,11 +245,13 @@ def semantic_dedup_corpus(sf_dir: str, eps: float = 0.93,
     the DROPPED ids (duplicate-rate-bounded — the same contract as
     ``dedup_keep_representatives``'s non-representative set), and
     broadcast-ANTI-join the documents table — text streams once, never
-    shuffles, and the driver never holds anything corpus-sized."""
+    shuffles, and the driver never holds anything corpus-sized. Uses
+    the UNSORTED mask plan — the drop-id set is order-independent, so
+    ``semantic_dedup``'s final corpus-sized sort shuffle is skipped."""
     from ..functions.joins import broadcast_semi
 
-    mask = semantic_dedup(sf_dir, eps=eps, n_clusters=n_clusters,
-                          train_rows=train_rows, keep=keep, cents=cents)
+    mask = _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows,
+                                keep, 2048, cents)
     dropped = mask.filter(expr="keep == False").select_columns(["vec_id"])
     drop_ids = set(dropped.to_pandas()["vec_id"].tolist())
     return broadcast_semi(

@@ -98,10 +98,49 @@ def test_dsir_select_deterministic_and_partition_invariant(
                          columns=["doc_id", "text"]).repartition(7)
     c = dsir_select(ds, target, k=5, dim=DIM).to_pandas()
     pd.testing.assert_frame_equal(a, c)
-    # a different seed reshuffles the gumbel draw
     d = dsir_select(sf, target, k=5, dim=DIM, seed=99).to_pandas()
-    assert not a.equals(d) or True   # may coincide; only assert validity
     assert len(d) == 5
+
+
+def test_dsir_gumbel_draw_matches_reference_per_seed(ray_session, tmp_path):
+    """With identical texts the log-weights cancel, so selection is
+    decided purely by the seeded Gumbel draw — pin it (and its seed
+    sensitivity) against a driver-side recomputation."""
+    from olx_ray.functions.hashing import mix64
+    from olx_ray.pipelines.dsir import dsir_select
+
+    text = "science method observed result"
+    ids = np.arange(12, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array([text] * 12, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    def want(seed):
+        u = (mix64(ids, seed).astype(np.float64) + 1.0) / (2.0 ** 64 + 2)
+        g = -np.log(-np.log(u))
+        return set(ids[np.argsort(-g, kind="stable")][:3])
+
+    picks = {}
+    for seed in (0, 5, 9):
+        sel = dsir_select(str(tmp_path), [text], k=3, dim=DIM,
+                          seed=seed).to_pandas()
+        assert set(sel["doc_id"]) == want(seed)
+        picks[seed] = frozenset(sel["doc_id"])
+    # the seed genuinely reaches the draw: not all three coincide
+    assert len(set(picks.values())) > 1
+
+
+def test_dsir_segment_sums_trailing_empty():
+    """An empty doc at the END of a batch must not truncate the
+    preceding doc's sum (reduceat clamp bug, review-found)."""
+    from olx_ray.pipelines.dsir import _segment_sums
+
+    vals = np.array([1.0, 2.0, 4.0])
+    assert _segment_sums(vals, np.array([0, 3, 3])).tolist() == [7.0, 0.0]
+    assert _segment_sums(vals, np.array([0, 0, 3])).tolist() == [0.0, 7.0]
+    assert _segment_sums(np.zeros(0), np.array([0, 0, 0])).tolist() == [0.0, 0.0]
+    assert _segment_sums(vals, np.array([0, 1, 1, 3])).tolist() == [1.0, 0.0, 6.0]
 
 
 def test_dsir_logratio_validates_dim():
@@ -111,15 +150,22 @@ def test_dsir_logratio_validates_dim():
         dsir_logratio(np.zeros(4), np.zeros(8))
 
 
-def test_dsir_empty_doc_scores_zero(ray_session, tmp_path):
-    from olx_ray.pipelines.dsir import dsir_logratio, dsir_scores
+def test_dsir_empty_docs_any_position(ray_session, tmp_path):
+    """Empty docs score 0 wherever they sit — including LAST in the
+    batch, where the old reduceat clamp truncated the preceding doc."""
+    from olx_ray.pipelines.dsir import dsir_scores
+    from olx_ray.pipelines.scoring import _hashed_features
 
     pq.write_table(pa.table({
-        "doc_id": pa.array([1, 2], pa.int64()),
-        "text": pa.array(["", "science method"], pa.string()),
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "science method", ""], pa.string()),
     }), str(tmp_path / "documents.parquet"))
-    lr = dsir_logratio(np.ones(DIM), np.ones(DIM))   # all-zero ratios
+    rng = np.random.default_rng(0)
+    lr = rng.standard_normal(DIM)            # NONZERO ratios everywhere
     got = dsir_scores(str(tmp_path), lr).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+    feat, _ = _hashed_features(["science method"], DIM)
     assert got.loc[0, "n_feats"] == 0 and got.loc[0, "log_weight"] == 0.0
+    assert got.loc[2, "n_feats"] == 0 and got.loc[2, "log_weight"] == 0.0
     assert got.loc[1, "n_feats"] == 3        # 2 unigrams + 1 bigram
+    assert np.isclose(got.loc[1, "log_weight"], lr[feat].sum(), atol=1e-12)
