@@ -549,7 +549,7 @@ CHUNK_DOCUMENTS_SQL = CHUNK_DOCUMENTS_SQL_TMPL.format(
 # ------------------------------------------------------------ health report
 def corpus_report(sf_dir: str, top_words: int = 20,
                   mg_capacity: int = 4096, kmv_k: int = 4096,
-                  fan_in: int = 32):
+                  fan_in: int = 32, gopher: bool = True):
     """ONE-PASS corpus health report — the dashboard numbers every
     ingestion round wants, composed from the bounded-summary kernels so
     a 100 TB corpus costs one streaming read and zero shuffles:
@@ -561,7 +561,11 @@ def corpus_report(sf_dir: str, top_words: int = 20,
       over whitespace-normalized text hashes (exact below ``kmv_k``
       distinct; ±1/√k above);
     - ``word:<w>`` top-``top_words`` counts — Misra-Gries heavy
-      hitters (lower bounds, undercount ≤ tokens/(capacity+1)).
+      hitters (lower bounds, undercount ≤ tokens/(capacity+1));
+    - ``gopher_pass_rate`` + per-rule ``gopher_fail_rate:<bit>``
+      (``text.GopherRules`` bit layout) — exact, 8 bounded rows; the
+      per-doc rule pass is the report's priciest kernel, disable with
+      ``gopher=False`` for the vectorized-only report.
 
     All metrics ride ONE ``summary_tree`` as tagged rows
     ``(metric, key, val)``; per-batch summary size is bounded by
@@ -589,12 +593,22 @@ def corpus_report(sf_dir: str, top_words: int = 20,
         wc = mg_reduce(wc, mg_capacity, count_col="n", tie_cols=("key",))
         words = pd.DataFrame({"metric": "word", "key": wc["key"],
                               "val": wc["n"].astype(np.float64)})
+        if gopher:
+            from .text import GopherRules
+
+            gm = GopherRules()(b)
+            rows.append(("gopher_pass", "", float(gm["keep"].sum())))
+            fm = gm["fail_mask"].to_numpy()
+            for bit in range(7):
+                rows.append(("gopher_fail", str(bit),
+                             float(int((fm & (1 << bit) != 0).sum()))))
         head = pd.DataFrame(rows, columns=["metric", "key", "val"])
         return pd.concat([head, kmv, words], ignore_index=True)
 
     def merge(b: pd.DataFrame) -> pd.DataFrame:
         out = []
-        scal = b[b["metric"].isin(["n_docs", "tokens", "chars", "lang"])]
+        scal = b[b["metric"].isin(["n_docs", "tokens", "chars", "lang",
+                                   "gopher_pass", "gopher_fail"])]
         out.append(scal.groupby(["metric", "key"], as_index=False)
                    ["val"].sum())
         kmv = np.unique(b.loc[b["metric"] == "kmv", "val"]
@@ -622,6 +636,13 @@ def corpus_report(sf_dir: str, top_words: int = 20,
                 ("distinct_text_est", "", round(distinct, 1)),
                 ("exact_dup_rate_est", "",
                  round(max(0.0, 1.0 - distinct / max(n_docs, 1)), 6))]
+        if gopher:
+            rows.append(("gopher_pass_rate", "",
+                         round(get("gopher_pass") / max(n_docs, 1), 6)))
+            gf = b[b["metric"] == "gopher_fail"].sort_values("key")
+            rows += [("gopher_fail_rate", k,
+                      round(v / max(n_docs, 1), 6))
+                     for k, v in zip(gf["key"], gf["val"])]
         langs = b[b["metric"] == "lang"].sort_values("key")
         rows += [("lang", k, v) for k, v in
                  zip(langs["key"], langs["val"])]

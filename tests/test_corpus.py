@@ -272,6 +272,22 @@ def test_corpus_report_exact_below_capacity(ray_session):
     want = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(words["key"]) == [w for w, _ in want]
     assert list(words["value"]) == [float(c) for _, c in want]
+    # gopher rates: exact vs the kernel run driver-side over all docs
+    from olx_ray.pipelines.text import GopherRules
+
+    gm = GopherRules()(docs)
+    assert abs(get("gopher_pass_rate")
+               - gm["keep"].sum() / len(docs)) < 1e-6
+    gf = rep[rep["metric"] == "gopher_fail_rate"].set_index("key")["value"]
+    fm = gm["fail_mask"].to_numpy()
+    for bit in range(7):
+        assert abs(gf[str(bit)]
+                   - (fm & (1 << bit) != 0).sum() / len(docs)) < 1e-6
+    # opt-out removes the per-doc kernel and its rows
+    from olx_ray.pipelines.corpus import corpus_report as _cr
+
+    lean = _cr(SF, top_words=3, gopher=False).to_pandas()
+    assert not lean["metric"].str.startswith("gopher").any()
 
 
 def test_corpus_drift_zero_and_detects_shift(ray_session, tmp_path):
