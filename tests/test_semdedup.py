@@ -169,3 +169,23 @@ def test_semantic_dedup_corpus_filters_docs(ray_session):
     assert list(kept["doc_id"]) == want
     assert kept["text"].notna().all()
     assert len(kept) < len(mask)               # something was dropped
+
+
+def test_prune_ordered_matches_loop_reference_randomized():
+    """Property: the column-chunked triangular kernel equals the
+    per-row loop reference for random matrices, any chunk size."""
+    from olx_ray.pipelines.semdedup import _prune_ordered
+
+    rng = np.random.RandomState(11)
+    for s, d in ((0, 4), (1, 4), (57, 8), (300, 16)):
+        v = rng.standard_normal((s, d))
+        if s:
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+        for eps in (0.2, 0.6, 0.95):
+            for chunk in (1, 7, 64, 1000):
+                got = _prune_ordered(v, eps, col_chunk=chunk)
+                ref = np.zeros(s, dtype=bool)
+                for i in range(s):
+                    mx = (v[:i] @ v[i]).max() if i else -np.inf
+                    ref[i] = mx < eps
+                assert (got == ref).all(), (s, eps, chunk)
