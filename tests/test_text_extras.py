@@ -243,3 +243,73 @@ def test_gopher_rules_corpus_deterministic(ray_session):
     # (the synthetic corpus is word soup — at most one required
     # stopword per doc, so assert presence rather than >= 2)
     assert (a["n_words"] > 0).any() and a["stop_hits"].max() >= 1
+
+
+GOPHER_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13) ||
+                                              chr(12) || chr(11))),
+                     x -> x <> '') AS lines
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_words,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE list_sum(list_transform(toks, w -> len(w)))::DOUBLE
+                 / len(toks) END AS mean_word_len,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                 / len(toks) END AS alpha_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE len(regexp_extract_all(t, '#|…|\.\.\.'))::DOUBLE
+                 / len(toks) END AS symbol_ratio,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE len(list_filter(lines,
+                     x -> regexp_matches(x, '^[-*•●▪]')))::DOUBLE
+                 / len(lines) END AS bullet_frac,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE len(list_filter(lines,
+                     x -> regexp_matches(x, '(…|\.\.\.)$')))::DOUBLE
+                 / len(lines) END AS ellipsis_frac,
+       len(list_filter(['the', 'be', 'to', 'of', 'and',
+                        'that', 'have', 'with'],
+           s -> list_contains(list_transform(toks, w -> lower(w)), s))
+           )::INTEGER AS stop_hits
+FROM base ORDER BY doc_id
+"""
+
+
+def test_gopher_signals_vs_duckdb(ray_session):
+    """Every Gopher signal column against an independent DuckDB
+    recomputation over the real corpus (1e-9 tolerance sidesteps the
+    Python-banker's vs SQL half-away rounding at the engine's 6dp)."""
+    import duckdb
+    import numpy as np
+
+    from olx_ray.pipelines.text import gopher_rules
+
+    got = gopher_rules(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(GOPHER_ORACLE_SQL).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_words"]) == list(want["n_words"])
+    assert list(got["stop_hits"]) == list(want["stop_hits"])
+    for col in ("mean_word_len", "alpha_ratio", "symbol_ratio",
+                "bullet_frac", "ellipsis_frac"):
+        assert np.allclose(got[col], want[col], atol=2e-6), col
+    # fail_mask/keep re-derive from the oracle's signals identically
+    mask = ((~want["n_words"].between(50, 100_000)).astype(int)
+            + (~want["mean_word_len"].between(3.0, 10.0)).astype(int) * 2
+            + (want["symbol_ratio"] >= 0.1).astype(int) * 4
+            + (want["bullet_frac"] >= 0.9).astype(int) * 8
+            + (want["ellipsis_frac"] >= 0.3).astype(int) * 16
+            + (want["alpha_ratio"] < 0.8).astype(int) * 32
+            + (want["stop_hits"] < 2).astype(int) * 64)
+    assert list(got["fail_mask"]) == list(mask)
