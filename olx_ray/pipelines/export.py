@@ -128,14 +128,73 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
         for s in pending:
             sdir = _shard_dir(out_dir, s)
             os.makedirs(sdir, exist_ok=True)   # empty shard still commits
-            n = sum(pq.ParquetFile(os.path.join(sdir, f)).metadata.num_rows
-                    for f in os.listdir(sdir) if f.endswith(".parquet"))
-            storage.write_manifest(_manifest_path(out_dir, s),
-                                   {"shard": s, "rows": n, "key": key,
-                                    "n_shards": n_shards, "assign": assign})
+            files = [os.path.join(sdir, f) for f in os.listdir(sdir)
+                     if f.endswith(".parquet")]
+            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            man = {"shard": s, "rows": n, "key": key,
+                   "n_shards": n_shards, "assign": assign}
+            stats = _footer_stats(files)
+            if stats:
+                man["stats"] = stats
+            storage.write_manifest(_manifest_path(out_dir, s), man)
             rows[s] = n
     return {"written": sorted(pending), "skipped": sorted(done),
             "rows": rows}
+
+
+def _footer_stats(files: list[str]) -> dict:
+    """Per-shard ``{col: [min, max]}`` from the parquet footers'
+    row-group statistics — the data-skipping index ``read_shards``'
+    ``prune=`` uses. Metadata-only (no data pages read). A column is
+    recorded only when EVERY row group carries min/max for it
+    (a missing stat anywhere would make pruning unsound); nested
+    leaves (dotted paths) and non-JSON-serializable types are skipped.
+    Parquet string stats may be truncated, but truncation keeps them
+    conservative bounds, so pruning stays exact."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        bad.add(name)
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    bad.add(name)
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+
+
+def shards_for_predicate(out_dir: str, col: str, lo, hi) -> list[int]:
+    """Committed shards whose recorded ``col`` [min, max] can intersect
+    ``[lo, hi]`` — the file-skipping decision, exposed for testing and
+    for callers driving their own reads. Shards WITHOUT recorded stats
+    for ``col`` are always included (skipping is only ever an
+    optimization, never a filter)."""
+    keep = []
+    for s, man, files in _committed(out_dir):
+        st = (man.get("stats") or {}).get(col)
+        if st is not None and (st[1] < lo or st[0] > hi):
+            continue
+        keep.append(s)
+    return keep
 
 
 def _live_files(sdir: str, man: dict) -> list[str]:
@@ -152,11 +211,9 @@ def _live_files(sdir: str, man: dict) -> list[str]:
             if f.endswith(".parquet") and not f.startswith(".")]
 
 
-def committed_shard_files(out_dir: str) -> dict[int, list[str]]:
-    """``{shard_id: [file, ...]}`` for the COMMITTED shards only — the
-    per-shard view of ``read_shards``'s file discovery, for callers
-    that fan out one task per shard (e.g. ``semantic_dedup_indexed``)."""
-    out: dict[int, list[str]] = {}
+def _committed(out_dir: str):
+    """Yield ``(shard_id, manifest, live_files)`` for every COMMITTED
+    shard — the single discovery walk behind every reader here."""
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("shard="):
             continue
@@ -164,22 +221,33 @@ def committed_shard_files(out_dir: str) -> dict[int, list[str]]:
         man = storage.read_manifest(_manifest_path(out_dir, s))
         if man is None:
             continue
-        files = _live_files(os.path.join(out_dir, name), man)
-        if files:
-            out[s] = files
-    return out
+        yield s, man, _live_files(os.path.join(out_dir, name), man)
+
+
+def committed_shard_files(out_dir: str) -> dict[int, list[str]]:
+    """``{shard_id: [file, ...]}`` for the COMMITTED shards only — the
+    per-shard view of ``read_shards``'s file discovery, for callers
+    that fan out one task per shard (e.g. ``semantic_dedup_indexed``)."""
+    return {s: files for s, _, files in _committed(out_dir) if files}
 
 
 def read_shards(out_dir: str, columns: list[str] | None = None,
-                shards: list[int] | None = None):
+                shards: list[int] | None = None,
+                prune: tuple | None = None):
     """Dataset over the COMMITTED shards only (manifest present) —
     uncommitted partials from a crashed export are invisible to
     readers, mirroring the crawl's round-manifest contract. ``shards``
     restricts the read to a subset (the partition-pruning path: an IVF
-    query opens only the cells it probes)."""
+    query opens only the cells it probes). ``prune=(col, lo, hi)``
+    skips shards whose recorded footer stats prove ``col`` cannot fall
+    in ``[lo, hi]`` (see ``shards_for_predicate``) — shard skipping
+    only; callers still filter rows within the surviving shards."""
     import ray.data as rd
 
     wanted = None if shards is None else set(shards)
+    if prune is not None:
+        pruned = set(shards_for_predicate(out_dir, *prune))
+        wanted = pruned if wanted is None else (wanted & pruned)
     paths = [f for s, files in sorted(committed_shard_files(out_dir).items())
              if wanted is None or s in wanted
              for f in files]

@@ -160,3 +160,58 @@ def test_compact_shards_crash_states(ray_session, tmp_path):
     got = read_shards(out).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_footer_stats_and_predicate_pruning(ray_session, tmp_path):
+    """export_shards records per-shard footer min/max; read_shards
+    prune= skips provably-disjoint shards and returns the same rows a
+    full read + filter would."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (_manifest_path, compact_shards,
+                                          export_shards, read_shards,
+                                          shards_for_predicate)
+
+    # assign="value": cell c holds vals in [c*100, c*100+24] — disjoint
+    cells = np.repeat(np.arange(4), 25)
+    vals = cells * 100 + np.tile(np.arange(25), 4)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(100), pa.int64()),
+        "cell": pa.array(cells.astype(np.int64)),
+        "val": pa.array(vals.astype(np.int64)),
+        "name": pa.array([f"n{v:04d}" for v in vals], pa.string()),
+    }))
+    out = str(tmp_path / "stats_exp")
+    export_shards(ds, out, key="cell", n_shards=4, assign="value")
+
+    man = storage.read_manifest(_manifest_path(out, 1))
+    assert man["stats"]["val"] == [100, 124]
+    assert man["stats"]["doc_id"] == [25, 49]
+    assert man["stats"]["name"] == ["n0100", "n0124"]
+
+    # pruning decision: only shard 1 can hold val in [150, 199]... none;
+    # [100, 124] hits exactly shard 1; [90, 210] hits shards 1+2
+    assert shards_for_predicate(out, "val", 110, 120) == [1]
+    assert shards_for_predicate(out, "val", 90, 210) == [1, 2]
+    assert shards_for_predicate(out, "val", 9999, 10000) == []
+    # string stats prune too
+    assert shards_for_predicate(out, "name", "n0300", "n0310") == [3]
+    # unknown column → no stats → every shard read (never a filter)
+    assert shards_for_predicate(out, "nope", 0, 1) == [0, 1, 2, 3]
+
+    full = read_shards(out).to_pandas()
+    want = full[full["val"].between(100, 124)].sort_values("doc_id")
+    got = read_shards(out, prune=("val", 100, 124)).to_pandas() \
+        .sort_values("doc_id")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+    # compaction preserves the stats (same rows → same bounds)
+    compact_shards(out, target_bytes=1 << 20)
+    man2 = storage.read_manifest(_manifest_path(out, 1))
+    assert man2["stats"]["val"] == [100, 124]
+    assert shards_for_predicate(out, "val", 110, 120) == [1]
