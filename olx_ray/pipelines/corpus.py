@@ -569,7 +569,8 @@ def corpus_report(sf_dir: str, top_words: int = 20,
 
     All metrics ride ONE ``summary_tree`` as tagged rows
     ``(metric, key, val)``; per-batch summary size is bounded by
-    ``langs + kmv_k + mg_capacity + 3`` rows regardless of batch size.
+    ``langs + kmv_k + mg_capacity + 3`` rows (+8 gopher rows when
+    enabled) regardless of batch size.
     Output: a tidy ``(metric, key, value)`` frame. KMV hashes travel as
     float64 (2^-53 relative rounding — irrelevant to an estimate)."""
     from ..functions.hashing import hash64_array

@@ -130,10 +130,13 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
             os.makedirs(sdir, exist_ok=True)   # empty shard still commits
             files = [os.path.join(sdir, f) for f in os.listdir(sdir)
                      if f.endswith(".parquet")]
-            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            # ONE footer parse per file: row count and stats come off
+            # the same metadata objects
+            metas = [pq.ParquetFile(f).metadata for f in files]
+            n = sum(md.num_rows for md in metas)
             man = {"shard": s, "rows": n, "key": key,
                    "n_shards": n_shards, "assign": assign}
-            stats = _footer_stats(files)
+            stats = _footer_stats(metas)
             if stats:
                 man["stats"] = stats
             storage.write_manifest(_manifest_path(out_dir, s), man)
@@ -142,20 +145,29 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
             "rows": rows}
 
 
-def _footer_stats(files: list[str]) -> dict:
-    """Per-shard ``{col: [min, max]}`` from the parquet footers'
+_STATS_MAX_STR = 256      # longest string bound a manifest records
+
+
+def _footer_stats(metas) -> dict:
+    """Per-shard ``{col: [min, max]}`` from parsed parquet footers'
     row-group statistics — the data-skipping index ``read_shards``'
     ``prune=`` uses. Metadata-only (no data pages read). A column is
-    recorded only when EVERY row group carries min/max for it
-    (a missing stat anywhere would make pruning unsound); nested
-    leaves (dotted paths) and non-JSON-serializable types are skipped.
-    Parquet string stats may be truncated, but truncation keeps them
-    conservative bounds, so pruning stays exact."""
+    recorded only when EVERY row group carries SOUND min/max for it
+    (a missing or doubtful stat anywhere excludes the column — pruning
+    must never drop a matching row); nested leaves (dotted paths) and
+    non-JSON-serializable types are skipped.
+
+    String bounds are treated with suspicion: parquet-cpp BLANKS (not
+    prefix-truncates) a stat whose value exceeds its 4096-byte
+    ``max_statistics_size`` while still reporting ``has_min_max`` — an
+    anti-conservative bound that would silently skip matching shards
+    (observed live on pyarrow 16). Any empty or ≥``_STATS_MAX_STR``
+    string bound therefore drops the column; the length cap also keeps
+    free-text document content out of the JSON commit markers."""
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     bad: set[str] = set()
-    for f in files:
-        md = pq.ParquetFile(f).metadata
+    for md in metas:
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
             for ci in range(row.num_columns):
@@ -177,24 +189,30 @@ def _footer_stats(files: list[str]) -> dict:
                 if not isinstance(mn, (int, float, str, bool)):
                     bad.add(name)
                     continue
+                if isinstance(mn, str) and not (
+                        0 < len(mn) <= _STATS_MAX_STR
+                        and 0 < len(mx) <= _STATS_MAX_STR):
+                    bad.add(name)      # blanked/truncated/oversized bound
+                    continue
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return {n: [mins[n], maxs[n]] for n in mins if n not in bad}
 
 
+def _stats_can_match(man: dict, col: str, lo, hi) -> bool:
+    """False only when the manifest's recorded bounds PROVE ``col``
+    cannot fall in ``[lo, hi]``; shards without recorded stats always
+    match (skipping is only ever an optimization, never a filter)."""
+    st = (man.get("stats") or {}).get(col)
+    return st is None or not (st[1] < lo or st[0] > hi)
+
+
 def shards_for_predicate(out_dir: str, col: str, lo, hi) -> list[int]:
     """Committed shards whose recorded ``col`` [min, max] can intersect
     ``[lo, hi]`` — the file-skipping decision, exposed for testing and
-    for callers driving their own reads. Shards WITHOUT recorded stats
-    for ``col`` are always included (skipping is only ever an
-    optimization, never a filter)."""
-    keep = []
-    for s, man, files in _committed(out_dir):
-        st = (man.get("stats") or {}).get(col)
-        if st is not None and (st[1] < lo or st[0] > hi):
-            continue
-        keep.append(s)
-    return keep
+    for callers driving their own reads."""
+    return [s for s, man, _ in _committed(out_dir)
+            if _stats_can_match(man, col, lo, hi)]
 
 
 def _live_files(sdir: str, man: dict) -> list[str]:
@@ -213,10 +231,10 @@ def _live_files(sdir: str, man: dict) -> list[str]:
 
 def _committed(out_dir: str):
     """Yield ``(shard_id, manifest, live_files)`` for every COMMITTED
-    shard — the single discovery walk behind every reader here."""
-    for name in sorted(os.listdir(out_dir)):
-        if not name.startswith("shard="):
-            continue
+    shard in NUMERIC shard order — the single discovery walk behind
+    every reader here."""
+    names = [n for n in os.listdir(out_dir) if n.startswith("shard=")]
+    for name in sorted(names, key=lambda n: int(n.split("=", 1)[1])):
         s = int(name.split("=", 1)[1])
         man = storage.read_manifest(_manifest_path(out_dir, s))
         if man is None:
@@ -245,11 +263,10 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
     import ray.data as rd
 
     wanted = None if shards is None else set(shards)
-    if prune is not None:
-        pruned = set(shards_for_predicate(out_dir, *prune))
-        wanted = pruned if wanted is None else (wanted & pruned)
-    paths = [f for s, files in sorted(committed_shard_files(out_dir).items())
-             if wanted is None or s in wanted
+    # ONE discovery walk drives both the prune decision and the paths
+    paths = [f for s, man, files in _committed(out_dir)
+             if (wanted is None or s in wanted)
+             and (prune is None or _stats_can_match(man, *prune))
              for f in files]
     if not paths:
         # only-empty (or no committed) shards: serve the schema sidecar

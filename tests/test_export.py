@@ -215,3 +215,38 @@ def test_footer_stats_and_predicate_pruning(ray_session, tmp_path):
     man2 = storage.read_manifest(_manifest_path(out, 1))
     assert man2["stats"]["val"] == [100, 124]
     assert shards_for_predicate(out, "val", 110, 120) == [1]
+
+
+def test_footer_stats_refuse_unsound_string_bounds(ray_session, tmp_path):
+    """parquet-cpp BLANKS (not truncates) string stats over its 4096 B
+    cap while keeping has_min_max — such columns must carry NO bounds,
+    and prune= must therefore read the shard (review-found soundness
+    bug: a blanked max '' pruned shards that contained matches)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (_manifest_path, export_shards,
+                                          read_shards, shards_for_predicate)
+
+    out = str(tmp_path / "blanked")
+    export_shards(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "s": pa.array(["m", "z" * 5000], pa.string()),
+    })), out, key="doc_id", n_shards=1)
+    man = storage.read_manifest(_manifest_path(out, 0))
+    assert "s" not in (man.get("stats") or {})       # bound dropped
+    assert (man.get("stats") or {}).get("doc_id") == [1, 2]
+    # without a bound the shard is always read — the long row survives
+    assert shards_for_predicate(out, "s", "x", "~") == [0]
+    got = read_shards(out, prune=("s", "x", "~")).to_pandas()
+    assert 2 in set(got["doc_id"])
+
+    # length cap: free text never lands in the JSON commit marker
+    out2 = str(tmp_path / "longish")
+    export_shards(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["word " * 100], pa.string()),   # 500 chars
+    })), out2, key="doc_id", n_shards=1)
+    man2 = storage.read_manifest(_manifest_path(out2, 0))
+    assert "text" not in (man2.get("stats") or {})
