@@ -766,3 +766,84 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
         "mean_tokens_delta": [round(abs(ta / max(na, 1)
                                         - tb / max(nb, 1)), 6)],
         "n_docs_a": [np.int64(na)], "n_docs_b": [np.int64(nb)]})
+
+
+# ------------------------------------------------- interleaved packing
+def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
+    """Greedy packing of INTERLEAVED text+media span documents (the
+    crawl's payload schema — ``(doc_id, spans:list<struct<kind, text,
+    media_ref, offset>>)``) into fixed-budget training sequences: the
+    MMC4/OBELICS-style assembly step for multimodal LMs (Zhu'23 /
+    Laurençon'23 — public pattern). A media span costs the fixed
+    ``media_tokens`` visual-token budget, a text span its whitespace
+    token count; docs pack WHOLE in doc_id order (batch-local, like
+    ``pack_sequences`` — at most one underfull pack per batch), so
+    each document's span interleaving order survives packing intact.
+    A doc whose total cost exceeds ``seq_len`` gets its own pack,
+    flagged truncated.
+
+    Per-doc costs are computed with one vectorized Arrow explode
+    (``list_parent_indices`` + ``bincount`` — no Python loop over
+    spans). Output: one row per packed doc — ``(pack_id = the pack's
+    first doc_id, doc_id, start_tok, n_tokens, n_text_tokens,
+    n_media, truncated)``, sorted by doc_id."""
+    import pyarrow.compute as pc
+
+    def cost(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "doc_tokens": pa.array([], pa.int64()),
+            "n_text_tokens": pa.array([], pa.int64()),
+            "n_media": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        spans = b["spans"].combine_chunks() if b["spans"].num_chunks > 1 \
+            else b["spans"]
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        is_media = pc.is_valid(pc.struct_field(flat, "media_ref")) \
+            .to_numpy(zero_copy_only=False)
+        ttoks = pd.Series(pc.struct_field(flat, "text").to_pylist()) \
+            .str.split().str.len().fillna(0).to_numpy(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        text_cost = np.where(is_media, 0, ttoks)
+        per_span = np.where(is_media, media_tokens, ttoks)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.string()),
+            "doc_tokens": pa.array(np.bincount(
+                parent, weights=per_span, minlength=n).astype(np.int64)),
+            "n_text_tokens": pa.array(np.bincount(
+                parent, weights=text_cost, minlength=n).astype(np.int64)),
+            "n_media": pa.array(np.bincount(
+                parent, weights=is_media.astype(np.int64),
+                minlength=n).astype(np.int64)),
+        })
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("doc_id")
+        pack_ids, starts, ntoks, trunc = [], [], [], []
+        cur_pack, cur_fill = None, 0
+        for did, cnt in zip(b["doc_id"], b["doc_tokens"].to_numpy()):
+            take = min(int(cnt), seq_len)
+            if cur_pack is None or cur_fill + take > seq_len:
+                cur_pack, cur_fill = did, 0
+            pack_ids.append(cur_pack)
+            starts.append(cur_fill)
+            ntoks.append(take)
+            trunc.append(cnt > seq_len)
+            cur_fill += take
+        return pd.DataFrame({
+            "pack_id": pd.Series(pack_ids, dtype="str"),
+            "doc_id": b["doc_id"].to_numpy(),
+            "start_tok": pd.Series(starts, dtype="int64"),
+            "n_tokens": pd.Series(ntoks, dtype="int64"),
+            "n_text_tokens": b["n_text_tokens"].to_numpy(),
+            "n_media": b["n_media"].to_numpy(),
+            "truncated": pd.Series(trunc, dtype="bool"),
+        })
+
+    return docs.map_batches(cost, batch_format="pyarrow") \
+        .map_batches(pack, batch_format="pandas", batch_size=4096) \
+        .sort("doc_id")

@@ -360,3 +360,88 @@ def test_corpus_drift_detects_tail_only_shift(ray_session, tmp_path):
     same = corpus_drift(a, a, capacity=8)
     assert float(same["vocab_jaccard_est"].iloc[0]) == 1.0
     assert float(same["js_divergence_words"].iloc[0]) < 1e-9
+
+
+def _interleaved_docs():
+    import pyarrow as pa
+
+    def span(kind, text=None, ref=None, off=0):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = {
+        "a": [span("title", "one two", off=0),
+              span("image", ref="m/1.ppm", off=1),
+              span("description", "three four five", off=2)],
+        "b": [span("title", "six", off=0)],
+        "c": [span("image", ref="m/2.ppm", off=0),
+              span("image", ref="m/3.ppm", off=1)],
+        "d": [span("description", " ".join(["w"] * 500), off=0)],
+        "e": [],
+    }
+    from olx_ray.schema import SPAN
+
+    return pa.table({
+        "doc_id": pa.array(sorted(rows), pa.string()),
+        "spans": pa.array([rows[k] for k in sorted(rows)],
+                          pa.list_(SPAN)),
+    })
+
+
+def test_pack_interleaved_costs_and_invariants(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import pack_interleaved
+
+    ds = rd.from_arrow(_interleaved_docs())
+    out = pack_interleaved(ds, seq_len=64, media_tokens=32).to_pandas() \
+        .set_index("doc_id")
+    # costs: a = 2 text + 32 media + 3 text = 37 tokens, 2+3 text, 1 media
+    assert out.loc["a", "n_tokens"] == 37
+    assert out.loc["a", "n_text_tokens"] == 5
+    assert out.loc["a", "n_media"] == 1
+    assert out.loc["b", "n_tokens"] == 1 and out.loc["b", "n_media"] == 0
+    assert out.loc["c", "n_tokens"] == 64 and out.loc["c", "n_media"] == 2
+    # d: 500 text tokens > seq_len → own pack, truncated to 64
+    assert out.loc["d", "n_tokens"] == 64 and bool(out.loc["d", "truncated"])
+    assert out.loc["e", "n_tokens"] == 0 and out.loc["e", "n_media"] == 0
+    # greedy doc-order packing at seq_len=64: a(37)+b(1)=38, c(64)
+    # overflows -> new pack, d oversized -> own pack, e(0) joins d's pack?
+    # d fills 64 exactly so e opens.. start==0 in some pack; invariants:
+    g = out.reset_index().groupby("pack_id")
+    for _, grp in g:
+        fill = grp["n_tokens"].sum()
+        assert fill <= 64 or (len(grp) == 1 and grp["truncated"].iloc[0])
+        # start offsets are the running fill in doc order
+        grp = grp.sort_values("doc_id")
+        assert list(grp["start_tok"]) == \
+            list(np.cumsum([0] + list(grp["n_tokens"][:-1])))
+    assert out.index.is_unique and len(out) == 5     # every doc once
+    # determinism
+    again = pack_interleaved(rd.from_arrow(_interleaved_docs()),
+                             seq_len=64, media_tokens=32).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index()[list(again.columns)], again, check_dtype=False)
+
+
+def test_pack_interleaved_over_crawl_output(ray_session, tmp_root):
+    """The operator consumes the REAL crawl payload schema end-to-end."""
+    import os
+
+    from olx_ray.pipelines.corpus import pack_interleaved
+    from olx_ray.pipelines.crawl import CrawlConfig, crawl_native, read_documents
+    from olx_ray.sources.sitegen import SITE_VERSION, SiteSpec, ensure_site
+
+    site = ensure_site("t1", os.path.join(
+        tmp_root, f"pack_site_v{SITE_VERSION}"))
+    out_dir = os.path.join(tmp_root, "pack_crawl")
+    if not os.path.isdir(out_dir):
+        crawl_native(CrawlConfig(pages_dir=site["pages"], out_dir=out_dir),
+                     SiteSpec("t1").seed_rows())
+    docs = read_documents(out_dir)
+    packed = pack_interleaved(docs.select_columns(["doc_id", "spans"]),
+                              seq_len=256).to_pandas()
+    assert len(packed) == docs.count() > 0
+    assert packed["doc_id"].is_unique
+    assert (packed["n_tokens"] >= 0).all()
+    assert (packed["n_media"] > 0).any()          # ads carry image spans
