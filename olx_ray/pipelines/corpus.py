@@ -847,3 +847,43 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
     return docs.map_batches(cost, batch_format="pyarrow") \
         .map_batches(pack, batch_format="pandas", batch_size=4096) \
         .sort("doc_id")
+
+
+# ----------------------------------------------- leakage-safe split
+def leakage_safe_split(sf_dir: str, val_pct: int = 10,
+                       threshold: float = 0.6):
+    """Train/val split where NEAR-DUPLICATES never straddle the
+    boundary — the eval-leakage guard (near-dup test-set contamination,
+    Lee et al. 2022): the split fingerprint hashes the near-dup GROUP
+    id instead of the doc id, so every member of a connected component
+    lands on the same side. Composition of existing machinery:
+    ``minhash_lsh_pairs`` → ``connected_components`` → ``label_table``
+    → the same Knuth-hash assignment as ``train_val_split``. A doc
+    with no near-dup is its own singleton group (group_id = doc_id),
+    so singletons reproduce ``train_val_split``'s assignment exactly.
+
+    Output: ``(doc_id, group_id, group_size, split)`` sorted by
+    doc_id. Inherits the LSH pair source's recall characteristics
+    (recall-1.0-pinned on the fixtures; see ``minhash_lsh_pairs``)."""
+    from ..functions.components import connected_components, label_table
+    from .dedup import minhash_lsh_pairs
+
+    labeled = label_table(
+        _read_docs(sf_dir, ["doc_id"]), "doc_id",
+        connected_components(minhash_lsh_pairs(sf_dir, threshold),
+                             "doc_a", "doc_b"))
+
+    def assign(b: pa.Table) -> pa.Table:
+        gid = b["group_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        f = (gid * np.uint64(_KNUTH)) % np.uint64(4294967296) \
+            % np.uint64(100)
+        split = np.where(f < 100 - val_pct, "train", "val")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "group_id": b["group_id"],
+            "group_size": b["group_size"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return labeled.map_batches(assign, batch_format="pyarrow") \
+        .sort("doc_id")

@@ -445,3 +445,32 @@ def test_pack_interleaved_over_crawl_output(ray_session, tmp_root):
     assert packed["doc_id"].is_unique
     assert (packed["n_tokens"] >= 0).all()
     assert (packed["n_media"] > 0).any()          # ads carry image spans
+
+
+def test_leakage_safe_split_no_straddling_pairs(ray_session):
+    """No verified near-dup pair may straddle train/val; singleton
+    groups reproduce train_val_split's assignment exactly."""
+    import pandas as pd
+
+    from olx_ray.pipelines.corpus import leakage_safe_split
+    from olx_ray.pipelines.dedup import minhash_lsh_pairs
+
+    out = leakage_safe_split(SF).to_pandas()
+    a = out.set_index("doc_id")
+    pairs = minhash_lsh_pairs(SF).to_pandas()
+    assert len(pairs) > 0                 # the guard has work to do
+    straddle = (a.loc[pairs["doc_a"], "split"].to_numpy()
+                != a.loc[pairs["doc_b"], "split"].to_numpy())
+    assert not straddle.any()
+    # groups are split-homogeneous wholesale, not just over pairs
+    assert (out.groupby("group_id")["split"].nunique() == 1).all()
+    # singletons == plain train_val_split
+    singles = out[out["group_size"] == 1].set_index("doc_id")["split"]
+    plain = train_val_split(SF).to_pandas().set_index("doc_id")["split"]
+    assert (singles == plain.loc[singles.index]).all()
+    # every doc exactly once; both sides populated
+    assert out["doc_id"].is_unique and len(out) == len(plain)
+    assert set(out["split"]) == {"train", "val"}
+    # deterministic
+    again = leakage_safe_split(SF).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
