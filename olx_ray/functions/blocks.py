@@ -62,3 +62,20 @@ def as_arrow(ds):
     this stage itself never calls ``unify_schemas`` on the (possibly
     metadata-carrying) inputs it is cleaning."""
     return ds.map_batches(nometa, batch_format="pyarrow", batch_size=None)
+
+
+def explode_list_column(col):
+    """``(parent_indices int64 ndarray, flat values)`` for a list
+    column — the shared explode preamble for every span consumer
+    (`crawl.explode_spans`, `corpus.pack_interleaved`).
+    ``combine_chunks`` FIRST is load-bearing: per-chunk parent indices
+    restart at 0 and would silently misattribute rows to the wrong
+    document across chunk boundaries."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if getattr(col, "num_chunks", 1) > 1:
+        col = col.combine_chunks()
+    parent = pc.list_parent_indices(col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return parent, pc.list_flatten(col)

@@ -38,18 +38,26 @@ def _read_docs(sf_dir: str, columns=None):
 _KNUTH = 2654435761
 
 
+def _split_fingerprint(ids: np.ndarray) -> np.ndarray:
+    """The 0..99 split fingerprint shared by ``train_val_split``,
+    ``training_corpus`` and ``leakage_safe_split`` — ONE copy, because
+    the three operators' pinned agreement (singletons of the
+    leakage-safe split must equal the plain split, the composed
+    pipeline must match the standalone) depends on them never
+    drifting. uint64 product (wraps mod 2^64) then mod 2^32 ≡ the
+    exact product mod 2^32 for any id — matches the HUGEINT SQL
+    oracle bit-for-bit."""
+    u = ids.astype(np.uint64)
+    return (u * np.uint64(_KNUTH)) % np.uint64(4294967296) % np.uint64(100)
+
+
 def train_val_split(sf_dir: str, val_pct: int = 10):
     """Deterministic doc_id-fingerprint split: stable across runs,
     machines and engines (pure integer arithmetic — the SQL oracle
     computes the identical assignment)."""
 
     def fn(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # uint64 product (wraps mod 2^64) then mod 2^32 ≡ the exact
-        # product mod 2^32 for ANY doc_id — the SQL oracle multiplies in
-        # HUGEINT for the same reason (an int64 multiply would wrap for
-        # doc_id > ~3.5e9 on this side and ERROR on DuckDB's)
-        f = (ids * np.uint64(_KNUTH)) % np.uint64(4294967296) % np.uint64(100)
+        f = _split_fingerprint(b["doc_id"].to_numpy(zero_copy_only=False))
         split = np.where(f < 100 - val_pct, "train", "val")
         return pa.table({"doc_id": b["doc_id"],
                          "split": pa.array(split.tolist(), pa.string())})
@@ -307,24 +315,19 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
     def assign_and_pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("doc_id")
         ids = b["doc_id"].to_numpy()
-        f = (ids.astype(np.uint64) * np.uint64(_KNUTH)) \
-            % np.uint64(4294967296) % np.uint64(100)
-        split = np.where(f < 90, "train", "val")
+        split = np.where(_split_fingerprint(ids) < 90, "train", "val")
         counts = b["n_tokens"].to_numpy()
-        pack_ids, starts = [], []
-        fill = {"train": (-1, 0), "val": (-1, 0)}  # per-split
-        for did, cnt, sp in zip(ids, counts, split):
-            take = min(int(cnt), seq_len)
-            pack, used = fill[sp]
-            if pack == -1 or used + take > seq_len:
-                pack, used = int(did), 0
-            pack_ids.append(pack)
-            starts.append(used)
-            fill[sp] = (pack, used + take)
+        pack_arr = np.empty(len(b), dtype=np.int64)
+        start_arr = np.empty(len(b), dtype=np.int64)
+        for sp in ("train", "val"):     # one shared packer per split
+            m = split == sp
+            p, s, _, _ = _greedy_pack(ids[m], counts[m], seq_len)
+            pack_arr[m] = p
+            start_arr[m] = s
         out = b[["doc_id", "n_tokens", "quality"]].copy()
         out["split"] = split
-        out["pack_id"] = pd.Series(pack_ids, index=b.index, dtype="int64")
-        out["start_tok"] = pd.Series(starts, index=b.index, dtype="int64")
+        out["pack_id"] = pd.Series(pack_arr, index=b.index, dtype="int64")
+        out["start_tok"] = pd.Series(start_arr, index=b.index, dtype="int64")
         return out
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -339,6 +342,35 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
 
 
 # ---------------------------------------------------------------- packing
+def _greedy_pack(ids, counts, seq_len: int):
+    """Greedy whole-doc packer shared by ``pack_sequences``,
+    ``pack_interleaved`` and ``training_corpus`` — one copy of the
+    edge cases. Guarantees (pinned in tests): every row's
+    ``start_tok < seq_len`` (a doc after an exactly-full pack opens a
+    new one, even when it costs zero tokens); pack fill ≤ ``seq_len``;
+    an OVERSIZED doc (count > seq_len, stored truncated) never shares
+    a pack with an earlier member, and nothing joins after it (its
+    truncated cost fills the pack). Returns
+    ``(pack_ids, starts, ntoks, truncated)`` lists in input order;
+    pack id = the pack's first doc id (caller preserves dtype)."""
+    pack_ids, starts, ntoks, trunc = [], [], [], []
+    cur, fill, members = None, 0, 0
+    for did, cnt in zip(ids, counts):
+        cnt = int(cnt)
+        take = min(cnt, seq_len)
+        oversized = cnt > seq_len
+        if (cur is None or fill >= seq_len or fill + take > seq_len
+                or (oversized and members)):
+            cur, fill, members = did, 0, 0
+        pack_ids.append(cur)
+        starts.append(fill)
+        ntoks.append(take)
+        trunc.append(oversized)
+        fill += take
+        members += 1
+    return pack_ids, starts, ntoks, trunc
+
+
 def pack_sequences(sf_dir: str, seq_len: int = 512):
     """Greedy token packing: documents (in doc_id order within each
     batch) are packed into fixed-capacity training sequences. Packing
@@ -355,19 +387,7 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
         ids = b["doc_id"].to_numpy()
         counts = b["text"].str.split().str.len().fillna(0) \
             .astype("int64").to_numpy()
-        pack_ids, starts, ntoks, trunc = [], [], [], []
-        cur_pack, cur_fill = -1, 0
-        for did, cnt in zip(ids, counts):
-            take = min(int(cnt), seq_len)
-            # open a new pack on the first doc ALWAYS (a zero-token doc
-            # must not ride the -1 sentinel) and on overflow after
-            if cur_pack == -1 or cur_fill + take > seq_len:
-                cur_pack, cur_fill = int(did), 0
-            pack_ids.append(cur_pack)
-            starts.append(cur_fill)
-            ntoks.append(take)
-            trunc.append(cnt > seq_len)
-            cur_fill += take
+        pack_ids, starts, ntoks, trunc = _greedy_pack(ids, counts, seq_len)
         return pd.DataFrame({
             "pack_id": pd.Series(pack_ids, dtype="int64"),
             "doc_id": pd.Series(ids, dtype="int64"),
@@ -798,16 +818,17 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
             "n_media": pa.array([], pa.int64())})
         if n == 0:
             return empty
-        spans = b["spans"].combine_chunks() if b["spans"].num_chunks > 1 \
-            else b["spans"]
-        parent = pc.list_parent_indices(spans).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(spans)
+        from ..functions.blocks import explode_list_column
+
+        parent, flat = explode_list_column(b["spans"])
         is_media = pc.is_valid(pc.struct_field(flat, "media_ref")) \
             .to_numpy(zero_copy_only=False)
-        ttoks = pd.Series(pc.struct_field(flat, "text").to_pylist()) \
-            .str.split().str.len().fillna(0).to_numpy(np.int64) \
-            if len(flat) else np.zeros(0, np.int64)
+        # arrow-native token count (== len(re.findall(r"\S+", t)), the
+        # engine's whitespace-token convention) — no per-span Python
+        # string round-trip on the hot cost path
+        ttoks = pc.count_substring_regex(
+            pc.struct_field(flat, "text"), r"\S+") \
+            .fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         text_cost = np.where(is_media, 0, ttoks)
         per_span = np.where(is_media, media_tokens, ttoks)
         return pa.table({
@@ -823,19 +844,12 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("doc_id")
-        pack_ids, starts, ntoks, trunc = [], [], [], []
-        cur_pack, cur_fill = None, 0
-        for did, cnt in zip(b["doc_id"], b["doc_tokens"].to_numpy()):
-            take = min(int(cnt), seq_len)
-            if cur_pack is None or cur_fill + take > seq_len:
-                cur_pack, cur_fill = did, 0
-            pack_ids.append(cur_pack)
-            starts.append(cur_fill)
-            ntoks.append(take)
-            trunc.append(cnt > seq_len)
-            cur_fill += take
+        pack_ids, starts, ntoks, trunc = _greedy_pack(
+            b["doc_id"].to_numpy(), b["doc_tokens"].to_numpy(), seq_len)
         return pd.DataFrame({
-            "pack_id": pd.Series(pack_ids, dtype="str"),
+            # pack_id keeps doc_id's dtype (string crawl ids OR int64
+            # table ids) so pack_id == doc_id joins stay type-correct
+            "pack_id": pd.Series(pack_ids, dtype=b["doc_id"].dtype),
             "doc_id": b["doc_id"].to_numpy(),
             "start_tok": pd.Series(starts, dtype="int64"),
             "n_tokens": pd.Series(ntoks, dtype="int64"),
@@ -874,9 +888,7 @@ def leakage_safe_split(sf_dir: str, val_pct: int = 10,
                              "doc_a", "doc_b"))
 
     def assign(b: pa.Table) -> pa.Table:
-        gid = b["group_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        f = (gid * np.uint64(_KNUTH)) % np.uint64(4294967296) \
-            % np.uint64(100)
+        f = _split_fingerprint(b["group_id"].to_numpy(zero_copy_only=False))
         split = np.where(f < 100 - val_pct, "train", "val")
         return pa.table({
             "doc_id": b["doc_id"],

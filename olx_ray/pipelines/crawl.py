@@ -578,13 +578,13 @@ def explode_spans(ds):
 
     def explode(b: pa.Table) -> pa.Table:
         # fully vectorized Arrow explode: list_parent_indices gives each
-        # flattened span's source row (no Python loop over spans)
+        # flattened span's source row (no Python loop over spans);
+        # chunk-combine guard shared with corpus.pack_interleaved
         import pyarrow.compute as pc
 
-        spans = b["spans"].combine_chunks() if b["spans"].num_chunks > 1 \
-            else b["spans"]
-        parent = pc.list_parent_indices(spans)
-        flat = pc.list_flatten(spans)
+        from ..functions.blocks import explode_list_column
+
+        parent, flat = explode_list_column(b["spans"])
         return pa.table({
             "doc_id": pc.take(b["doc_id"], parent).cast(pa.string()),
             "fetched_seq": pc.take(b["fetched_seq"], parent).cast(pa.int64()),

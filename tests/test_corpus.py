@@ -474,3 +474,24 @@ def test_leakage_safe_split_no_straddling_pairs(ray_session):
     # deterministic
     again = leakage_safe_split(SF).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_greedy_pack_edge_cases():
+    """The shared packer's pinned guarantees: start_tok < seq_len
+    always; oversized docs pack alone; zero-cost docs never dangle
+    past a full pack."""
+    from olx_ray.pipelines.corpus import _greedy_pack
+
+    # zero-cost doc after an exactly-full pack opens a NEW pack
+    p, s, n, t = _greedy_pack([1, 2], [64, 0], 64)
+    assert p == [1, 2] and s == [0, 0] and t == [False, False]
+    # oversized truncated doc: own pack; nothing joins after it
+    p, s, n, t = _greedy_pack([1, 2, 3], [10, 500, 0], 64)
+    assert p == [1, 2, 3] and s == [0, 0, 0]
+    assert n == [10, 64, 0] and t == [False, True, False]
+    # oversized never joins an already-opened pack, even at zero fill
+    p, s, n, t = _greedy_pack([1, 2], [0, 500], 64)
+    assert p == [1, 2] and s == [0, 0]
+    # normal greedy fill unchanged
+    p, s, n, t = _greedy_pack([1, 2, 3], [30, 30, 30], 64)
+    assert p == [1, 1, 3] and s == [0, 30, 0]
