@@ -719,3 +719,128 @@ def gopher_rules(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(GopherRules, batch_format="pandas", batch_size=2048,
                      concurrency=(1, 4)).sort("doc_id")
+
+
+# -------------------------------------------------------- boilerplate
+def boilerplate_line_df(sf_dir: str, n_buckets: int = 32):
+    """Per-line document frequency over the corpus — lines stripped,
+    empties dropped, counted once per containing document (the C4 /
+    CCNet boilerplate signal: nav bars, cookie banners, footers repeat
+    across pages). Same bucketed unbounded-key pattern as
+    ``word_counts``; output ``(line, df)``."""
+    from ..functions.hashing import hash64_array
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lines = b["text"].fillna("").str.split("\n").explode().str.strip()
+        lines = lines[lines != ""]
+        per_doc = lines.groupby(level=0).unique().explode().dropna()
+        g = per_doc.value_counts().rename_axis("line").reset_index(name="df")
+        g["bucket"] = (hash64_array(g["line"].tolist())
+                       % np.uint64(n_buckets)).astype("int32")
+        return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("line", as_index=False)["df"].sum()
+
+    return (_read_docs(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pandas", batch_size=4096)
+            .groupby("bucket").map_groups(finish, batch_format="pandas"))
+
+
+def remove_boilerplate_lines(sf_dir: str, min_df: int = 2,
+                             n_buckets: int = 32,
+                             max_broadcast_lines: int = 1_000_000):
+    """Drop every line appearing in ≥ ``min_df`` documents (stripped
+    match) from every document — C4/CCNet boilerplate removal. The
+    boilerplate-line HASH set is duplicate-rate-bounded (only repeated
+    lines enter it) and broadcasts once via ``ray.put``; if it exceeds
+    ``max_broadcast_lines`` the call refuses loudly rather than ship
+    an oversized broadcast (at that scale route the lines through a
+    bucket join instead — the `minhash` verify's strategy split).
+
+    Output ``(doc_id, text_clean, n_lines, n_removed)`` sorted by
+    doc_id: stripped surviving lines re-joined with a newline; empty
+    lines always drop (they match the stripped-empty convention on
+    both engine and oracle sides)."""
+    import ray
+
+    from ..functions.hashing import hash64_array
+
+    df = boilerplate_line_df(sf_dir, n_buckets)
+
+    def bad_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        hot = b.loc[b["df"] >= min_df, "line"]
+        return pd.DataFrame({"h": hash64_array(hot.tolist())})
+
+    bad = df.map_batches(bad_hashes, batch_format="pandas").to_pandas()
+    if "h" not in bad.columns:      # no boilerplate anywhere: Ray's
+        bad = pd.DataFrame({"h": np.array([], dtype=np.uint64)})
+        #                      (zero-row to_pandas drops columns)
+    if len(bad) > max_broadcast_lines:
+        raise ValueError(
+            f"{len(bad)} boilerplate lines exceed max_broadcast_lines="
+            f"{max_broadcast_lines}; raise the cap or switch this corpus "
+            f"to a bucket-join delivery")
+    ref = ray.put(np.sort(bad["h"].to_numpy().astype(np.uint64)))
+
+    class Clean:
+        def __init__(self):
+            self.bad = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            lines = b["text"].fillna("").str.split("\n").explode() \
+                .str.strip()
+            lines = lines[lines != ""]
+            n_lines = lines.groupby(level=0).size()
+            h = hash64_array(lines.tolist()).astype(np.uint64)
+            idx = np.searchsorted(self.bad, h)
+            idx = np.minimum(idx, max(len(self.bad) - 1, 0))
+            is_bad = (self.bad[idx] == h) if len(self.bad) else \
+                np.zeros(len(h), dtype=bool)
+            kept = lines[~is_bad]
+            out = b[["doc_id"]].copy()
+            joined = kept.groupby(level=0).agg("\n".join)
+            out["text_clean"] = joined.reindex(b.index, fill_value="")
+            out["n_lines"] = n_lines.reindex(b.index, fill_value=0) \
+                .astype(np.int64)
+            out["n_removed"] = (out["n_lines"]
+                                - kept.groupby(level=0).size()
+                                .reindex(b.index, fill_value=0)) \
+                .astype(np.int64)
+            return out
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(Clean, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
+REMOVE_BOILERPLATE_SQL_TMPL = r"""
+WITH expl AS (
+  SELECT doc_id, trim(part.l, ' ' || chr(9) || chr(13) || chr(12) ||
+                 chr(11)) AS line, part.i AS ord
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents),
+       LATERAL (SELECT unnest(ls) AS l,
+                       unnest(range(1, len(ls) + 1)) AS i) part
+), nonempty AS (
+  SELECT * FROM expl WHERE line <> ''
+), bad AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM nonempty GROUP BY line)
+  WHERE df >= {min_df}
+)
+SELECT d.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+       (coalesce(t.n_lines, 0) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_lines FROM nonempty
+           GROUP BY doc_id) t USING (doc_id)
+LEFT JOIN (SELECT doc_id,
+                  string_agg(line, chr(10) ORDER BY ord) AS text_clean,
+                  count(*) AS n_kept
+           FROM nonempty WHERE line NOT IN (SELECT line FROM bad)
+           GROUP BY doc_id) k USING (doc_id)
+ORDER BY doc_id
+"""
+REMOVE_BOILERPLATE_SQL = REMOVE_BOILERPLATE_SQL_TMPL.format(min_df=2)

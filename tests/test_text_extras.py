@@ -313,3 +313,55 @@ def test_gopher_signals_vs_duckdb(ray_session):
             + (want["alpha_ratio"] < 0.8).astype(int) * 32
             + (want["stop_hits"] < 2).astype(int) * 64)
     assert list(got["fail_mask"]) == list(mask)
+
+
+def _boiler_corpus(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = {
+        1: "unique alpha content\nSUBSCRIBE NOW\nmore alpha words",
+        2: "beta paragraph here\n  SUBSCRIBE NOW  \nfooter text",
+        3: "gamma only\nfooter text",
+        4: "SUBSCRIBE NOW\nSUBSCRIBE NOW\ndelta line",   # twice in one doc
+        5: "",                                            # empty doc
+        6: "epsilon solo line",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+def test_remove_boilerplate_lines_vs_duckdb(ray_session, tmp_path):
+    """Engine == DuckDB oracle on a planted corpus (boilerplate shared
+    across docs, within-doc repeats, empty docs), and on the real
+    corpus."""
+    from olx_ray.pipelines.text import (REMOVE_BOILERPLATE_SQL,
+                                        remove_boilerplate_lines)
+
+    _boiler_corpus(tmp_path)
+    got = remove_boilerplate_lines(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(REMOVE_BOILERPLATE_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    g = got.set_index("doc_id")
+    # "SUBSCRIBE NOW" (df=3) and "footer text" (df=2) dropped everywhere
+    assert "SUBSCRIBE" not in g.loc[1, "text_clean"]
+    assert g.loc[2, "text_clean"] == "beta paragraph here"
+    assert g.loc[3, "text_clean"] == "gamma only"
+    assert g.loc[4, "text_clean"] == "delta line"
+    assert g.loc[4, "n_removed"] == 2                 # both copies go
+    assert g.loc[5, "n_lines"] == 0
+    assert g.loc[6, "text_clean"] == "epsilon solo line"   # df=1 kept
+
+    # real corpus: oracle equality end-to-end
+    got2 = remove_boilerplate_lines(SF).to_pandas().reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{SF}/documents.parquet')")
+    want2 = con2.sql(REMOVE_BOILERPLATE_SQL).df()
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
