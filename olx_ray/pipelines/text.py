@@ -238,28 +238,39 @@ ORDER BY d.doc_id
 # Unicode spaces (  etc.) — the synthetic corpus is ASCII-spaced.
 
 
-def word_counts(sf_dir: str, n_buckets: int = 32):
-    """Corpus word counts, combiner-first: per-batch partial counts →
-    word-hash bucket groupby → ONE vectorized pandas sum per bucket.
-    Unbounded key cardinality (words), so neither a bare string-key
+def _bucketed_string_counts(ds, keys_of, key_name: str, count_name: str,
+                            n_buckets: int):
+    """The string-key bucketed-aggregate shape shared by
+    ``word_counts`` and ``boilerplate_line_df`` (the string sibling of
+    ``relational._partial_bucket_agg``): per-batch partial counts of
+    ``keys_of(batch)`` (a Series of string keys, possibly repeated) →
+    key-hash bucket groupby → ONE vectorized sum per bucket. For
+    unbounded key cardinality — neither a bare string-key
     ``Dataset.aggregate`` (CLAUDE.md: Ray 2.49 sort-aggregate is slow)
-    nor the bounded-keys ``_partial_small_agg`` applies — this is the
-    bucketed pattern dedup_exact/q18 use."""
+    nor the bounded-keys ``_partial_small_agg`` applies."""
     from ..functions.hashing import hash64_array
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        words = b["text"].str.split().explode().dropna()
-        g = words.value_counts().rename_axis("word").reset_index(name="n")
-        g["bucket"] = (hash64_array(g["word"].tolist())
+        g = keys_of(b).value_counts().rename_axis(key_name) \
+            .reset_index(name=count_name)
+        g["bucket"] = (hash64_array(g[key_name].tolist())
                        % np.uint64(n_buckets)).astype("int32")
         return g
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("word", as_index=False)["n"].sum()
+        return g.groupby(key_name, as_index=False)[count_name].sum()
 
-    return (_read_docs(sf_dir, ["text"])
-            .map_batches(partial, batch_format="pandas", batch_size=4096)
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=4096)
             .groupby("bucket").map_groups(finish, batch_format="pandas"))
+
+
+def word_counts(sf_dir: str, n_buckets: int = 32):
+    """Corpus word counts, combiner-first — the bucketed pattern
+    dedup_exact/q18 use (`_bucketed_string_counts`)."""
+    return _bucketed_string_counts(
+        _read_docs(sf_dir, ["text"]),
+        lambda b: b["text"].str.split().explode().dropna(),
+        "word", "n", n_buckets)
 
 
 def word_freq_topk(sf_dir: str, k: int = 50):
@@ -722,29 +733,33 @@ def gopher_rules(sf_dir: str):
 
 
 # -------------------------------------------------------- boilerplate
+# ASCII whitespace stripped from line edges — the SAME set the DuckDB
+# oracle trims, so engine and SQL agree on line identity. Unicode
+# whitespace (NBSP etc.) deliberately stays part of the line on BOTH
+# sides (the same ASCII bound word_freq's oracle documents); a pandas
+# default .str.strip() would silently diverge from the oracle on
+# NBSP-trailing web text.
+_ASCII_WS = " \t\r\f\v\n"
+
+
+def _stripped_lines(b: pd.DataFrame) -> pd.Series:
+    lines = b["text"].fillna("").str.split("\n").explode() \
+        .str.strip(_ASCII_WS)
+    return lines[lines != ""]
+
+
 def boilerplate_line_df(sf_dir: str, n_buckets: int = 32):
-    """Per-line document frequency over the corpus — lines stripped,
-    empties dropped, counted once per containing document (the C4 /
-    CCNet boilerplate signal: nav bars, cookie banners, footers repeat
-    across pages). Same bucketed unbounded-key pattern as
-    ``word_counts``; output ``(line, df)``."""
-    from ..functions.hashing import hash64_array
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        lines = b["text"].fillna("").str.split("\n").explode().str.strip()
-        lines = lines[lines != ""]
-        per_doc = lines.groupby(level=0).unique().explode().dropna()
-        g = per_doc.value_counts().rename_axis("line").reset_index(name="df")
-        g["bucket"] = (hash64_array(g["line"].tolist())
-                       % np.uint64(n_buckets)).astype("int32")
-        return g
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("line", as_index=False)["df"].sum()
-
-    return (_read_docs(sf_dir, ["text"])
-            .map_batches(partial, batch_format="pandas", batch_size=4096)
-            .groupby("bucket").map_groups(finish, batch_format="pandas"))
+    """Per-line document frequency over the corpus — lines stripped
+    (ASCII whitespace; see ``_ASCII_WS``), empties dropped, counted
+    once per containing document (the C4 / CCNet boilerplate signal:
+    nav bars, cookie banners, footers repeat across pages). Same
+    bucketed unbounded-key pattern as ``word_counts``; output
+    ``(line, df)``."""
+    return _bucketed_string_counts(
+        _read_docs(sf_dir, ["text"]),
+        lambda b: _stripped_lines(b).groupby(level=0).unique()
+        .explode().dropna(),
+        "line", "df", n_buckets)
 
 
 def remove_boilerplate_lines(sf_dir: str, min_df: int = 2,
@@ -788,9 +803,7 @@ def remove_boilerplate_lines(sf_dir: str, min_df: int = 2,
             self.bad = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            lines = b["text"].fillna("").str.split("\n").explode() \
-                .str.strip()
-            lines = lines[lines != ""]
+            lines = _stripped_lines(b)     # SAME strip as the df pass
             n_lines = lines.groupby(level=0).size()
             h = hash64_array(lines.tolist()).astype(np.uint64)
             idx = np.searchsorted(self.bad, h)
@@ -798,14 +811,14 @@ def remove_boilerplate_lines(sf_dir: str, min_df: int = 2,
             is_bad = (self.bad[idx] == h) if len(self.bad) else \
                 np.zeros(len(h), dtype=bool)
             kept = lines[~is_bad]
+            gb = kept.groupby(level=0)     # one grouping pass, two aggs
             out = b[["doc_id"]].copy()
-            joined = kept.groupby(level=0).agg("\n".join)
-            out["text_clean"] = joined.reindex(b.index, fill_value="")
+            out["text_clean"] = gb.agg("\n".join) \
+                .reindex(b.index, fill_value="")
             out["n_lines"] = n_lines.reindex(b.index, fill_value=0) \
                 .astype(np.int64)
             out["n_removed"] = (out["n_lines"]
-                                - kept.groupby(level=0).size()
-                                .reindex(b.index, fill_value=0)) \
+                                - gb.size().reindex(b.index, fill_value=0)) \
                 .astype(np.int64)
             return out
 

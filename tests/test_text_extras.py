@@ -326,6 +326,10 @@ def _boiler_corpus(tmp_path):
         4: "SUBSCRIBE NOW\nSUBSCRIBE NOW\ndelta line",   # twice in one doc
         5: "",                                            # empty doc
         6: "epsilon solo line",
+        # NBSP-trailing variant: ASCII-bound strip on BOTH sides keeps
+        # it a DISTINCT line (df=1, survives) — pins the engine/oracle
+        # whitespace-class agreement on web-style text
+        7: "zeta words\nfooter text\xa0",
     }
     pq.write_table(pa.table({
         "doc_id": pa.array(sorted(docs), pa.int64()),
@@ -357,6 +361,8 @@ def test_remove_boilerplate_lines_vs_duckdb(ray_session, tmp_path):
     assert g.loc[4, "n_removed"] == 2                 # both copies go
     assert g.loc[5, "n_lines"] == 0
     assert g.loc[6, "text_clean"] == "epsilon solo line"   # df=1 kept
+    # NBSP variant stays distinct from the df=2 'footer text' → kept
+    assert g.loc[7, "text_clean"] == "zeta words\nfooter text\xa0"
 
     # real corpus: oracle equality end-to-end
     got2 = remove_boilerplate_lines(SF).to_pandas().reset_index(drop=True)
