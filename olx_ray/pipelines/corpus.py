@@ -899,3 +899,27 @@ def leakage_safe_split(sf_dir: str, val_pct: int = 10,
 
     return labeled.map_batches(assign, batch_format="pyarrow") \
         .sort("doc_id")
+
+
+def temperature_mix(sources: dict[str, tuple], temperature: float = 1.0,
+                    id_col: str = "doc_id", seed: int = 0):
+    """``weighted_interleave`` with TEMPERATURE-scaled source weights —
+    the multilingual-LLM sampling knob (Arivazhagan'19 / XLM-R,
+    Conneau'20 — public pattern): effective weight ∝ w^(1/T).
+    ``T = 1`` reproduces the raw proportions exactly; ``T → ∞``
+    approaches uniform over sources (up-samples small ones); ``T < 1``
+    sharpens toward the largest. Weights are renormalized after
+    scaling, so only the RATIOS matter (as in ``weighted_interleave``).
+    Zero/negative-weight sources stay excluded regardless of T (the
+    base operator's contract: 0^(1/T) = 0)."""
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    scaled = {}
+    for name, (ds, w) in sources.items():
+        w = float(w)
+        scaled[name] = (ds, w ** (1.0 / temperature) if w > 0 else w)
+    total = sum(w for _, w in scaled.values() if w > 0)
+    if total > 0:    # renormalize for interpretability; ratios decide
+        scaled = {n: (ds, w / total if w > 0 else w)
+                  for n, (ds, w) in scaled.items()}
+    return weighted_interleave(scaled, id_col=id_col, seed=seed)

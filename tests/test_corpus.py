@@ -495,3 +495,43 @@ def test_greedy_pack_edge_cases():
     # normal greedy fill unchanged
     p, s, n, t = _greedy_pack([1, 2, 3], [30, 30, 30], 64)
     assert p == [1, 1, 3] and s == [0, 30, 0]
+
+
+def test_temperature_mix_limits(ray_session):
+    """T=1 == raw weighted_interleave; higher T up-samples the small
+    source within any prefix; T<=0 refused; excluded sources stay out."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import temperature_mix, weighted_interleave
+
+    def mk(n, tag):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(n), "src": tag}))
+
+    def sources(wb=9.0, ws=1.0):
+        return {"big": (mk(900, "b"), wb), "small": (mk(100, "s"), ws)}
+
+    t1 = temperature_mix(sources(), temperature=1.0).to_pandas()
+    raw = weighted_interleave(sources()).to_pandas()
+    # T=1 ≡ raw ORDER (renormalizing scales every exp-clock uniformly,
+    # so key values shift but the stream order is identical)
+    assert list(t1["mix_source"]) == list(raw["mix_source"])
+    assert list(t1["doc_id"]) == list(raw["doc_id"])
+
+    hot = temperature_mix(sources(), temperature=100.0).to_pandas()
+    # T→∞ flattens the per-row weights to equal, so the small source's
+    # prefix share climbs from its T=1 suppression (~w_s/w_b · rows)
+    # toward its plain ROW share (10 %)
+    frac_small_t1 = (t1.head(200)["mix_source"] == "small").mean()
+    frac_small_hot = (hot.head(200)["mix_source"] == "small").mean()
+    assert frac_small_hot > frac_small_t1 + 0.04
+    assert 0.05 < frac_small_hot < 0.16     # ≈ the 10 % row share
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(sources(), temperature=0.0)
+    # excluded source stays excluded at any T
+    out = temperature_mix({"a": (mk(50, "a"), 1.0),
+                           "z": (mk(50, "z"), 0.0)},
+                          temperature=5.0).to_pandas()
+    assert set(out["mix_source"]) == {"a"}
