@@ -912,14 +912,26 @@ def temperature_mix(sources: dict[str, tuple], temperature: float = 1.0,
     scaling, so only the RATIOS matter (as in ``weighted_interleave``).
     Zero/negative-weight sources stay excluded regardless of T (the
     base operator's contract: 0^(1/T) = 0)."""
+    import math
+
     if not temperature > 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    # scale in LOG space against the max weight: raw w**(1/T) overflows
+    # for big weights at sharpening T (5000**100) and underflows valid
+    # small weights to 0.0 — which would silently EXCLUDE a positive-
+    # weight source, a state the contract reserves for caller w <= 0.
+    # Max-normalizing keeps every scaled weight in (0, 1] (ratios are
+    # all that matter); a ratio that still underflows clamps to the
+    # smallest positive float — demoted to the stream's tail, never
+    # silently dropped.
+    pos = [float(w) for _, w in sources.values()
+           if float(w) == float(w) and float(w) > 0]
+    log_wmax = math.log(max(pos)) if pos else 0.0
     scaled = {}
     for name, (ds, w) in sources.items():
         w = float(w)
-        scaled[name] = (ds, w ** (1.0 / temperature) if w > 0 else w)
-    total = sum(w for _, w in scaled.values() if w > 0)
-    if total > 0:    # renormalize for interpretability; ratios decide
-        scaled = {n: (ds, w / total if w > 0 else w)
-                  for n, (ds, w) in scaled.items()}
+        if w > 0:
+            w = math.exp((math.log(w) - log_wmax) / temperature) \
+                or 5e-324
+        scaled[name] = (ds, w)
     return weighted_interleave(scaled, id_col=id_col, seed=seed)

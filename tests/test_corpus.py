@@ -535,3 +535,30 @@ def test_temperature_mix_limits(ray_session):
                            "z": (mk(50, "z"), 0.0)},
                           temperature=5.0).to_pandas()
     assert set(out["mix_source"]) == {"a"}
+
+
+def test_temperature_mix_extreme_weights(ray_session):
+    """Review-found: big weights at sharp T must not overflow; tiny
+    positive weights must stay IN the stream (never silently excluded
+    by pow underflow)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import temperature_mix
+
+    def mk(n, tag, base=0):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(base, base + n), "src": tag}))
+
+    # 5000**100 would overflow a raw pow
+    out = temperature_mix({"web": (mk(20, "w"), 5000.0),
+                           "ref": (mk(20, "r"), 100.0)},
+                          temperature=0.01).to_pandas()
+    assert set(out["mix_source"]) == {"web", "ref"} and len(out) == 40
+    # (1e-4)**100 would underflow to 0 and silently drop the source
+    out2 = temperature_mix({"a": (mk(20, "a"), 1.0),
+                            "b": (mk(20, "b"), 1e-4)},
+                           temperature=0.01).to_pandas()
+    assert set(out2["mix_source"]) == {"a", "b"} and len(out2) == 40
+    # the clamped source demotes to the tail under extreme sharpening
+    assert list(out2["mix_source"].head(20)) == ["a"] * 20
