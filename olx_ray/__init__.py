@@ -11,8 +11,16 @@ re-expressed as ``ray.data.Dataset`` pipelines:
 - ``olx_ray.sources``    — readers + the deterministic synthetic site
   generator that replaces the network in this sandbox.
 - ``olx_ray.pipelines``  — end-to-end pipelines: the crawl-round loop
-  (conformance + native modes), relational queries, dedup, similarity
-  search, text analysis.
+  (conformance + native modes), relational queries, events/windows,
+  dedup (exact / minhash / simhash / n-gram / embedding / substring /
+  semantic), similarity search (brute-force, LSH, IVF + partitioned
+  layout), text analysis (lang-ID, quality, Gopher rules, boilerplate
+  removal, TF-IDF, BM25), corpus prep (splits incl. leakage-safe,
+  vocab, packing incl. interleaved multimodal, decontamination,
+  mixing incl. temperature, DSIR selection), model-based scoring +
+  perplexity filtering, BPE training, link-graph PageRank, sampling,
+  multimodal decode, resumable export with compaction + data-skipping
+  stats, and the composed ingestion round.
 - ``olx_ray.state``      — bloom filter, checkpoint/lineage handling.
 
 Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — the
