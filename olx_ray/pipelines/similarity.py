@@ -433,3 +433,42 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
         .map_batches(Candidates, batch_format="pyarrow", batch_size=4096,
                      concurrency=(1, 4), num_cpus=1)
     return _global_topk(local, k)
+
+
+def knn_bruteforce_filtered(sf_dir: str, label: int, n_queries: int = 10,
+                            k: int = 10):
+    """ATTRIBUTE-FILTERED exact kNN — the vector-DB "filtered search"
+    shape: neighbors are restricted to corpus rows with
+    ``label == <label>`` (queries stay the unfiltered prefix, so
+    results are comparable across filters). The filter pushes into the
+    parquet read (row groups that cannot match never leave storage;
+    with the label as a partition key this becomes file-level pruning,
+    the `build_ivf_layout` pattern); scoring and the top-k combiner
+    are the unfiltered operator's, unchanged. DuckDB-oracle-checked
+    via ``KNN_FILTERED_SQL_TEMPLATE``."""
+    import pyarrow.dataset as pads
+
+    ids, q = _load_queries(sf_dir, n_queries)
+    ref = ray.put((ids, q))
+    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"],
+                            filter=pads.field("label") == label) \
+        .map_batches(_LocalTopK, fn_constructor_kwargs={"queries_ref": ref,
+                                                        "k": k},
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    return _global_topk(local, k)
+
+
+KNN_FILTERED_SQL_TEMPLATE = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+    AND c.label = {label})
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -422,3 +422,31 @@ def test_dedup_keep_best_quality_representative(ray_session, tmp_path):
     assert set(surv["doc_id"]) == {best, 10, 11}
     surv_min = dedup_keep_representatives(str(d)).to_pandas()
     assert set(surv_min["doc_id"]) == {1, 10, 11}
+
+
+def test_knn_bruteforce_filtered_vs_duckdb(ray_session):
+    """Attribute-filtered exact kNN == the label-restricted SQL oracle;
+    the filter genuinely changes the neighbor set vs unfiltered."""
+    import duckdb
+    import pandas as pd
+
+    from olx_ray.pipelines.similarity import (KNN_FILTERED_SQL_TEMPLATE,
+                                              knn_bruteforce,
+                                              knn_bruteforce_filtered)
+
+    label = 0
+    got = knn_bruteforce_filtered(SF, label).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.sql(KNN_FILTERED_SQL_TEMPLATE.format(
+        n_queries=10, k=10, label=label)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every returned neighbor carries the requested label
+    labels = con.sql("SELECT vec_id, label FROM embeddings").df() \
+        .set_index("vec_id")["label"]
+    assert (labels.loc[got["neighbor_id"]] == label).all()
+    # the filter is not a no-op on this corpus
+    unfiltered = knn_bruteforce(SF).to_pandas()
+    assert not got.equals(unfiltered)
