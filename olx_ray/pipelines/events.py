@@ -416,3 +416,46 @@ FROM f LEFT JOIN days r
   ON r.user_id = f.user_id AND r.d = f.d0 + INTERVAL 1 DAY
 GROUP BY f.d0 ORDER BY f.d0
 """
+
+
+def events_unique_users_hourly(sf_dir: str, n_buckets: int = 32):
+    """EXACT distinct users per tumbling hour — the windowed
+    COUNT(DISTINCT) every traffic dashboard runs. Two-stage so the
+    unbounded user dimension never funnels into one task:
+
+    1. per-batch DISTINCT (window, user) pairs, bucketed by
+       ``hash(user) % B`` — a user's rows always land in ONE bucket,
+       so per-bucket counts are disjoint;
+    2. per-bucket vectorized distinct-pair count per window, then the
+       tiny per-window sum over buckets (windows are bounded —
+       ``finish_small`` territory).
+
+    Raw events shrink to distinct pairs at the first map; only pairs
+    shuffle. DuckDB oracle: ``EVENTS_UNIQUE_USERS_SQL``."""
+    from ..functions.hashing import mix64
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(window_start=b["ts"].dt.floor("h")) \
+            [["window_start", "user_id"]].drop_duplicates()
+        g["bucket"] = (mix64(g["user_id"].to_numpy(np.int64))
+                       % np.uint64(n_buckets)).astype("int32")
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["window_start", "user_id"])
+        return d.groupby("window_start", as_index=False) \
+            .agg(n_users=("user_id", "size"))
+
+    ds = _read(sf_dir, ["ts", "user_id"]) \
+        .map_batches(pairs, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return _finish_small(ds, ["window_start"],
+                         dict(n_users=("n_users", "sum"))) \
+        .sort("window_start")
+
+
+EVENTS_UNIQUE_USERS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""

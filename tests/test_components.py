@@ -115,3 +115,20 @@ def test_group_strategies_agree_on_fixtures(ray_session):
         drv = fn(SF, strategy="driver").to_pandas()
         assert dist.reset_index(drop=True).equals(
             drv.reset_index(drop=True)), fn.__name__
+
+
+def test_events_unique_users_hourly_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from olx_ray.pipelines.events import (EVENTS_UNIQUE_USERS_SQL,
+                                          events_unique_users_hourly)
+
+    sf = "/root/testdata/sf0.001"
+    got = events_unique_users_hourly(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.sql(EVENTS_UNIQUE_USERS_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_users"] >= 1).all() and len(got) > 10
