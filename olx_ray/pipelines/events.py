@@ -432,13 +432,10 @@ def events_unique_users_hourly(sf_dir: str, n_buckets: int = 32):
 
     Raw events shrink to distinct pairs at the first map; only pairs
     shuffle. DuckDB oracle: ``EVENTS_UNIQUE_USERS_SQL``."""
-    from ..functions.hashing import mix64
-
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
         g = b.assign(window_start=b["ts"].dt.floor("h")) \
             [["window_start", "user_id"]].drop_duplicates()
-        g["bucket"] = (mix64(g["user_id"].to_numpy(np.int64))
-                       % np.uint64(n_buckets)).astype("int32")
+        g["bucket"] = bucket_of(g["user_id"].to_numpy(np.int64), n_buckets)
         return g
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -450,8 +450,10 @@ def knn_bruteforce_filtered(sf_dir: str, label: int, n_queries: int = 10,
 
     ids, q = _load_queries(sf_dir, n_queries)
     ref = ray.put((ids, q))
+    # the scanner evaluates the filter without 'label' in the
+    # projection — scored batches carry only what the scorer reads
     local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding", "label"],
+                            columns=["vec_id", "embedding"],
                             filter=pads.field("label") == label) \
         .map_batches(_LocalTopK, fn_constructor_kwargs={"queries_ref": ref,
                                                         "k": k},
