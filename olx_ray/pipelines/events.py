@@ -456,3 +456,87 @@ SELECT date_trunc('hour', ts) AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def _rolling_bounds(ts_ns: np.ndarray, seg_id: np.ndarray,
+                    win_ns: int) -> tuple:
+    """Per-row window bounds for a (segment, ts)-sorted array: for row
+    ``i``, ``left[i]`` = first index of the SAME segment with
+    ``ts >= ts[i] - win`` and ``right[i]`` = one past the last index
+    with ``ts <= ts[i]`` (so equal-timestamp peers are all included —
+    SQL ``RANGE ... PRECEDING AND CURRENT ROW`` semantics exactly).
+
+    One global ``np.searchsorted`` answers every segment at once by
+    shifting each segment's timestamps into a disjoint int64 band
+    (stride > span + window, so a query can never cross into the
+    previous segment's band). Falls back to a per-segment loop when
+    ``n_segments × stride`` would overflow int64 — correctness never
+    depends on the banding."""
+    n = len(ts_ns)
+    if not n:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    base = ts_ns - ts_ns.min()
+    n_seg = int(seg_id[-1]) + 1
+    stride = int(base.max()) + win_ns + 2
+    if n_seg * stride < 2 ** 62:
+        key = seg_id.astype(np.int64) * stride + base
+        left = np.searchsorted(key, key - win_ns, side="left")
+        right = np.searchsorted(key, key, side="right")
+        return left, right
+    left = np.empty(n, np.int64)
+    right = np.empty(n, np.int64)
+    starts = np.flatnonzero(np.r_[True, seg_id[1:] != seg_id[:-1]])
+    ends = np.r_[starts[1:], n]
+    for s, e in zip(starts, ends):
+        seg = ts_ns[s:e]
+        left[s:e] = s + np.searchsorted(seg, seg - win_ns, side="left")
+        right[s:e] = s + np.searchsorted(seg, seg, side="right")
+    return left, right
+
+
+def rolling_user_window(sf_dir: str, window_minutes: int = 60,
+                        n_buckets: int = 64):
+    """Per-EVENT trailing time-window aggregate: for every event, the
+    count and exact money sum of the same user's events with
+    ``ts ∈ [ts_i − window, ts_i]`` — SQL's
+    ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` (boundary
+    row included, equal-ts peers included). The per-row window shape
+    no tumbling/sliding bucket can express.
+
+    Kernel: user-hash bucket groupby (a user's events meet in ONE
+    task), then one vectorized pass per bucket — sort by (user, ts),
+    int-cents prefix sums, and a single banded ``np.searchsorted``
+    (``_rolling_bounds``) resolving every user's window boundaries at
+    once; zero Python per user. Output is input-sized and streams.
+    Assumption (stated, as for sessionize): one bucket of users fits
+    one task — tune ``n_buckets`` ∝ users."""
+    win_ns = int(window_minutes) * 60 * 1_000_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable") \
+             .reset_index(drop=True)
+        ts = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        seg_id = np.cumsum(np.r_[False, uid[1:] != uid[:-1]]) \
+            if len(g) else np.empty(0, np.int64)
+        left, right = _rolling_bounds(ts, seg_id, win_ns)
+        pref = np.concatenate([[0], np.cumsum(cents(g["value"]))])
+        g["n_win"] = (right - left).astype("int64")
+        g["total_win"] = (pref[right] - pref[left]).astype(np.float64) / 100.0
+        return g[["user_id", "ts", "value", "n_win", "total_win"]]
+
+    return (_user_bucket(_read(sf_dir, ["user_id", "ts", "value"]),
+                         n_buckets)
+            .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+            .sort(["user_id", "ts"]))
+
+
+ROLLING_USER_SQL = """
+SELECT user_id, ts, value,
+       count(*) OVER w AS n_win,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_win
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts
+"""

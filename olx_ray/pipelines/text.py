@@ -536,6 +536,56 @@ FROM documents ORDER BY doc_id
 """
 
 
+class NormalizeText:
+    """Actor-pool stage: canonical Unicode cleanup — the first pass of
+    every pre-training text pipeline (NFC normalization, control-char
+    strip, whitespace collapse, trim). Embarrassingly parallel: no
+    shuffle, output streams at input size.
+
+    Parity bounds (so the operator stays DuckDB-oracle-able): NFC via
+    ``unicodedata`` ≡ DuckDB ``nfc_normalize`` (same Unicode algorithm);
+    control class ``[\\x00-\\x08\\x0e-\\x1f\\x7f]`` excludes the five
+    ASCII whitespace controls, which the collapse step then folds to
+    one space — identical regexes run on both sides, chosen from the
+    Python-re/RE2 agreement subset (see RedactPII). Non-ASCII spaces
+    (NBSP & friends) are deliberately preserved: RE2's ``\\s`` is
+    ASCII-only, and NFC does not touch them."""
+
+    def __init__(self):
+        import re
+        import unicodedata
+
+        self.nfc = unicodedata.normalize
+        self.ctrl = re.compile("[\x00-\x08\x0e-\x1f\x7f]")
+        self.ws = re.compile("[ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        t = batch["text"].map(lambda s: self.nfc("NFC", s))
+        t = t.str.replace(self.ctrl, "", regex=True)
+        t = t.str.replace(self.ws, " ", regex=True).str.strip(" ")
+        out["norm_text"] = t
+        out["n_chars_norm"] = t.str.len().astype("int64")
+        return out
+
+
+def normalize_text(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(NormalizeText, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+               '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def docs_per_lang(sf_dir: str):
     """Simple grouped stats over document metadata — combiner partials
     + bounded-key finish (CLAUDE.md: no bare string-key aggregate)."""

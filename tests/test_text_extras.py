@@ -371,3 +371,54 @@ def test_remove_boilerplate_lines_vs_duckdb(ray_session, tmp_path):
                  f"read_parquet('{SF}/documents.parquet')")
     want2 = con2.sql(REMOVE_BOILERPLATE_SQL).df()
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_normalize_text_vs_duckdb_and_edges(ray_session, tmp_path):
+    """NFC + control-strip + whitespace-collapse parity with the DuckDB
+    oracle — on the fixture corpus AND on crafted dirty inputs (the
+    fixture is already clean, so the edges carry the real signal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.text import NORMALIZE_TEXT_SQL, normalize_text
+
+    dirty = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "café du  monde",          # NFC: e + combining acute → é
+            "tab\tand\nnewline\r\n  runs ",  # ws runs + trim
+            "ctl\x01\x02chars\x7fgone",      # controls removed, words fuse
+            "nbsp stays",               # non-ASCII space preserved
+            "",                              # empty survives
+        ], pa.string()),
+    })
+    pq.write_table(dirty, str(tmp_path / "documents.parquet"))
+
+    got = normalize_text(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(NORMALIZE_TEXT_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    g = got.set_index("doc_id")["norm_text"]
+    assert g.loc[1] == "café du monde"
+    assert g.loc[2] == "tab and newline runs"
+    assert g.loc[3] == "ctlcharsgone"
+    assert g.loc[4] == "nbsp stays"
+    assert g.loc[5] == ""
+
+    # idempotent: normalizing the normalized output is a fixpoint
+    pq.write_table(pa.table({"doc_id": dirty["doc_id"],
+                             "text": pa.array(g.tolist(), pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    again = normalize_text(str(tmp_path)).to_pandas().reset_index(drop=True)
+    assert again["norm_text"].tolist() == got["norm_text"].tolist()
+
+    # real corpus: oracle equality end-to-end
+    got2 = normalize_text(SF).to_pandas().reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{SF}/documents.parquet')")
+    want2 = con2.sql(NORMALIZE_TEXT_SQL).df()
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
