@@ -129,8 +129,19 @@ def _extra_ops() -> dict:
                                       columns=["text"]))["text"].to_pylist()
         return dsir_select(sf, target, k=100)
 
+    def _rolling(sf):
+        from olx_ray.pipelines.events import rolling_user_window
+
+        return rolling_user_window(sf)
+
+    def _normalize(sf):
+        from olx_ray.pipelines.text import normalize_text
+
+        return normalize_text(sf)
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
-            "dsir_select": _dsir}
+            "dsir_select": _dsir, "rolling_user_window": _rolling,
+            "normalize_text": _normalize}
 
 
 def run_queries() -> dict:

@@ -712,6 +712,7 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
     from .text import word_freq_topk_approx
 
     from ..functions.hashing import hash64_array
+    from ..functions.summaries import summary_tree
 
     def side(sf):
         words = word_freq_topk_approx(sf, k=capacity, capacity=capacity,
@@ -732,14 +733,30 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
                                  "kmv": [np.r_[h, pad][:capacity]
                                          .tobytes()]})
 
+        def tok_merge(b: pd.DataFrame) -> pd.DataFrame:
+            # mergeable: sum the exact token totals, re-bottom-k the
+            # union of the KMV sketches (sentinel padding keeps every
+            # summary exactly `capacity` hashes wide)
+            if not len(b):
+                return b
+            allh = np.unique(np.concatenate(
+                [np.frombuffer(x, np.uint64) for x in b["kmv"]]))
+            pad = np.full(max(capacity - len(allh), 0),
+                          np.iinfo(np.uint64).max, np.uint64)
+            return pd.DataFrame({
+                "t": [int(b["t"].astype("int64").sum())],
+                "kmv": [np.r_[allh, pad][:capacity].tobytes()]})
+
         total_tokens, sketch = 0, np.empty(0, np.uint64)
         if n_docs:
-            parts = _read_docs(sf, ["text"]).map_batches(
-                tok_partial, batch_format="pandas",
-                batch_size=8192).take_all()
-            total_tokens = int(sum(int(r["t"]) for r in parts))
-            allh = np.unique(np.concatenate(
-                [np.frombuffer(r["kmv"], np.uint64) for r in parts]))
+            # bounded tree, NOT take_all over per-batch partials: one
+            # 32 KB summary per batch is still O(batches) driver memory
+            # at corpus scale — the tree folds them to ONE root row
+            root = summary_tree(
+                _read_docs(sf, ["text"]), tok_partial, tok_merge,
+                fan_in=fan_in, batch_size=8192).take_all()
+            total_tokens = int(root[0]["t"])
+            allh = np.frombuffer(root[0]["kmv"], np.uint64)
             sketch = allh[allh < np.iinfo(np.uint64).max][:capacity]
         return words, hist, n_docs, total_tokens, sketch
 
