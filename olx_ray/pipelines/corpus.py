@@ -828,13 +828,12 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
 
     def cost(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        empty = pa.table({
-            "doc_id": pa.array([], pa.string()),
-            "doc_tokens": pa.array([], pa.int64()),
-            "n_text_tokens": pa.array([], pa.int64()),
-            "n_media": pa.array([], pa.int64())})
-        if n == 0:
-            return empty
+        if n == 0:   # keep doc_id's own dtype even in the empty block
+            return pa.table({
+                "doc_id": pa.array([], b.schema.field("doc_id").type),
+                "doc_tokens": pa.array([], pa.int64()),
+                "n_text_tokens": pa.array([], pa.int64()),
+                "n_media": pa.array([], pa.int64())})
         from ..functions.blocks import explode_list_column
 
         parent, flat = explode_list_column(b["spans"])
@@ -849,7 +848,11 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
         text_cost = np.where(is_media, 0, ttoks)
         per_span = np.where(is_media, media_tokens, ttoks)
         return pa.table({
-            "doc_id": b["doc_id"].cast(pa.string()),
+            # doc_id passes through UNCAST: pack() sorts by it and
+            # mints pack_id in its dtype — a string cast would turn
+            # int64 ids lexicographic (doc 10 before doc 2) and break
+            # pack_id == doc_id joins back to the source table
+            "doc_id": b["doc_id"],
             "doc_tokens": pa.array(np.bincount(
                 parent, weights=per_span, minlength=n).astype(np.int64)),
             "n_text_tokens": pa.array(np.bincount(

@@ -1114,6 +1114,8 @@ def _unionfind_pairs(pairs: pd.DataFrame, col_a: str, col_b: str):
             x = parent[x]
         return x
 
+    if col_a not in pairs.columns:   # zero-row Dataset.to_pandas()
+        return {}, {}                # drops columns (see export.py)
     for a, b in zip(pairs[col_a], pairs[col_b]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
@@ -1262,14 +1264,19 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
 
         comp = connected_components(minhash_lsh_pairs(sf_dir, threshold),
                                     "doc_a", "doc_b").materialize()
-        if keep == "best_quality":
+        if comp.count() == 0:    # clean corpus: nothing to drop (an
+            comp = None          # empty Dataset has no schema to join)
+        if comp is None:
+            drop_ids = set()
+        elif keep == "best_quality":
             drop_ids = _quality_drop_ids(sf_dir, comp, n_buckets)
         else:
             non_rep = comp.map_batches(
                 lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
                            .select(["node"]),
                 batch_format="pyarrow").to_pandas()
-            drop_ids = set(non_rep["node"].tolist())
+            drop_ids = set() if "node" not in non_rep.columns else \
+                set(non_rep["node"].tolist())
     else:
         if keep != "min_id":
             raise ValueError("keep='best_quality' requires "
@@ -1319,7 +1326,8 @@ def _quality_drop_ids(sf_dir: str, comp, n_buckets: int) -> set:
                             batch_format="pyarrow")
                .groupby("_qb").map_groups(drops, batch_format="pandas")
                .to_pandas())
-    return set(non_rep["node"].tolist())
+    return set() if "node" not in non_rep.columns else \
+        set(non_rep["node"].tolist())
 
 
 # ----------------------------------------------------------- incremental
@@ -1533,15 +1541,10 @@ def neardup_incremental(corpus, new, text_col: str = "text",
         drop = nn[has_corpus[g["is_new"].to_numpy()] | (nn != rep)]
         return pd.DataFrame({"node": drop})
 
-    from ..functions.hashing import mix64
+    from ..functions.hashing import append_bucket
 
-    def lab_bucket(b: pa.Table) -> pa.Table:
-        lab = b["label"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_lb", pa.array((mix64(lab) % np.uint64(n_buckets))
-                            .astype(np.int32), pa.int32()))
-
-    drop_nodes = comp.map_batches(lab_bucket, batch_format="pyarrow") \
+    drop_nodes = comp.map_batches(append_bucket("label", n_buckets, "_lb"),
+                                  batch_format="pyarrow") \
         .groupby("_lb").map_groups(drops, batch_format="pandas").to_pandas()
     drop_ids = set() if "node" not in drop_nodes.columns else \
         set(((drop_nodes["node"].to_numpy() - 1) // 2).tolist())

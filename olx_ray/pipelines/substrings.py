@@ -213,13 +213,11 @@ def dedup_substrings(sf_dir: str, L: int = 40, winnow: int = 1,
                                pa.list_(pa.int64())),
             "ends": pa.array(agg["ends"].tolist(), pa.list_(pa.int64()))})
 
+    from ..functions.hashing import append_bucket
     from ..functions.joins import bucket_hash_join
 
     packed = spans.map_batches(
-        lambda b: b.append_column(
-            "_sb", pa.array((mix64(b["doc_id"].to_numpy()) % np.uint64(8))
-                            .astype(np.int32), pa.int32())),
-        batch_format="pyarrow") \
+        append_bucket("doc_id", n_buckets, "_sb"), batch_format="pyarrow") \
         .groupby("_sb").map_groups(pack, batch_format="pandas")
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",

@@ -549,7 +549,9 @@ class NormalizeText:
     one space — identical regexes run on both sides, chosen from the
     Python-re/RE2 agreement subset (see RedactPII). Non-ASCII spaces
     (NBSP & friends) are deliberately preserved: RE2's ``\\s`` is
-    ASCII-only, and NFC does not touch them."""
+    ASCII-only, and NFC does not touch them. NULL text normalizes to
+    the empty string on BOTH sides (the SQL coalesces) — the module's
+    null-text convention (grams/GopherRules treat null as empty)."""
 
     def __init__(self):
         import re
@@ -561,7 +563,7 @@ class NormalizeText:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
-        t = batch["text"].map(lambda s: self.nfc("NFC", s))
+        t = batch["text"].fillna("").map(lambda s: self.nfc("NFC", s))
         t = t.str.replace(self.ctrl, "", regex=True)
         t = t.str.replace(self.ws, " ", regex=True).str.strip(" ")
         out["norm_text"] = t
@@ -578,7 +580,8 @@ def normalize_text(sf_dir: str):
 NORMALIZE_TEXT_SQL = r"""
 SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
 FROM (SELECT doc_id,
-             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             trim(regexp_replace(regexp_replace(
+               nfc_normalize(coalesce(text, '')),
                '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
                '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text
       FROM documents)

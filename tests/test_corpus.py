@@ -562,3 +562,31 @@ def test_temperature_mix_extreme_weights(ray_session):
     assert set(out2["mix_source"]) == {"a", "b"} and len(out2) == 40
     # the clamped source demotes to the tail under extreme sharpening
     assert list(out2["mix_source"].head(20)) == ["a"] * 20
+
+
+def test_pack_interleaved_int64_ids_numeric_order(ray_session):
+    """int64 doc_ids keep their dtype through cost() and pack in
+    NUMERIC order (a string cast would pack doc 10 before doc 2)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import pack_interleaved
+    from olx_ray.schema import SPAN
+
+    def spans(words):
+        return [{"kind": "text", "text": " ".join(["w"] * words),
+                 "media_ref": None, "offset": 0}]
+
+    tbl = pa.table({
+        "doc_id": pa.array([10, 2, 33], pa.int64()),
+        "spans": pa.array([spans(4), spans(3), spans(5)], pa.list_(SPAN)),
+    })
+    out = pack_interleaved(rd.from_arrow(tbl), seq_len=8).to_pandas()
+    assert pd.api.types.is_integer_dtype(out["doc_id"])
+    assert pd.api.types.is_integer_dtype(out["pack_id"])
+    by = out.set_index("doc_id")
+    # numeric doc order: 2(3) + 10(4) fit one pack (7 ≤ 8); 33 opens new
+    assert by.loc[2, "pack_id"] == 2 and by.loc[2, "start_tok"] == 0
+    assert by.loc[10, "pack_id"] == 2 and by.loc[10, "start_tok"] == 3
+    assert by.loc[33, "pack_id"] == 33 and by.loc[33, "start_tok"] == 0

@@ -189,3 +189,18 @@ def test_prune_ordered_matches_loop_reference_randomized():
                     mx = (v[:i] @ v[i]).max() if i else -np.inf
                     ref[i] = mx < eps
                 assert (got == ref).all(), (s, eps, chunk)
+
+
+def test_semantic_dedup_corpus_noop_when_nothing_dropped(ray_session):
+    """eps above the max cosine → zero dropped ids; the composed filter
+    must return the whole corpus (used to KeyError on the zero-row
+    dropped frame)."""
+    from olx_ray.pipelines.semdedup import semantic_dedup_corpus
+    from olx_ray.pipelines.similarity import _train_centroids
+
+    cents = _train_centroids(SF, 8, 4096)
+    kept = semantic_dedup_corpus(SF, eps=1.01, cents=cents).to_pandas()
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    assert len(kept) == n

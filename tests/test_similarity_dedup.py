@@ -450,3 +450,39 @@ def test_knn_bruteforce_filtered_vs_duckdb(ray_session):
     # the filter is not a no-op on this corpus
     unfiltered = knn_bruteforce(SF).to_pandas()
     assert not got.equals(unfiltered)
+
+
+def test_neardup_ops_on_clean_corpus_zero_pairs(ray_session, tmp_path):
+    """A corpus with NO near-duplicates must pass through unharmed —
+    zero-row pair Datasets drop their columns in to_pandas (Ray 2.49),
+    which used to KeyError three drop-id sites."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.dedup import (dedup_keep_representatives,
+                                         neardup_groups)
+
+    texts = ["alpha bravo charlie delta echo foxtrot",
+             "one two three four five six seven",
+             "lorem ipsum dolor sit amet consectetur",
+             "the quick brown fox jumps over dogs"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    for strategy in ("distributed", "driver"):
+        groups = neardup_groups(str(tmp_path), strategy=strategy) \
+            .to_pandas()
+        assert len(groups) == 4
+        assert (groups["group_size"] == 1).all()
+        assert groups["is_representative"].all()
+
+        kept = dedup_keep_representatives(
+            str(tmp_path), strategy=strategy).to_pandas()
+        assert list(kept["doc_id"]) == [1, 2, 3, 4]   # nothing dropped
+
+    kept_q = dedup_keep_representatives(
+        str(tmp_path), strategy="distributed",
+        keep="best_quality").to_pandas()
+    assert list(kept_q["doc_id"]) == [1, 2, 3, 4]
