@@ -139,9 +139,14 @@ def _extra_ops() -> dict:
 
         return normalize_text(sf)
 
+    def _quota(sf):
+        from olx_ray.pipelines.sampling import source_quota_sample
+
+        return source_quota_sample(sf, cap=200)
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
-            "normalize_text": _normalize}
+            "normalize_text": _normalize, "source_quota_sample": _quota}
 
 
 def run_queries() -> dict:

@@ -203,6 +203,47 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         "user_id", "value", k, tiebreak_col="event_id")
 
 
+def source_quota_sample(sf_dir: str, cap: int = 50):
+    """At most ``cap`` documents per source — the RefinedWeb/C4-style
+    per-domain cap that stops one mega-crawl domain from dominating a
+    training mix. Which ``cap`` docs survive is a deterministic uniform
+    choice: priority = Knuth multiplicative hash of ``doc_id``
+    (mod 2^32 — the same construction as ``corpus.train_val_split``,
+    with the same ``HUGEINT``-cast SQL parity), ties broken by
+    ``doc_id``, so the sample is a pure function of the table —
+    independent of partitioning and repeatable across runs. Source
+    cardinality may grow with the data (hosts, not enum values):
+    the cap runs through ``group_topk``'s bucketed finish, and only
+    ``(doc_id, source)`` ever shuffles — never text."""
+    import ray.data as rd
+
+    knuth = np.uint64(2654435761)
+
+    def pri(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["doc_id"].to_numpy().astype(np.uint64)
+        return b.assign(_pri=((u * knuth) % np.uint64(4294967296))
+                        .astype(np.int64))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    capped = group_topk(
+        docs.map_batches(pri, batch_format="pandas", batch_size=65536),
+        "source", "_pri", cap, descending=False, tiebreak_col="doc_id")
+    return capped.map_batches(lambda b: b.drop(columns=["_pri"]),
+                              batch_format="pandas")
+
+
+SOURCE_QUOTA_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id::HUGEINT * 2654435761) % 4294967296,
+                    doc_id) AS rn
+  FROM documents) WHERE rn <= {cap}
+"""
+
+
 def group_quantiles(ds, group_col: str, value_col: str, qs=(25, 50, 75),
                     n_buckets: int = 32):
     """EXACT per-group discrete quantiles (``quantile_disc`` semantics:

@@ -221,3 +221,39 @@ def test_group_quantiles_string_groups_and_dup_values(ray_session):
     # b: all 4s; c: single 7
     assert out.to_dict("list") == {
         "g": ["a", "b", "c"], "q50": [2, 4, 7], "q100": [9, 4, 7]}
+
+
+def test_source_quota_sample_vs_duckdb(ray_session):
+    import duckdb
+
+    from olx_ray.pipelines.sampling import (SOURCE_QUOTA_SQL,
+                                            source_quota_sample)
+
+    got = source_quota_sample(SF, cap=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet'); "
+        + SOURCE_QUOTA_SQL.format(cap=7)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "source"]],
+                                  want[["doc_id", "source"]],
+                                  check_dtype=False)
+    # the cap binds: every source holds exactly min(cap, group size)
+    n_src = duckdb.sql(
+        f"SELECT source, count(*) AS n FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY source").df()
+    per = got.groupby("source").size()
+    for _, r in n_src.iterrows():
+        assert per.get(r["source"], 0) == min(7, r["n"])
+
+
+def test_source_quota_sample_partitioning_invariant(ray_session):
+    """The surviving set is a pure function of the table — identical
+    under different caps' subset relation and repeated runs."""
+    from olx_ray.pipelines.sampling import source_quota_sample
+
+    a = set(source_quota_sample(SF, cap=3).to_pandas()["doc_id"])
+    b = set(source_quota_sample(SF, cap=3).to_pandas()["doc_id"])
+    wide = set(source_quota_sample(SF, cap=10).to_pandas()["doc_id"])
+    assert a == b and a <= wide
