@@ -144,9 +144,15 @@ def _extra_ops() -> dict:
 
         return source_quota_sample(sf, cap=200)
 
+    def _dedup_lines(sf):
+        from olx_ray.pipelines.text import dedup_lines_within_doc
+
+        return dedup_lines_within_doc(sf)
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
-            "normalize_text": _normalize, "source_quota_sample": _quota}
+            "normalize_text": _normalize, "source_quota_sample": _quota,
+            "dedup_lines_within_doc": _dedup_lines}
 
 
 def run_queries() -> dict:

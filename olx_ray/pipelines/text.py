@@ -910,3 +910,56 @@ LEFT JOIN (SELECT doc_id,
 ORDER BY doc_id
 """
 REMOVE_BOILERPLATE_SQL = REMOVE_BOILERPLATE_SQL_TMPL.format(min_df=2)
+
+
+def dedup_lines_within_doc(sf_dir: str):
+    """Drop repeated lines WITHIN each document, keeping the first
+    occurrence in order — the within-doc sibling of
+    ``remove_boilerplate_lines`` (which removes lines repeated ACROSS
+    documents): RefinedWeb-style repetition cleanup for templated
+    pages that restate the same line many times. EXACT line match
+    (no stripping — a re-indented copy is a different line; the
+    cross-doc op owns fuzzy/stripped matching), empty lines kept
+    once like any other duplicate, NULL text = empty string (module
+    convention). Batch-local and ZERO-shuffle — every document
+    dedups inside its own batch, so this costs one streaming pass
+    at any corpus size. Output sorted by doc_id:
+    ``(doc_id, text_dedup, n_removed)``."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].fillna("").str.split("\n").explode()
+        first = ~pd.DataFrame({"i": ex.index, "line": ex.to_numpy()}) \
+            .duplicated(["i", "line"]).to_numpy()
+        kept = ex[first].groupby(level=0)
+        out = b[["doc_id"]].copy()
+        out["text_dedup"] = kept.agg("\n".join).reindex(b.index)
+        out["n_removed"] = (ex.groupby(level=0).size()
+                            - kept.size().reindex(b.index)) \
+            .astype(np.int64)
+        return out
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pandas", batch_size=2048) \
+        .sort("doc_id")
+
+
+DEDUP_LINES_SQL = r"""
+WITH expl AS (
+  SELECT doc_id, part.l AS line, part.i AS idx
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents),
+       LATERAL (SELECT unnest(ls) AS l,
+                       unnest(range(1, len(ls) + 1)) AS i) part
+), ranked AS (
+  SELECT doc_id, line, idx,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS rn
+  FROM expl
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY idx)
+         FILTER (WHERE rn = 1) AS text_dedup,
+       (count(*) - count(*) FILTER (WHERE rn = 1))::BIGINT AS n_removed
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

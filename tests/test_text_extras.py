@@ -422,3 +422,38 @@ def test_normalize_text_vs_duckdb_and_edges(ray_session, tmp_path):
                  f"read_parquet('{SF}/documents.parquet')")
     want2 = con2.sql(NORMALIZE_TEXT_SQL).df()
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_dedup_lines_within_doc_vs_duckdb(ray_session):
+    import duckdb
+
+    from olx_ray.pipelines.text import DEDUP_LINES_SQL, dedup_lines_within_doc
+
+    got = dedup_lines_within_doc(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(DEDUP_LINES_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_lines_within_doc_edges(ray_session, tmp_path):
+    """First occurrence survives in order; exact (unstripped) match;
+    empty lines dedup like any line; NULL text = empty string."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.text import dedup_lines_within_doc
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a\nb\na\nc",        # repeat mid-doc
+                          "dup\ndup\n\ndup",   # run + empty line
+                          None,                # NULL → ''
+                          "x\n  x\nx"],        # '  x' is a DIFFERENT line
+                         pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = dedup_lines_within_doc(str(tmp_path)).to_pandas()
+    assert list(out["text_dedup"]) == ["a\nb\nc", "dup\n", "", "x\n  x"]
+    assert list(out["n_removed"]) == [1, 2, 0, 1]
