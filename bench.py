@@ -149,10 +149,21 @@ def _extra_ops() -> dict:
 
         return dedup_lines_within_doc(sf)
 
+    def _hybrid(sf):
+        import pyarrow.parquet as pq
+
+        from olx_ray.pipelines.similarity import hybrid_search_rrf
+
+        pf = pq.ParquetFile(f"{sf}/documents.parquet")
+        text0 = next(pf.iter_batches(batch_size=1,
+                                     columns=["text"]))["text"][0].as_py()
+        return hybrid_search_rrf(sf, " ".join(text0.split()[:6]))
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
             "normalize_text": _normalize, "source_quota_sample": _quota,
-            "dedup_lines_within_doc": _dedup_lines}
+            "dedup_lines_within_doc": _dedup_lines,
+            "hybrid_search_rrf": _hybrid}
 
 
 def run_queries() -> dict:

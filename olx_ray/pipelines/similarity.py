@@ -474,3 +474,73 @@ SELECT query_id, neighbor_id, rank FROM (
     AND c.label = {label})
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def hybrid_search_rrf(sf_dir: str, query: str, k: int = 10, *,
+                      k_leg: int = 50, rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    Fusion (Cormack, Clarke & Büttcher, SIGIR'09 — public method;
+    ``rrf_k=60`` is the paper's constant):
+
+    1. lexical leg — ``bm25_topk`` over the query text (two streaming
+       passes, query-bounded state);
+    2. semantic leg — exact cosine top-``k_leg`` seeded by
+       pseudo-relevance feedback: the query vector is the embedding of
+       the BEST lexical hit (doc_id ≡ vec_id), read via a pushed-down
+       ``vec_id ==`` filter so only its row group leaves storage, then
+       the standard broadcast-matmul combiner. The seed doc itself is
+       excluded from this leg (the shared self-pair rule) but still
+       ranks through its lexical leg;
+    3. fusion — ``rrf = Σ_legs 1/(rrf_k + rank)`` over the two rank
+       lists. Both legs are ≤ ``k_leg`` rows by construction, so the
+       fusion is a driver-side O(k_leg) merge — bounded regardless of
+       corpus size.
+
+    Deterministic ties: every sort breaks (score desc, doc_id asc).
+    Output: top-``k`` rows ``(doc_id, rrf_score, lex_rank, sem_rank)``
+    with rank 0 meaning "absent from that leg's top-``k_leg``"."""
+    import pyarrow.dataset as pads
+
+    from .text import bm25_topk
+
+    lex = bm25_topk(sf_dir, query, k=k_leg).to_pandas()   # ≤ k_leg rows
+    if not len(lex) or "doc_id" not in lex.columns:
+        raise ValueError(f"query {query!r} matches no document")
+    lex = lex.sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+    seed_id = int(lex.loc[0, "doc_id"])
+
+    seed = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filter=pads.field("vec_id") == seed_id) \
+        .take_all()                                        # exactly 1 row
+    if not seed:
+        raise ValueError(f"no embedding for PRF seed doc {seed_id}")
+    v = np.asarray(seed[0]["embedding"], dtype=np.float64)[None, :]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ref = ray.put((np.array([seed_id], dtype=np.int64), v))
+
+    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(_LocalTopK, fn_constructor_kwargs={"queries_ref": ref,
+                                                        "k": k_leg},
+                     batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1)
+    sem = _global_topk(local, k_leg).to_pandas()           # ≤ k_leg rows
+    sem = sem.rename(columns={"neighbor_id": "doc_id",
+                              "rank": "sem_rank"})[["doc_id", "sem_rank"]]
+
+    fused = lex[["doc_id", "lex_rank"]].merge(sem, on="doc_id",
+                                              how="outer")
+    lr = fused["lex_rank"].to_numpy(np.float64)
+    sr = fused["sem_rank"].to_numpy(np.float64)
+    fused["rrf_score"] = (
+        np.where(np.isnan(lr), 0.0, 1.0 / (rrf_k + lr))
+        + np.where(np.isnan(sr), 0.0, 1.0 / (rrf_k + sr)))
+    fused["lex_rank"] = fused["lex_rank"].fillna(0).astype(np.int64)
+    fused["sem_rank"] = fused["sem_rank"].fillna(0).astype(np.int64)
+    return fused.sort_values(["rrf_score", "doc_id"],
+                             ascending=[False, True]).head(k) \
+        .reset_index(drop=True)[["doc_id", "rrf_score",
+                                 "lex_rank", "sem_rank"]]

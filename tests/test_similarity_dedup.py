@@ -486,3 +486,67 @@ def test_neardup_ops_on_clean_corpus_zero_pairs(ray_session, tmp_path):
         str(tmp_path), strategy="distributed",
         keep="best_quality").to_pandas()
     assert list(kept_q["doc_id"]) == [1, 2, 3, 4]
+
+
+def test_hybrid_search_rrf_vs_duckdb(ray_session):
+    """Engine fusion == DuckDB-computed RRF given the same legs: the
+    lexical leg re-derives through bm25_topk (itself reference-tested)
+    and everything downstream — PRF seed choice, cosine ranking, the
+    1/(60+rank) fusion, tie-breaks — recomputes independently in SQL."""
+    import duckdb
+    import numpy as np
+
+    from olx_ray.pipelines.similarity import hybrid_search_rrf
+    from olx_ray.pipelines.text import bm25_topk
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{SF}/embeddings.parquet')")
+    text0 = con.sql("SELECT text FROM documents WHERE doc_id = 0") \
+        .fetchone()[0]
+    query = " ".join(text0.split()[:6])
+    k, k_leg = 10, 20
+
+    got = hybrid_search_rrf(SF, query, k=k, k_leg=k_leg)
+
+    lexdf = bm25_topk(SF, query, k=k_leg).to_pandas()
+    assert len(lexdf) > 1
+    con.register("lexdf", lexdf)
+    seed = int(lexdf.sort_values(["score", "doc_id"],
+                                 ascending=[False, True])
+               .iloc[0]["doc_id"])
+    want = con.sql(f"""
+        WITH lexr AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM lexdf),
+        semr AS (
+          SELECT doc_id, r FROM (
+            SELECT c.vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       q.embedding, c.embedding) DESC, c.vec_id) AS r
+            FROM embeddings c,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {seed}) q
+            WHERE c.vec_id != {seed}) WHERE r <= {k_leg})
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(1.0/(60+l.r), 0) + coalesce(1.0/(60+s.r), 0)
+                 AS rrf_score,
+               coalesce(l.r, 0)::BIGINT AS lex_rank,
+               coalesce(s.r, 0)::BIGINT AS sem_rank
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT {k}""").df()
+
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["lex_rank"]) == list(want["lex_rank"])
+    assert list(got["sem_rank"]) == list(want["sem_rank"])
+    assert np.allclose(got["rrf_score"], want["rrf_score"], rtol=1e-12)
+    # both legs contribute: some fused row is lexical-only or
+    # semantic-only, and at least one row sits in both legs
+    assert ((got["lex_rank"] > 0) & (got["sem_rank"] > 0)).any()
+    # deterministic end to end
+    again = hybrid_search_rrf(SF, query, k=k, k_leg=k_leg)
+    assert got.equals(again)
