@@ -544,3 +544,43 @@ def hybrid_search_rrf(sf_dir: str, query: str, k: int = 10, *,
                              ascending=[False, True]).head(k) \
         .reset_index(drop=True)[["doc_id", "rrf_score",
                                  "lex_rank", "sem_rank"]]
+
+
+def ann_recall(sf_dir: str, variant: str = "lsh", n_queries: int = 10,
+               k: int = 10) -> pd.DataFrame:
+    """Retrieval-quality report for an ANN variant against the exact
+    brute-force ground truth — the "measure, don't guess" QA step every
+    approximate index needs before it gates a production corpus:
+
+    - ``recall_at_k`` — |ANN top-k ∩ exact top-k| / k per query;
+    - ``mrr`` — 1/rank (in the ANN list) of the TRUE nearest
+      neighbor, 0 when the ANN list misses it entirely.
+
+    Both result sets are ≤ ``n_queries × k`` rows by construction
+    (each op's local-topk combiner), so the comparison is a bounded
+    driver-side merge — corpus size never enters. Output: one row per
+    query ``(query_id, recall_at_k, mrr)`` plus a final summary row
+    ``query_id = -1`` holding the macro averages."""
+    exact = knn_bruteforce(sf_dir, n_queries, k).to_pandas()
+    if variant == "bruteforce":
+        approx = exact.copy()
+    elif variant == "lsh":
+        approx = knn_lsh(sf_dir, n_queries, k).to_pandas()
+    elif variant == "ivf":
+        approx = knn_ivf(sf_dir, n_queries, k).to_pandas()
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    hit = exact.merge(approx, on=["query_id", "neighbor_id"],
+                      how="left", suffixes=("", "_ann"))
+    per_q = hit.groupby("query_id").agg(
+        recall_at_k=("rank_ann", lambda s: s.notna().sum() / k))
+    true_nn = hit[hit["rank"] == 1]
+    mrr = (1.0 / true_nn.set_index("query_id")["rank_ann"]) \
+        .fillna(0.0).rename("mrr")
+    out = per_q.join(mrr).reset_index().sort_values("query_id") \
+        .reset_index(drop=True)
+    summary = pd.DataFrame({"query_id": [-1],
+                            "recall_at_k": [out["recall_at_k"].mean()],
+                            "mrr": [out["mrr"].mean()]})
+    return pd.concat([out, summary], ignore_index=True)

@@ -550,3 +550,19 @@ def test_hybrid_search_rrf_vs_duckdb(ray_session):
     # deterministic end to end
     again = hybrid_search_rrf(SF, query, k=k, k_leg=k_leg)
     assert got.equals(again)
+
+
+def test_ann_recall_report(ray_session):
+    from olx_ray.pipelines.similarity import ann_recall
+
+    perfect = ann_recall(SF, "bruteforce", n_queries=5, k=5)
+    assert len(perfect) == 6                      # 5 queries + summary
+    assert (perfect["recall_at_k"] == 1.0).all()
+    assert (perfect["mrr"] == 1.0).all()
+
+    lsh = ann_recall(SF, "lsh", n_queries=5, k=5)
+    s = lsh[lsh["query_id"] == -1].iloc[0]
+    assert 0.0 <= s["recall_at_k"] <= 1.0 and 0.0 <= s["mrr"] <= 1.0
+    # the repo's measured LSH recall on this fixture is 1.0; keep a
+    # loose floor so parameter tweaks fail loudly, not silently
+    assert s["recall_at_k"] >= 0.8
