@@ -540,3 +540,60 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts
 """
+
+
+def event_transitions(sf_dir: str, n_buckets: int = 64):
+    """First-order Markov transition matrix over each user's event
+    sequence: for every consecutive pair within a user (ordered by
+    ``ts``, ties by ``event_id`` — deterministic on both engine and
+    oracle sides), count ``prev_type → event_type`` and its row
+    probability ``p = n / Σ n over prev_type``. The funnel family's
+    "what happens next" diagnostic.
+
+    Shape: user-hash bucket co-location (the ``sessionize`` kernel
+    pattern — one vectorized shift per bucket, never per user), then
+    the pair counts are BOUNDED (|event_type|² keys), so the finish is
+    the small-agg coalesce. ``p`` divides the identical exact int64
+    counts as doubles (oracle parity rule)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g["event_type"].shift()
+        same = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame({"prev_type": prev[same],
+                              "event_type": g["event_type"][same]})
+        return pairs.groupby(["prev_type", "event_type"],
+                             as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    counts = _finish_small(
+        _user_bucket(_read(sf_dir, ["user_id", "ts", "event_id",
+                                    "event_type"]), n_buckets)
+        .groupby("_kb").map_groups(per_bucket, batch_format="pandas"),
+        ["prev_type", "event_type"], dict(n=("n", "sum")))
+
+    def probs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n"] = b["n"].astype(np.int64)
+        b["p"] = b["n"].astype(np.float64) \
+            / b.groupby("prev_type")["n"].transform("sum") \
+            .astype(np.float64)
+        return b.sort_values(["prev_type", "event_type"],
+                             kind="mergesort")
+
+    return counts.map_batches(probs, batch_format="pandas")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*)::BIGINT AS n,
+       count(*)::DOUBLE
+         / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+"""

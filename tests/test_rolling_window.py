@@ -96,3 +96,49 @@ def test_rolling_bounds_banded_and_loop_paths_match_brute_force():
     # empty input is well-defined on both paths
     e = np.empty(0, np.int64)
     assert all(len(x) == 0 for x in _rolling_bounds(e, e, win))
+
+
+def test_event_transitions_vs_duckdb(ray_session):
+    import duckdb
+
+    from olx_ray.pipelines.events import (EVENT_TRANSITIONS_SQL,
+                                          event_transitions)
+
+    got = event_transitions(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    want = con.sql(EVENT_TRANSITIONS_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # row-stochastic: each prev_type's probabilities sum to 1
+    sums = got.groupby("prev_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-12).all()
+
+
+def test_event_transitions_edges(ray_session, tmp_path):
+    """Single-event users emit nothing; equal timestamps order by
+    event_id; transitions never cross users."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.events import event_transitions
+
+    t0 = pd.Timestamp("2026-01-01")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([t0, t0, t0 + pd.Timedelta("1h"),
+                        t0, t0 + pd.Timedelta("2h")],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "solo1", "solo2"],
+                               pa.string()),
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = event_transitions(str(tmp_path)).to_pandas()
+    # user 7: ties at t0 order by event_id → a→b, then b→c; users 8/9
+    # have one event each and never pair (no solo1→solo2 cross-user row)
+    assert out[["prev_type", "event_type", "n"]].to_dict("list") == {
+        "prev_type": ["a", "b"], "event_type": ["b", "c"], "n": [1, 1]}
+    assert list(out["p"]) == [1.0, 1.0]
