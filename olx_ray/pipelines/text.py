@@ -963,3 +963,38 @@ FROM ranked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+class CompressionRatio:
+    """Actor-pool stage: per-document zlib compressibility — the
+    CCNet / RedPajama-v2 quality signal (public method): text that
+    compresses far below ~0.3× its size is almost always repetition
+    or boilerplate; text near 1.0× is high-entropy noise. The loop is
+    O(docs) Python overhead only — each iteration is one C zlib call
+    over the whole document, so compute stays native. Fixed level=6
+    keeps the score deterministic across runs and workers."""
+
+    def __init__(self):
+        import zlib
+        self.compress = zlib.compress
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        enc = [s.encode("utf-8", "surrogatepass")
+               for s in b["text"].fillna("")]
+        n = np.array([len(e) for e in enc], dtype=np.int64)
+        comp = np.array([len(self.compress(e, 6)) if e else 0
+                         for e in enc], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_bytes": n,
+            "compress_ratio": np.where(n > 0, comp / np.maximum(n, 1),
+                                       0.0)})
+
+
+def compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio, sorted by doc_id (non-SQL:
+    no zlib in DuckDB — tested against a direct Python reference)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(CompressionRatio, batch_format="pandas",
+                     batch_size=1024, concurrency=(1, 4)) \
+        .sort("doc_id")

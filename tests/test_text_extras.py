@@ -457,3 +457,39 @@ def test_dedup_lines_within_doc_edges(ray_session, tmp_path):
     out = dedup_lines_within_doc(str(tmp_path)).to_pandas()
     assert list(out["text_dedup"]) == ["a\nb\nc", "dup\n", "", "x\n  x"]
     assert list(out["n_removed"]) == [1, 2, 0, 1]
+
+
+def test_compression_ratio_reference_and_edges(ray_session, tmp_path):
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.text import compression_ratio
+
+    texts = ["a" * 4000,                     # pure repetition → tiny ratio
+             "The quick brown fox jumps over the lazy dog. " * 3,
+             "", None,                       # empty + NULL → ratio 0
+             "zq9#kX!7vM@2pL$5"]             # short high-entropy
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, 6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = compression_ratio(str(tmp_path)).to_pandas()
+    for _, r in out.iterrows():
+        t = texts[int(r["doc_id"]) - 1] or ""
+        e = t.encode("utf-8")
+        assert r["n_bytes"] == len(e)
+        want = len(zlib.compress(e, 6)) / len(e) if e else 0.0
+        assert np.isclose(r["compress_ratio"], want)
+    by = out.set_index("doc_id")["compress_ratio"]
+    assert by[1] < 0.05                      # repetition compresses away
+    assert by[1] < by[2] < by[5]             # monotone in entropy
+    assert by[3] == 0.0 and by[4] == 0.0
+
+    # determinism on the real fixture
+    a = compression_ratio(SF).to_pandas()
+    b = compression_ratio(SF).to_pandas()
+    assert a.equals(b)
