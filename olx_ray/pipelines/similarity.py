@@ -486,11 +486,15 @@ def hybrid_search_rrf(sf_dir: str, query: str, k: int = 10, *,
        passes, query-bounded state);
     2. semantic leg — exact cosine top-``k_leg`` seeded by
        pseudo-relevance feedback: the query vector is the embedding of
-       the BEST lexical hit (doc_id ≡ vec_id), read via a pushed-down
-       ``vec_id ==`` filter so only its row group leaves storage, then
-       the standard broadcast-matmul combiner. The seed doc itself is
-       excluded from this leg (the shared self-pair rule) but still
-       ranks through its lexical leg;
+       the BEST lexical hit that HAS one (doc_id ≡ vec_id; embedding
+       coverage may be partial — e.g. sf0.1 embeds 2k of 5k docs).
+       All ≤ ``k_leg`` lexical candidates' vectors are fetched with
+       ONE pushed-down ``isin`` filter (only matching row groups leave
+       storage) and the highest-ranked available one seeds the leg;
+       if NO candidate is embedded the op degrades to lexical-only
+       fusion (``sem_rank`` all 0). The seed doc itself is excluded
+       from this leg (the shared self-pair rule) but still ranks
+       through its lexical leg;
     3. fusion — ``rrf = Σ_legs 1/(rrf_k + rank)`` over the two rank
        lists. Both legs are ≤ ``k_leg`` rows by construction, so the
        fusion is a driver-side O(k_leg) merge — bounded regardless of
@@ -509,27 +513,33 @@ def hybrid_search_rrf(sf_dir: str, query: str, k: int = 10, *,
     lex = lex.sort_values(["score", "doc_id"], ascending=[False, True]) \
         .reset_index(drop=True)
     lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
-    seed_id = int(lex.loc[0, "doc_id"])
 
-    seed = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"],
-                           filter=pads.field("vec_id") == seed_id) \
-        .take_all()                                        # exactly 1 row
-    if not seed:
-        raise ValueError(f"no embedding for PRF seed doc {seed_id}")
-    v = np.asarray(seed[0]["embedding"], dtype=np.float64)[None, :]
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    ref = ray.put((np.array([seed_id], dtype=np.int64), v))
+    cand_ids = lex["doc_id"].astype("int64").tolist()      # ≤ k_leg ids
+    seeds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            filter=pads.field("vec_id").isin(cand_ids)) \
+        .take_all()                                        # ≤ k_leg rows
+    have = {int(r["vec_id"]): r["embedding"] for r in seeds}
+    seed_id = next((int(d) for d in cand_ids if int(d) in have), None)
 
-    local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"]) \
-        .map_batches(_LocalTopK, fn_constructor_kwargs={"queries_ref": ref,
-                                                        "k": k_leg},
-                     batch_format="pyarrow", batch_size=4096,
-                     concurrency=(1, 4), num_cpus=1)
-    sem = _global_topk(local, k_leg).to_pandas()           # ≤ k_leg rows
-    sem = sem.rename(columns={"neighbor_id": "doc_id",
-                              "rank": "sem_rank"})[["doc_id", "sem_rank"]]
+    if seed_id is None:                        # nothing embedded:
+        sem = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                            "sem_rank": pd.Series(dtype=np.int64)})
+    else:
+        v = np.asarray(have[seed_id], dtype=np.float64)[None, :]
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ref = ray.put((np.array([seed_id], dtype=np.int64), v))
+        local = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+            .map_batches(_LocalTopK,
+                         fn_constructor_kwargs={"queries_ref": ref,
+                                                "k": k_leg},
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=(1, 4), num_cpus=1)
+        sem = _global_topk(local, k_leg).to_pandas()       # ≤ k_leg rows
+        sem = sem.rename(columns={"neighbor_id": "doc_id",
+                                  "rank": "sem_rank"})[
+            ["doc_id", "sem_rank"]]
 
     fused = lex[["doc_id", "lex_rank"]].merge(sem, on="doc_id",
                                               how="outer")

@@ -566,3 +566,46 @@ def test_ann_recall_report(ray_session):
     # the repo's measured LSH recall on this fixture is 1.0; keep a
     # loose floor so parameter tweaks fail loudly, not silently
     assert s["recall_at_k"] >= 0.8
+
+
+def test_hybrid_search_rrf_partial_embedding_coverage(ray_session,
+                                                      tmp_path):
+    """Embedding coverage can be partial (sf0.1 embeds 2k of 5k docs):
+    the PRF seed falls back to the best-ranked EMBEDDED lexical hit,
+    and with no embedded candidate at all the op degrades to
+    lexical-only fusion instead of raising."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.similarity import hybrid_search_rrf
+
+    # doc 1 wins BM25 for "zebra" (repeats it) but has NO embedding;
+    # doc 2 mentions it once and IS embedded → doc 2 seeds the leg
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["zebra zebra zebra", "zebra stripes",
+                          "plain horse text", "donkey entry"],
+                         pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([2, 3, 4], pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = hybrid_search_rrf(str(tmp_path), "zebra", k=4, k_leg=4)
+    assert 1 in set(out["doc_id"])              # lexical winner survives
+    assert (out["sem_rank"] > 0).any()          # semantic leg ran
+    assert out[out["doc_id"] == 2]["lex_rank"].iloc[0] == 2
+
+    # no embedded candidate at all → lexical-only, no raise
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    lex_only = hybrid_search_rrf(str(tmp_path), "zebra", k=4, k_leg=4)
+    assert (lex_only["sem_rank"] == 0).all()
+    assert (lex_only["lex_rank"] > 0).all()
