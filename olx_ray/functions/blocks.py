@@ -79,3 +79,20 @@ def explode_list_column(col):
     parent = pc.list_parent_indices(col).to_numpy(
         zero_copy_only=False).astype(np.int64)
     return parent, pc.list_flatten(col)
+
+
+def collect_pandas(ds, columns: dict) -> pd.DataFrame:
+    """Driver-side collect that survives the zero-row column drop:
+    Ray 2.49's ``Dataset.to_pandas()`` returns a COLUMN-LESS frame for
+    an empty Dataset, so every downstream ``df[col]`` raises KeyError
+    on the empty-result path — a bug class that has now bitten five
+    separate call sites. ``columns`` maps name → numpy/pandas dtype;
+    when the collect comes back empty (or misses a column) the result
+    is an empty frame with exactly those typed columns. Only for
+    BOUNDED results (the caller must already have a driver-side-size
+    argument — pair lists, top-k legs, drop-id sets)."""
+    df = ds.to_pandas()
+    if all(c in df.columns for c in columns):
+        return df[list(columns)]
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in columns.items()})

@@ -98,3 +98,16 @@ def append_bucket(col: str, n_buckets: int, name: str = "_bucket"):
         return b.append_column(
             name, pa.array(bucket_of(k, n_buckets), pa.int32()))
     return fn
+
+
+def knuth_fingerprint32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative fingerprint mod 2^32 — THE engine↔SQL
+    deterministic id hash (``(id::HUGEINT * 2654435761) % 4294967296``
+    on the oracle side): the uint64 product wraps mod 2^64, and
+    wrap-then-mod-2^32 equals the exact product mod 2^32 for any id,
+    so both sides agree bit-for-bit. One copy shared by the corpus
+    splits (`corpus._split_fingerprint`, % 100 on top) and
+    `sampling.source_quota_sample` (raw priority) — their docstrings
+    pin "same construction"; importing it makes that true by code."""
+    return (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(4294967296)

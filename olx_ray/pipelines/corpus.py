@@ -35,20 +35,17 @@ def _read_docs(sf_dir: str, columns=None):
 
 
 # ------------------------------------------------------------------ split
-_KNUTH = 2654435761
-
-
 def _split_fingerprint(ids: np.ndarray) -> np.ndarray:
     """The 0..99 split fingerprint shared by ``train_val_split``,
     ``training_corpus`` and ``leakage_safe_split`` — ONE copy, because
     the three operators' pinned agreement (singletons of the
     leakage-safe split must equal the plain split, the composed
     pipeline must match the standalone) depends on them never
-    drifting. uint64 product (wraps mod 2^64) then mod 2^32 ≡ the
-    exact product mod 2^32 for any id — matches the HUGEINT SQL
-    oracle bit-for-bit."""
-    u = ids.astype(np.uint64)
-    return (u * np.uint64(_KNUTH)) % np.uint64(4294967296) % np.uint64(100)
+    drifting. Hash = the shared ``knuth_fingerprint32`` (engine↔SQL
+    bit-parity rationale lives there) reduced to 0..99."""
+    from ..functions.hashing import knuth_fingerprint32
+
+    return knuth_fingerprint32(ids) % np.uint64(100)
 
 
 def train_val_split(sf_dir: str, val_pct: int = 10):
@@ -144,9 +141,10 @@ def stratified_sample(sf_dir: str, pct: int = 20):
     bounded, so one vectorized task per stratum is the right shape."""
 
     def take_stratum(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import knuth_fingerprint32
+
         k = int(np.ceil(len(g) * pct / 100))
-        f = (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH)) \
-            % np.uint64(4294967296)   # uint64 wrap ≡ exact mod 2^32
+        f = knuth_fingerprint32(g["doc_id"].to_numpy())
         return g.assign(_f=f).sort_values(["_f", "doc_id"]).head(k) \
             .drop(columns="_f")
 

@@ -1271,12 +1271,12 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
         elif keep == "best_quality":
             drop_ids = _quality_drop_ids(sf_dir, comp, n_buckets)
         else:
-            non_rep = comp.map_batches(
+            from ..functions.blocks import collect_pandas
+            non_rep = collect_pandas(comp.map_batches(
                 lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
                            .select(["node"]),
-                batch_format="pyarrow").to_pandas()
-            drop_ids = set() if "node" not in non_rep.columns else \
-                set(non_rep["node"].tolist())
+                batch_format="pyarrow"), {"node": np.int64})
+            drop_ids = set(non_rep["node"].tolist())
     else:
         if keep != "min_id":
             raise ValueError("keep='best_quality' requires "
@@ -1321,13 +1321,14 @@ def _quality_drop_ids(sf_dir: str, comp, n_buckets: int) -> set:
 
     from ..functions.hashing import append_bucket
 
-    non_rep = (labeled
-               .map_batches(append_bucket("label", n_buckets, "_qb"),
+    from ..functions.blocks import collect_pandas
+
+    non_rep = collect_pandas(
+        labeled.map_batches(append_bucket("label", n_buckets, "_qb"),
                             batch_format="pyarrow")
-               .groupby("_qb").map_groups(drops, batch_format="pandas")
-               .to_pandas())
-    return set() if "node" not in non_rep.columns else \
-        set(non_rep["node"].tolist())
+        .groupby("_qb").map_groups(drops, batch_format="pandas"),
+        {"node": np.int64})
+    return set(non_rep["node"].tolist())
 
 
 # ----------------------------------------------------------- incremental
@@ -1543,9 +1544,12 @@ def neardup_incremental(corpus, new, text_col: str = "text",
 
     from ..functions.hashing import append_bucket
 
-    drop_nodes = comp.map_batches(append_bucket("label", n_buckets, "_lb"),
-                                  batch_format="pyarrow") \
-        .groupby("_lb").map_groups(drops, batch_format="pandas").to_pandas()
-    drop_ids = set() if "node" not in drop_nodes.columns else \
-        set(((drop_nodes["node"].to_numpy() - 1) // 2).tolist())
+    from ..functions.blocks import collect_pandas
+
+    drop_nodes = collect_pandas(
+        comp.map_batches(append_bucket("label", n_buckets, "_lb"),
+                         batch_format="pyarrow")
+        .groupby("_lb").map_groups(drops, batch_format="pandas"),
+        {"node": np.int64})
+    drop_ids = set(((drop_nodes["node"].to_numpy() - 1) // 2).tolist())
     return broadcast_semi(new, drop_ids, id_col, anti=True).sort(id_col)

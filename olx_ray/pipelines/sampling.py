@@ -217,12 +217,12 @@ def source_quota_sample(sf_dir: str, cap: int = 50):
     ``(doc_id, source)`` ever shuffles — never text."""
     import ray.data as rd
 
-    knuth = np.uint64(2654435761)
+    from ..functions.hashing import knuth_fingerprint32
 
     def pri(b: pd.DataFrame) -> pd.DataFrame:
-        u = b["doc_id"].to_numpy().astype(np.uint64)
-        return b.assign(_pri=((u * knuth) % np.uint64(4294967296))
-                        .astype(np.int64))
+        return b.assign(
+            _pri=knuth_fingerprint32(b["doc_id"].to_numpy())
+            .astype(np.int64))
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "source"])

@@ -252,10 +252,11 @@ def semantic_dedup_corpus(sf_dir: str, eps: float = 0.93,
 
     mask = _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows,
                                 keep, 2048, cents)
+    from ..functions.blocks import collect_pandas
+
     dropped = mask.filter(expr="keep == False").select_columns(["vec_id"])
-    dropped_df = dropped.to_pandas()   # zero rows drop columns (Ray 2.49)
-    drop_ids = set() if "vec_id" not in dropped_df.columns else \
-        set(dropped_df["vec_id"].tolist())
+    drop_ids = set(collect_pandas(dropped,
+                                  {"vec_id": np.int64})["vec_id"].tolist())
     return broadcast_semi(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"]),

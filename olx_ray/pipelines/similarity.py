@@ -536,10 +536,12 @@ def hybrid_search_rrf(sf_dir: str, query: str, k: int = 10, *,
                                                 "k": k_leg},
                          batch_format="pyarrow", batch_size=4096,
                          concurrency=(1, 4), num_cpus=1)
-        sem = _global_topk(local, k_leg).to_pandas()       # ≤ k_leg rows
-        sem = sem.rename(columns={"neighbor_id": "doc_id",
-                                  "rank": "sem_rank"})[
-            ["doc_id", "sem_rank"]]
+        from ..functions.blocks import collect_pandas
+        sem = collect_pandas(                              # ≤ k_leg rows;
+            _global_topk(local, k_leg),                    # may be EMPTY
+            {"neighbor_id": np.int64, "rank": np.int64})   # (seed = only
+        sem = sem.rename(columns={"neighbor_id": "doc_id",  # embedded doc)
+                                  "rank": "sem_rank"})
 
     fused = lex[["doc_id", "lex_rank"]].merge(sem, on="doc_id",
                                               how="outer")
@@ -571,13 +573,21 @@ def ann_recall(sf_dir: str, variant: str = "lsh", n_queries: int = 10,
     driver-side merge — corpus size never enters. Output: one row per
     query ``(query_id, recall_at_k, mrr)`` plus a final summary row
     ``query_id = -1`` holding the macro averages."""
-    exact = knn_bruteforce(sf_dir, n_queries, k).to_pandas()
+    from ..functions.blocks import collect_pandas
+
+    cols = {"query_id": np.int64, "neighbor_id": np.int64,
+            "rank": np.int64}
+    # either side can legitimately be EMPTY (single-vector corpus →
+    # the self-pair rule leaves no exact rows; ANN buckets may miss):
+    # collect_pandas keeps the typed columns so the report degrades
+    # to recall 0 instead of KeyError-ing
+    exact = collect_pandas(knn_bruteforce(sf_dir, n_queries, k), cols)
     if variant == "bruteforce":
         approx = exact.copy()
     elif variant == "lsh":
-        approx = knn_lsh(sf_dir, n_queries, k).to_pandas()
+        approx = collect_pandas(knn_lsh(sf_dir, n_queries, k), cols)
     elif variant == "ivf":
-        approx = knn_ivf(sf_dir, n_queries, k).to_pandas()
+        approx = collect_pandas(knn_ivf(sf_dir, n_queries, k), cols)
     else:
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -590,7 +600,9 @@ def ann_recall(sf_dir: str, variant: str = "lsh", n_queries: int = 10,
         .fillna(0.0).rename("mrr")
     out = per_q.join(mrr).reset_index().sort_values("query_id") \
         .reset_index(drop=True)
-    summary = pd.DataFrame({"query_id": [-1],
-                            "recall_at_k": [out["recall_at_k"].mean()],
-                            "mrr": [out["mrr"].mean()]})
+    out["mrr"] = out["mrr"].fillna(0.0)
+    summary = pd.DataFrame({
+        "query_id": [-1],
+        "recall_at_k": [out["recall_at_k"].mean() if len(out) else 0.0],
+        "mrr": [out["mrr"].mean() if len(out) else 0.0]})
     return pd.concat([out, summary], ignore_index=True)

@@ -921,10 +921,12 @@ def dedup_lines_within_doc(sf_dir: str):
     (no stripping — a re-indented copy is a different line; the
     cross-doc op owns fuzzy/stripped matching), empty lines kept
     once like any other duplicate, NULL text = empty string (module
-    convention). Batch-local and ZERO-shuffle — every document
-    dedups inside its own batch, so this costs one streaming pass
-    at any corpus size. Output sorted by doc_id:
-    ``(doc_id, text_dedup, n_removed)``."""
+    convention). The dedup itself is batch-local and shuffle-free —
+    every document rewrites inside its own batch in one streaming
+    pass; the trailing ``sort("doc_id")`` is the house ORDER BY for
+    oracle/driver determinism and IS a full-output shuffle — drop it
+    (or write partitioned) when composing into a corpus pipeline at
+    scale. Output: ``(doc_id, text_dedup, n_removed)``."""
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         ex = b["text"].fillna("").str.split("\n").explode()

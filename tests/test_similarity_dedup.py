@@ -609,3 +609,37 @@ def test_hybrid_search_rrf_partial_embedding_coverage(ray_session,
     lex_only = hybrid_search_rrf(str(tmp_path), "zebra", k=4, k_leg=4)
     assert (lex_only["sem_rank"] == 0).all()
     assert (lex_only["lex_rank"] > 0).all()
+
+
+def test_hybrid_and_ann_recall_zero_row_legs(ray_session, tmp_path):
+    """Zero-row legs must degrade, not KeyError (Ray 2.49 drops the
+    columns of an empty Dataset in to_pandas): hybrid when the PRF
+    seed is the ONLY embedded doc (the self-pair rule empties the
+    semantic leg), ann_recall on a single-vector corpus (exact side
+    empty)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.similarity import ann_recall, hybrid_search_rrf
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["zebra zebra", "horse entry", "donkey text"],
+                         pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array(
+            [np.random.default_rng(3).normal(size=8)
+             .astype(np.float32).tolist()], pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = hybrid_search_rrf(str(tmp_path), "zebra", k=3, k_leg=3)
+    assert (out["sem_rank"] == 0).all()       # leg empty, no crash
+    assert out.iloc[0]["doc_id"] == 1         # lexical ranking intact
+
+    rep = ann_recall(str(tmp_path), "bruteforce", n_queries=1, k=3)
+    assert len(rep) == 1                      # summary row only
+    assert rep.iloc[0]["query_id"] == -1
+    assert rep.iloc[0]["recall_at_k"] == 0.0 and rep.iloc[0]["mrr"] == 0.0
