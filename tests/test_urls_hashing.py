@@ -82,3 +82,36 @@ def test_bucket_of_spreads_strided_ids():
         assert len(np.unique(b)) >= 48, f"stride {stride} collapsed"
         # deterministic
         assert (bucket_of(ids, 64) == b).all()
+
+
+def test_knuth_fingerprint32_matches_hugeint_sql():
+    import duckdb
+    import numpy as np
+
+    from olx_ray.functions.hashing import knuth_fingerprint32
+
+    ids = np.array([0, 1, 2, 499, 2**31, 2**40, 2**62, 2**63 - 1],
+                   dtype=np.int64)
+    got = knuth_fingerprint32(ids)
+    want = duckdb.sql(
+        "SELECT (id::HUGEINT * 2654435761) % 4294967296 AS f FROM "
+        "(SELECT unnest([0,1,2,499,2147483648,1099511627776,"
+        "4611686018427387904,9223372036854775807]) AS id)").df()["f"]
+    assert got.tolist() == [int(x) for x in want]
+
+
+def test_collect_pandas_zero_row_and_normal(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from olx_ray.functions.blocks import collect_pandas
+
+    ds = rd.from_pandas(pd.DataFrame({"a": [3, 1], "b": ["x", "y"]}))
+    out = collect_pandas(ds, {"a": np.int64, "b": object})
+    assert list(out.columns) == ["a", "b"] and len(out) == 2
+
+    empty = ds.filter(expr="a > 100")       # zero rows drop columns
+    out0 = collect_pandas(empty, {"a": np.int64, "b": object})
+    assert list(out0.columns) == ["a", "b"] and len(out0) == 0
+    assert out0["a"].dtype == np.int64
