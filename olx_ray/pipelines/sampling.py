@@ -302,3 +302,27 @@ def group_quantiles(ds, group_col: str, value_col: str, qs=(25, 50, 75),
     return (ds.map_batches(partial, batch_format="pandas",
                            batch_size=65536)
             .groupby("_bucket").map_groups(finish, batch_format="pandas"))
+
+
+def score_band_filter(ds, value_col: str, qlo: float = 0.05,
+                      qhi: float = 0.95, id_col: str = "doc_id",
+                      sample_size: int = 4096, seed: int = 0):
+    """Keep rows whose ``value_col`` lies inside the global
+    [``qlo``, ``qhi``] quantile band — the CCNet-style "middle
+    perplexity band" selection (too low = boilerplate the LM has
+    memorized, too high = junk), generic over any scored Dataset.
+    Cuts come from ``approx_quantiles``' bottom-k sample (DKW rank
+    error ≤ ~2 % at the default 4096 — the band EDGES are approximate,
+    membership between the cuts is exact), then ONE expression filter:
+    two streaming passes, nothing but the O(sample_size) summary ever
+    leaves the workers. The kept SET is deterministic in (ids, seed);
+    row ORDER follows Ray's block completion and is not guaranteed
+    stable across runs — sort downstream when a canonical order
+    matters (the house ``.sort(id_col)`` convention). Null scores
+    drop (they match no band)."""
+    cuts = approx_quantiles(ds, value_col, id_col, (qlo, qhi),
+                            sample_size, seed)["value"]
+    lo, hi = float(cuts.iloc[0]), float(cuts.iloc[1])
+    if np.isnan(lo):                       # only-null / empty input:
+        return ds.filter(expr=f"{value_col} != {value_col}")
+    return ds.filter(expr=f"{value_col} >= {lo} and {value_col} <= {hi}")

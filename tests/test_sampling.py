@@ -257,3 +257,36 @@ def test_source_quota_sample_partitioning_invariant(ray_session):
     b = set(source_quota_sample(SF, cap=3).to_pandas()["doc_id"])
     wide = set(source_quota_sample(SF, cap=10).to_pandas()["doc_id"])
     assert a == b and a <= wide
+
+
+def test_score_band_filter_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.pipelines.sampling import approx_quantiles, score_band_filter
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=2000)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "score": pa.array(vals, pa.float64())})).repartition(8)
+
+    kept = score_band_filter(ds, "score", 0.10, 0.90).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # every kept value inside the cuts the same sample produced
+    cuts = approx_quantiles(ds, "score", "doc_id", (0.10, 0.90))["value"]
+    assert kept["score"].between(cuts.iloc[0], cuts.iloc[1]).all()
+    # kept fraction ≈ band width within the DKW bound (±~2% + slack)
+    assert abs(len(kept) / 2000 - 0.80) < 0.06
+    # deterministic
+    again = score_band_filter(ds, "score", 0.10, 0.90).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert kept.equals(again)   # the kept SET is deterministic
+
+    # null scores never pass the band
+    ds_null = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "score": pa.array([0.5, None, 0.7, None], pa.float64())}))
+    out = score_band_filter(ds_null, "score", 0.0, 1.0).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
