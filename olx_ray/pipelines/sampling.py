@@ -326,3 +326,66 @@ def score_band_filter(ds, value_col: str, qlo: float = 0.05,
     if np.isnan(lo):                       # only-null / empty input:
         return ds.filter(expr=f"{value_col} != {value_col}")
     return ds.filter(expr=f"{value_col} >= {lo} and {value_col} <= {hi}")
+
+
+def group_score_band_filter(ds, group_col: str, value_col: str,
+                            qlo: float = 0.05, qhi: float = 0.95,
+                            id_col: str = "doc_id",
+                            sample_per_group: int = 2048, seed: int = 0):
+    """Per-GROUP quantile-band keep — the full CCNet selection ("keep
+    each language's middle perplexity band", the per-lang quantile
+    `lm.perplexity_score` points at): every group gets its own
+    [``qlo``, ``qhi``] cuts, so a high-perplexity language is not
+    wiped out by a global band. Scale shape:
+
+    1. per-group uniform sample via ``group_topk`` over the
+       ``mix64(id ^ seed)`` priority (ascending — the bottom-k-per-
+       group sibling of ``reservoir_sample``); ≤ ``sample_per_group``
+       rows per group ever shuffle;
+    2. cuts per group computed driver-side over that BOUNDED frame
+       (groups × sample rows — groups must be bounded: languages,
+       sources; for unbounded groups use the global
+       ``score_band_filter``) and broadcast as one dict;
+    3. one vectorized membership map per batch.
+
+    Kept set deterministic in (ids, seed); row order = Ray block
+    order (sort downstream). Null scores and rows of unseen groups
+    drop."""
+    import ray
+
+    def pri(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[value_col].notna()]
+        ids = b[id_col].to_numpy()
+        if ids.dtype.kind in "iu":
+            p = mix64(ids.astype(np.int64, copy=False), seed)
+        else:
+            p = mix64(hash64_array(b[id_col].tolist()), seed)
+        return b.assign(_pri=p)
+
+    sample = group_topk(
+        ds.map_batches(pri, batch_format="pandas", batch_size=65536),
+        group_col, "_pri", sample_per_group,
+        descending=False, tiebreak_col=id_col).to_pandas()
+    if "_pri" in sample.columns:        # zero-row collects drop columns
+        cuts = {g: (float(np.quantile(v, qlo)), float(np.quantile(v, qhi)))
+                for g, v in sample.groupby(group_col)[value_col]}
+    else:
+        cuts = {}
+    ref = ray.put(cuts)
+
+    class Keep:
+        def __init__(self):
+            self.cuts = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            bounds = b[group_col].map(self.cuts)
+            has = bounds.notna()
+            lo = np.array([c[0] if isinstance(c, tuple) else np.inf
+                           for c in bounds])
+            hi = np.array([c[1] if isinstance(c, tuple) else -np.inf
+                           for c in bounds])
+            v = b[value_col].to_numpy(np.float64)
+            return b[has.to_numpy() & (v >= lo) & (v <= hi)]
+
+    return ds.map_batches(Keep, batch_format="pandas",
+                          batch_size=65536, concurrency=(1, 4))

@@ -290,3 +290,45 @@ def test_score_band_filter_invariants(ray_session):
         "score": pa.array([0.5, None, 0.7, None], pa.float64())}))
     out = score_band_filter(ds_null, "score", 0.0, 1.0).to_pandas()
     assert sorted(out["doc_id"]) == [0, 2]
+
+
+def test_group_score_band_filter_per_group_cuts(ray_session):
+    """Each group keeps ITS OWN middle band: a group whose scores sit
+    far above another's survives at the same rate instead of being
+    wiped out by a global band."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.pipelines.sampling import group_score_band_filter
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2 * n), pa.int64()),
+        "lang": pa.array(["lo"] * n + ["hi"] * n, pa.string()),
+        # 'hi' scores are two orders of magnitude above 'lo'
+        "score": pa.array(np.r_[rng.normal(0, 1, n),
+                                rng.normal(100, 1, n)], pa.float64()),
+    })).repartition(8)
+
+    kept = group_score_band_filter(ds, "lang", "score", 0.10, 0.90,
+                                   sample_per_group=512).to_pandas()
+    frac = kept.groupby("lang").size() / n
+    assert abs(frac["lo"] - 0.8) < 0.08 and abs(frac["hi"] - 0.8) < 0.08
+    # per-group band: the kept 'lo' rows stay near 0, 'hi' near 100
+    assert kept[kept["lang"] == "lo"]["score"].abs().max() < 10
+    assert (kept[kept["lang"] == "hi"]["score"] > 90).all()
+
+    # deterministic kept set
+    again = group_score_band_filter(ds, "lang", "score", 0.10, 0.90,
+                                    sample_per_group=512).to_pandas()
+    assert set(kept["doc_id"]) == set(again["doc_id"])
+
+    # null scores and unseen groups drop; empty input survives
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["x", "x"], pa.string()),
+        "score": pa.array([None, None], pa.float64())}))
+    out = group_score_band_filter(ds2, "lang", "score").to_pandas()
+    assert len(out) == 0
