@@ -2,10 +2,12 @@
 
 Training-data pipelines constantly need "give me k uniform rows of a
 100 TB corpus", "the p50/p95/p99 of a column", "the top-3 docs per
-language by quality" — each without materializing anything
-corpus-sized. Three operators, all built on the bounded-summary-tree
-shape (`word_freq_topk_approx`): only fixed-size summaries ever move,
-so driver and per-task memory are O(k), independent of input size.
+language by quality", "keep each language's middle perplexity band"
+— each without materializing anything corpus-sized. All built on the
+bounded-summary-tree shape (`word_freq_topk_approx`) or the group-hash
+bucketed finish: only fixed-size summaries (or ≤ k-per-group partials)
+ever move, so driver and per-task memory are O(k), independent of
+input size.
 
 - ``reservoir_sample`` — deterministic uniform k-sample: keep the k
   smallest ``mix64(id ^ seed)`` priorities ("bottom-k sampling", the
@@ -22,6 +24,11 @@ so driver and per-task memory are O(k), independent of input size.
   ≤ k·groups_in_batch rows, then one shuffle on group-hash buckets
   finishes — the q18/`word_counts` unbounded-key pattern, never one
   task per group.
+- on top of these: ``weighted_sample`` (exponential race clocks),
+  ``group_quantiles`` (exact per-group order statistics),
+  ``source_quota_sample`` (per-source cap), ``score_band_filter`` /
+  ``group_score_band_filter`` (global / per-group CCNet quantile
+  bands).
 """
 
 from __future__ import annotations
