@@ -87,12 +87,18 @@ def collect_pandas(ds, columns: dict) -> pd.DataFrame:
     an empty Dataset, so every downstream ``df[col]`` raises KeyError
     on the empty-result path — a bug class that has now bitten five
     separate call sites. ``columns`` maps name → numpy/pandas dtype;
-    when the collect comes back empty (or misses a column) the result
-    is an empty frame with exactly those typed columns. Only for
+    when the collect comes back EMPTY the result is an empty frame
+    with exactly those typed columns; a non-empty frame missing a
+    requested column raises KeyError instead. Only for
     BOUNDED results (the caller must already have a driver-side-size
     argument — pair lists, top-k legs, drop-id sets)."""
     df = ds.to_pandas()
-    if all(c in df.columns for c in columns):
-        return df[list(columns)]
-    return pd.DataFrame({c: pd.Series(dtype=t)
-                         for c, t in columns.items()})
+    if len(df) == 0 and not all(c in df.columns for c in columns):
+        # Only the zero-row collect may substitute the typed empty
+        # frame; a NON-empty frame missing a requested column raises
+        # (df[...] KeyError below) — substituting there would silently
+        # discard real rows on a caller-side column rename (e.g. an
+        # empty drop-id set turning a dedup into a no-op).
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in columns.items()})
+    return df[list(columns)]

@@ -108,6 +108,16 @@ def knuth_fingerprint32(ids: np.ndarray) -> np.ndarray:
     so both sides agree bit-for-bit. One copy shared by the corpus
     splits (`corpus._split_fingerprint`, % 100 on top) and
     `sampling.source_quota_sample` (raw priority) — their docstrings
-    pin "same construction"; importing it makes that true by code."""
+    pin "same construction"; importing it makes that true by code.
+
+    Precondition: ids must be NON-NEGATIVE. numpy ``astype(uint64)``
+    wraps a negative id mod 2^64 while DuckDB's HUGEINT ``%`` returns a
+    NEGATIVE remainder, so a negative id would silently diverge engine
+    vs oracle — asserted here rather than documented-only because the
+    helper is shared by three operators."""
+    if len(ids) and int(ids.min()) < 0:
+        raise ValueError(
+            "knuth_fingerprint32 requires non-negative ids (engine/SQL "
+            f"parity breaks on negatives); got min={int(ids.min())}")
     return (ids.astype(np.uint64) * np.uint64(2654435761)) \
         % np.uint64(4294967296)

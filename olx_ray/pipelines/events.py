@@ -581,7 +581,12 @@ def event_transitions(sf_dir: str, n_buckets: int = 64):
         return b.sort_values(["prev_type", "event_type"],
                              kind="mergesort")
 
-    return counts.map_batches(probs, batch_format="pandas")
+    # batch_size=None: _finish_small leaves ONE block, and probs needs
+    # every row of a prev_type in the same batch — the default batch
+    # size could silently split a prev_type's rows if the pair count
+    # ever exceeded it, skewing the per-row probabilities.
+    return counts.map_batches(probs, batch_format="pandas",
+                              batch_size=None)
 
 
 EVENT_TRANSITIONS_SQL = """

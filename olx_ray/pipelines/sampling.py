@@ -106,8 +106,15 @@ def approx_quantiles(ds, value_col: str, id_col: str, qs,
         out = b[[id_col, value_col]]
         return out[out[value_col].notna()]
 
-    sample = _bottomk(ds.map_batches(project, batch_format="pandas"),
-                      id_col, sample_size, seed, fan_in=32).to_pandas()
+    from ..functions.blocks import collect_pandas
+
+    # collect_pandas, not bare to_pandas(): a zero-row collect (empty /
+    # all-null input) drops columns in Ray 2.49, so sample[value_col]
+    # would KeyError before the len==0 NaN path below runs.
+    sample = collect_pandas(
+        _bottomk(ds.map_batches(project, batch_format="pandas"),
+                 id_col, sample_size, seed, fan_in=32),
+        {value_col: np.float64})
     vals = sample[value_col].to_numpy(np.float64)
     if len(vals) == 0:
         return pd.DataFrame({"q": qs, "value": np.full(len(qs), np.nan)})

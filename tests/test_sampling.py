@@ -292,6 +292,33 @@ def test_score_band_filter_invariants(ray_session):
     assert sorted(out["doc_id"]) == [0, 2]
 
 
+def test_score_band_filter_all_null_and_empty(ray_session):
+    """The documented only-null/empty path: approx_quantiles' sample
+    collect must survive Ray 2.49's zero-row column drop (collect_pandas
+    route) so the NaN-cut guard runs and yields an empty result instead
+    of a KeyError."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.pipelines.sampling import approx_quantiles, score_band_filter
+
+    all_null = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "score": pa.array([None, None, None], pa.float64())}))
+    out = score_band_filter(all_null, "score", 0.1, 0.9).to_pandas()
+    assert len(out) == 0
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64())}))
+    out2 = score_band_filter(empty, "score", 0.1, 0.9).to_pandas()
+    assert len(out2) == 0
+
+    q = approx_quantiles(all_null, "score", "doc_id", (0.5,))
+    assert np.isnan(q["value"]).all()
+
+
 def test_group_score_band_filter_per_group_cuts(ray_session):
     """Each group keeps ITS OWN middle band: a group whose scores sit
     far above another's survives at the same rate instead of being

@@ -115,3 +115,22 @@ def test_collect_pandas_zero_row_and_normal(ray_session):
     out0 = collect_pandas(empty, {"a": np.int64, "b": object})
     assert list(out0.columns) == ["a", "b"] and len(out0) == 0
     assert out0["a"].dtype == np.int64
+
+    # rows present but a requested column missing must RAISE, never
+    # silently substitute the empty frame (a caller-side rename would
+    # otherwise discard real rows, e.g. an empty dedup drop-id set)
+    import pytest
+    with pytest.raises(KeyError):
+        collect_pandas(ds, {"a": np.int64, "zz": object})
+
+
+def test_knuth_fingerprint32_rejects_negative_ids():
+    import numpy as np
+    import pytest
+
+    from olx_ray.functions.hashing import knuth_fingerprint32
+
+    with pytest.raises(ValueError):
+        knuth_fingerprint32(np.array([-1, 5], dtype=np.int64))
+    # empty input is fine
+    assert len(knuth_fingerprint32(np.array([], dtype=np.int64))) == 0
