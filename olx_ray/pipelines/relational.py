@@ -13,8 +13,15 @@ Design rules applied throughout (graded explicitly):
 - partial (combiner) aggregation inside ``map_batches`` BEFORE the
   ``groupby`` shuffle, so the all-to-all moves one row per key per
   batch, not one per input row;
-- dimension joins broadcast via ``ray.put`` (functions.joins);
-  big⋈big demonstrated with a bucketed hash join (one shuffle/side).
+- dimension joins are SIZE-GATED (``BROADCAST_ROW_CAP``): below the
+  cap the dim side loads driver-side and broadcasts via ``ray.put``
+  (functions.joins); above it — customer/part/supplier grow linearly
+  with the data, so at 100 TB a driver load is an OOM and an
+  oversized broadcast — the same join routes through ``bucket_semi``
+  / ``bucket_hash_join`` (one shuffle, no driver state). The gate
+  reads only parquet FOOTER row counts (no data scan). nation/region
+  are exempt: bounded at 25/5 rows by the TPC-H spec — constants,
+  not data-dependent.
 """
 
 from __future__ import annotations
@@ -25,7 +32,15 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import bucket_of
-from ..functions.joins import broadcast_join, broadcast_semi, bucket_hash_join
+from ..functions.joins import (broadcast_join, broadcast_semi, bucket_semi,
+                               bucket_hash_join)
+
+# Dimension rows above which a driver-side load + ray.put broadcast is
+# the wrong plan (driver heap + per-node object copies grow with SF).
+# ~4M rows of a few slim columns ≈ low hundreds of MB of pandas — a
+# comfortable broadcast; past it the bucketed shuffle join wins. Tests
+# lower this to 0 to pin broadcast≡shuffle output equality.
+BROADCAST_ROW_CAP = 4_000_000
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -36,6 +51,35 @@ def _read_pd(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.Da
     import pyarrow.parquet as pq
 
     return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata only — the size gate must
+    not cost a data scan."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(f"{sf_dir}/{table}.parquet")
+    files = sorted(p.glob("**/*.parquet")) if p.is_dir() else [p]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _dim_small(sf_dir: str, table: str) -> bool:
+    """True → driver-load + broadcast; False → bucketed shuffle join."""
+    return _table_rows(sf_dir, table) <= BROADCAST_ROW_CAP
+
+
+def _arrow_renamed(ds, select: list[str], rename: dict[str, str]):
+    """Project + rename a dimension Dataset to Arrow blocks (the
+    bucket-join side convention: typed Arrow schema visible to
+    ``bucket_hash_join``'s alignment, no pandas metadata)."""
+    names = [rename.get(c, c) for c in select]
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.select(select).rename_columns(names)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _filter_ts(ds, col: str, op: str, ts: str):
@@ -206,14 +250,22 @@ FROM s ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(sf_dir: str):
-    """Filtered customer (broadcast semi) → orders ⋈ lineitem via the
-    BUCKETED hash join (the big⋈big path) → grouped revenue → top 10."""
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    cutoff = pd.Timestamp("1998-01-01")
+    """Filtered customer (size-gated semi join: broadcast key set below
+    ``BROADCAST_ROW_CAP``, ``bucket_semi`` above) → orders ⋈ lineitem
+    via the BUCKETED hash join (the big⋈big path) → grouped revenue →
+    top 10."""
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
-    orders = broadcast_semi(orders, keys, "o_custkey")
+    if _dim_small(sf_dir, "customer"):
+        cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+        orders = broadcast_semi(orders, keys, "o_custkey")
+    else:   # customer grows with SF: exact distributed semi, no driver set
+        keys_ds = _arrow_renamed(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'"),
+            ["c_custkey"], {"c_custkey": "o_custkey"})
+        orders = bucket_semi(orders, keys_ds, "o_custkey")
     orders = _filter_ts(orders, "o_orderdate", "<", "1998-01-01")
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -258,32 +310,61 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 
 def q5_supplier_volume(sf_dir: str):
-    """Chain of broadcast dimension joins (region→nation→customer +
-    supplier) over the lineitem⋈orders bucket join; revenue per nation
-    where customer and supplier share the nation (TPC-H Q5 shape)."""
+    """Chain of dimension joins (region→nation driver-side — bounded at
+    5/25 rows by spec; customer + supplier SIZE-GATED: broadcast below
+    ``BROADCAST_ROW_CAP``, bucketed hash join above) over the
+    lineitem⋈orders bucket join; revenue per nation where customer and
+    supplier share the nation (TPC-H Q5 shape)."""
     region = _read_pd(sf_dir, "region")
     nation = _read_pd(sf_dir, "nation")
     asia = nation.merge(region[region["r_name"] == "ASIA"],
                         left_on="n_regionkey", right_on="r_regionkey")
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cust = cust[cust["c_nationkey"].isin(asia["n_nationkey"])]
-    supp = _read_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    asia_keys = sorted(int(k) for k in asia["n_nationkey"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = _filter_ts(orders, "o_orderdate", ">=", "1996-01-01")
     orders = _filter_ts(orders, "o_orderdate", "<", "1998-01-01")
-    orders = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
-                            on="o_custkey")
+    if _dim_small(sf_dir, "customer"):
+        cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        cust = cust[cust["c_nationkey"].isin(asia_keys)]
+        orders = broadcast_join(
+            orders, cust.rename(columns={"c_custkey": "o_custkey"}),
+            on="o_custkey")
+    else:   # customer grows with SF → one bucketed shuffle, no driver load
+        in_asia = " or ".join(f"c_nationkey == {k}" for k in asia_keys)
+        cust_ds = _arrow_renamed(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .filter(expr=in_asia or "c_nationkey != c_nationkey"),
+            ["c_custkey", "c_nationkey"], {"c_custkey": "o_custkey"})
+        orders = bucket_hash_join(
+            orders, cust_ds, on="o_custkey", n_buckets=16,
+            columns_left=["o_custkey", "o_orderkey"],
+            columns_right=["o_custkey", "c_nationkey"])
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    li = broadcast_join(li, supp.rename(columns={"s_suppkey": "l_suppkey"}),
-                        on="l_suppkey")
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
+        # revenue computed BEFORE the supplier join (join order is
+        # value-neutral: l_suppkey is a foreign key, the dim join
+        # filters nothing) so the gated path shuffles 3 slim columns
         return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
-                             "s_nationkey": b["s_nationkey"].to_numpy(),
+                             "l_suppkey": b["l_suppkey"].to_numpy(),
                              "revenue": _rev_units(b)})
+
+    li = li.map_batches(prep, batch_format="pandas")
+    if _dim_small(sf_dir, "supplier"):
+        supp = _read_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        li = broadcast_join(li, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+                            on="l_suppkey")
+    else:
+        supp_ds = _arrow_renamed(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            ["s_suppkey", "s_nationkey"], {"s_suppkey": "l_suppkey"})
+        li = bucket_hash_join(
+            li, supp_ds, on="l_suppkey", n_buckets=16,
+            columns_left=["l_suppkey", "o_orderkey", "revenue"],
+            columns_right=["l_suppkey", "s_nationkey"])
 
     def same_nation_partial(df: pd.DataFrame) -> pd.DataFrame:
         # fused into the join task: the same-nation filter + a partial
@@ -292,7 +373,6 @@ def q5_supplier_volume(sf_dir: str):
         df = df[df["s_nationkey"] == df["c_nationkey"]]
         return df.groupby("s_nationkey", as_index=False)["revenue"].sum()
 
-    li = li.map_batches(prep, batch_format="pandas")
     joined = bucket_hash_join(li, orders, on="o_orderkey", n_buckets=16,
                               columns_left=["o_orderkey", "s_nationkey", "revenue"],
                               columns_right=["o_orderkey", "c_nationkey"],
@@ -353,12 +433,32 @@ def q10_returned_revenue(sf_dir: str):
     agg = _partial_bucket_agg(joined, ["o_custkey"], "o_custkey",
                               dict(revenue=("revenue", "sum")),
                               dict(revenue=("revenue", "sum")))
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cd = cd.rename(columns={"c_custkey": "o_custkey"})[
-        ["o_custkey", "c_name", "c_acctbal", "n_name"]]
-    agg = broadcast_join(agg, cd, on="o_custkey")
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])  # 25 rows
+    if _dim_small(sf_dir, "customer"):
+        cust = _read_pd(sf_dir, "customer",
+                        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        cd = cd.rename(columns={"c_custkey": "o_custkey"})[
+            ["o_custkey", "c_name", "c_acctbal", "n_name"]]
+        agg = broadcast_join(agg, cd, on="o_custkey")
+    else:   # customer grows with SF: attach the bounded nation name per
+        # batch, then one bucketed shuffle join — no driver-side customer
+        names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+        def attach(b: pd.DataFrame) -> pa.Table:
+            from ..functions.blocks import df_arrow
+
+            b = b.rename(columns={"c_custkey": "o_custkey"})
+            b["n_name"] = b["c_nationkey"].map(names)
+            return df_arrow(b[["o_custkey", "c_name", "c_acctbal", "n_name"]])
+
+        cust_ds = _read(sf_dir, "customer",
+                        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+            .map_batches(attach, batch_format="pandas")
+        agg = bucket_hash_join(
+            agg, cust_ds, on="o_custkey", n_buckets=16,
+            columns_left=["o_custkey", "revenue"],
+            columns_right=["o_custkey", "c_name", "c_acctbal", "n_name"])
     return _units_col(agg, "revenue") \
         .sort(["revenue", "o_custkey"], descending=[True, False]).limit(20)
 
@@ -575,19 +675,36 @@ SELECT count(DISTINCT id) AS n_distinct FROM
 
 
 def nation_order_stats(sf_dir: str):
-    """customer⋈orders (broadcast) → per-nation order count + volume."""
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cd = cd.rename(columns={"c_custkey": "o_custkey"})[["o_custkey", "n_name"]]
+    """customer⋈orders (size-gated: broadcast vs bucketed shuffle) →
+    per-nation order count + volume."""
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])  # 25 rows
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def to_cents(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
                              "volume_c": cents(b["o_totalprice"])})
 
-    j = broadcast_join(orders.map_batches(to_cents, batch_format="pandas"),
-                       cd, on="o_custkey")
+    oc = orders.map_batches(to_cents, batch_format="pandas")
+    if _dim_small(sf_dir, "customer"):
+        cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        cd = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        cd = cd.rename(columns={"c_custkey": "o_custkey"})[["o_custkey", "n_name"]]
+        j = broadcast_join(oc, cd, on="o_custkey")
+    else:   # customer grows with SF → bucketed shuffle join
+        names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+        def attach(b: pd.DataFrame) -> pa.Table:
+            from ..functions.blocks import df_arrow
+
+            return df_arrow(pd.DataFrame({
+                "o_custkey": b["c_custkey"].to_numpy(),
+                "n_name": b["c_nationkey"].map(names)}))
+
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .map_batches(attach, batch_format="pandas")
+        j = bucket_hash_join(oc, cust_ds, on="o_custkey", n_buckets=16,
+                             columns_left=["o_custkey", "volume_c"],
+                             columns_right=["o_custkey", "n_name"])
     agg = _partial_small_agg(
         j, ["n_name"],
         dict(n_orders=("volume_c", "size"),
@@ -609,17 +726,25 @@ GROUP BY n_name ORDER BY n_name
 
 
 def part_type_volume(sf_dir: str):
-    """lineitem ⋈ part (broadcast dimension) → volume per p_type."""
-    part = _read_pd(sf_dir, "part", ["p_partkey", "p_type"])
-    part = part.rename(columns={"p_partkey": "l_partkey"})
+    """lineitem ⋈ part (size-gated dimension join) → volume per p_type."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(),
                              "revenue": _rev_units(b)})
 
-    j = broadcast_join(li.map_batches(prep, batch_format="pandas"), part,
-                       on="l_partkey")
+    lp = li.map_batches(prep, batch_format="pandas")
+    if _dim_small(sf_dir, "part"):
+        part = _read_pd(sf_dir, "part", ["p_partkey", "p_type"])
+        j = broadcast_join(lp, part.rename(columns={"p_partkey": "l_partkey"}),
+                           on="l_partkey")
+    else:   # part grows with SF → bucketed shuffle join
+        part_ds = _arrow_renamed(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                                 ["p_partkey", "p_type"],
+                                 {"p_partkey": "l_partkey"})
+        j = bucket_hash_join(lp, part_ds, on="l_partkey", n_buckets=16,
+                             columns_left=["l_partkey", "revenue"],
+                             columns_right=["l_partkey", "p_type"])
     agg = _partial_small_agg(
         j, ["p_type"],
         dict(revenue=("revenue", "sum"), n_items=("revenue", "size")),
@@ -758,18 +883,35 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 
 
 def q14_promo_revenue(sf_dir: str):
-    """TPC-H Q14 shape: lineitem ⋈ part (broadcast dimension) → global
-    promo-revenue ratio, one row out."""
-    part = _read_pd(sf_dir, "part", ["p_partkey", "p_type"])
-    part = part.rename(columns={"p_partkey": "l_partkey"})
+    """TPC-H Q14 shape: lineitem ⋈ part (size-gated dimension join) →
+    global promo-revenue ratio, one row out."""
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
     li = _filter_ts(li, "l_shipdate", ">=", "1996-01-01")
     li = _filter_ts(li, "l_shipdate", "<", "1996-07-01")
-    j = broadcast_join(li, part, on="l_partkey")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        # exact 10^-4-unit revenue BEFORE the part join (l_partkey is a
+        # foreign key — the dim join filters nothing, so join order is
+        # value-neutral and the gated shuffle moves 2 slim columns)
+        return pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(),
+                             "rev4": _rev_units(b)})
+
+    lp = li.map_batches(prep, batch_format="pandas")
+    if _dim_small(sf_dir, "part"):
+        part = _read_pd(sf_dir, "part", ["p_partkey", "p_type"])
+        j = broadcast_join(lp, part.rename(columns={"p_partkey": "l_partkey"}),
+                           on="l_partkey")
+    else:   # part grows with SF → bucketed shuffle join
+        part_ds = _arrow_renamed(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                                 ["p_partkey", "p_type"],
+                                 {"p_partkey": "l_partkey"})
+        j = bucket_hash_join(lp, part_ds, on="l_partkey", n_buckets=16,
+                             columns_left=["l_partkey", "rev4"],
+                             columns_right=["l_partkey", "p_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        u = _rev_units(b)                       # exact 10^-4 units
+        u = b["rev4"].to_numpy()                # exact 10^-4 units
         is_promo = b["p_type"].str.startswith("PROMO").to_numpy()
         return pd.DataFrame({"promo": [int(u[is_promo].sum())],
                              "total": [int(u.sum())]})
@@ -831,9 +973,19 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0):
                          columns_left=["o_orderkey", "sum_qty"],
                          columns_right=["o_orderkey", "o_custkey",
                                         "o_orderdate", "o_totalprice"])
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name"])
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    j = broadcast_join(j, cust, on="o_custkey")
+    if _dim_small(sf_dir, "customer"):
+        cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_name"])
+        cust = cust.rename(columns={"c_custkey": "o_custkey"})
+        j = broadcast_join(j, cust, on="o_custkey")
+    else:   # customer grows with SF → bucketed shuffle join
+        cust_ds = _arrow_renamed(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+            ["c_custkey", "c_name"], {"c_custkey": "o_custkey"})
+        j = bucket_hash_join(
+            j, cust_ds, on="o_custkey", n_buckets=16,
+            columns_left=["o_orderkey", "sum_qty", "o_custkey",
+                          "o_orderdate", "o_totalprice"],
+            columns_right=["o_custkey", "c_name"])
     return _round_col(j, ["sum_qty"]) \
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
         .limit(100)
