@@ -12,8 +12,9 @@ operators a training-data pipeline runs AFTER cleaning/dedup:
   eval-leak check). The benchmark n-gram hash set is the ONLY
   broadcast (benchmark-bounded, never corpus-bounded).
 - ``pack_sequences``      — greedy token packing of documents into
-  fixed-capacity training sequences, packed per batch so the
-  operator streams (no global state); invariants pinned in tests.
+  fixed-capacity training sequences, packed per explicit doc_id-hash
+  bucket so pack assignment is a pure function of the table
+  (partition-invariant); invariants pinned in tests.
 
 All per-batch kernels are vectorized; stateful setup happens once per
 actor / task closure."""
@@ -282,11 +283,16 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
         token packing
 
     Text is dropped after the first pass (hash + token count carry
-    forward), so the only shuffle — the dedup groupby — moves narrow
-    rows. Output: one row per surviving doc with its split and pack
-    assignment. Invariants pinned in tests; components individually
-    oracle-checked / tested via their own operators
-    (``contamination_13gram``, ``pack_sequences``)."""
+    forward), so both shuffles — the dedup groupby and the pack-bucket
+    groupby — move narrow rows only. Packing runs per explicit
+    doc_id-hash bucket (sorted within the bucket, one packer per
+    split), making the WHOLE output a pure function of
+    ``(table, parameters)`` — partition/batch-layout invariant like
+    every other operator (batch-local packing made pack composition
+    depend on Ray's block cuts). Output: one row per surviving doc
+    with its split and pack assignment. Invariants pinned in tests;
+    components individually oracle-checked / tested via their own
+    operators (``contamination_13gram``, ``pack_sequences``)."""
     from ..functions.hashing import hash64
     from .text import QualityScore
 
@@ -307,11 +313,18 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
         return out[["doc_id", "n_tokens", "quality", "text_hash", "bucket"]]
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import bucket_of
+
         idx = g.groupby("text_hash")["doc_id"].idxmin()
-        return g.loc[idx.sort_values()].drop(columns=["bucket", "text_hash"])
+        out = g.loc[idx.sort_values()].drop(columns=["bucket", "text_hash"])
+        # pack-bucket by doc_id HASH: the pack stage groups on this, so
+        # pack assignment is a pure function of the surviving rows —
+        # never of the block layout this task happened to see
+        return out.assign(
+            _pb=bucket_of(out["doc_id"].to_numpy().astype(np.int64), 64))
 
     def assign_and_pack(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values("doc_id")
+        b = b.drop(columns=["_pb"]).sort_values("doc_id")
         ids = b["doc_id"].to_numpy()
         split = np.where(_split_fingerprint(ids) < 90, "train", "val")
         counts = b["n_tokens"].to_numpy()
@@ -334,8 +347,8 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
             .map_batches(featurize, batch_format="pandas", batch_size=2048)
             .filter(expr=f"quality >= {quality_min}")
             .groupby("bucket").map_groups(keep_min, batch_format="pandas")
-            .map_batches(assign_and_pack, batch_format="pandas",
-                         batch_size=4096)
+            .groupby("_pb").map_groups(assign_and_pack,
+                                       batch_format="pandas")
             .sort("doc_id"))
 
 
@@ -369,22 +382,36 @@ def _greedy_pack(ids, counts, seq_len: int):
     return pack_ids, starts, ntoks, trunc
 
 
-def pack_sequences(sf_dir: str, seq_len: int = 512):
-    """Greedy token packing: documents (in doc_id order within each
-    batch) are packed into fixed-capacity training sequences. Packing
-    is BATCH-LOCAL so the operator streams with no global state — at
-    most one underfull pack per batch, the standard trade-off. A doc
-    longer than ``seq_len`` gets its own pack, truncated (flagged).
+def pack_sequences(sf_dir: str, seq_len: int = 512, n_buckets: int = 64):
+    """Greedy token packing: documents are packed into fixed-capacity
+    training sequences PER EXPLICIT doc_id-HASH BUCKET (sorted by
+    doc_id inside each bucket), so pack assignment is a PURE FUNCTION
+    of ``(table, seq_len, n_buckets)`` — independent of block layout,
+    partitioning and batch boundaries, repeatable across runs and
+    cluster sizes (batch-local packing made pack composition depend on
+    how Ray happened to cut blocks). ``n_buckets`` is part of the
+    contract like ``seq_len``: changing it changes pack composition.
+    At most one underfull pack per bucket; a doc longer than
+    ``seq_len`` gets its own pack, truncated (flagged). Token counts
+    are computed BEFORE the bucket shuffle, so only
+    ``(doc_id, n_tokens)`` rows move — never text.
 
     Output: one row per packed doc — (pack_id, doc_id, start_tok,
     n_tokens, truncated); pack_id = doc_id of the pack's first doc
     (globally unique, deterministic)."""
+    from ..functions.hashing import bucket_of
+
+    def featurize(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        counts = b["text"].str.split().str.len().fillna(0) \
+            .astype("int64").to_numpy()
+        return pd.DataFrame({"doc_id": ids, "_cnt": counts,
+                             "_pb": bucket_of(ids, n_buckets)})
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("doc_id")
         ids = b["doc_id"].to_numpy()
-        counts = b["text"].str.split().str.len().fillna(0) \
-            .astype("int64").to_numpy()
+        counts = b["_cnt"].to_numpy()
         pack_ids, starts, ntoks, trunc = _greedy_pack(ids, counts, seq_len)
         return pd.DataFrame({
             "pack_id": pd.Series(pack_ids, dtype="int64"),
@@ -394,8 +421,10 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
             "truncated": pd.Series(trunc, dtype="bool"),
         })
 
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        pack, batch_format="pandas", batch_size=4096).sort("doc_id")
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(featurize, batch_format="pandas", batch_size=4096) \
+        .groupby("_pb").map_groups(pack, batch_format="pandas") \
+        .sort("doc_id")
 
 
 def weighted_interleave(sources: dict[str, tuple], id_col: str = "doc_id",
@@ -804,18 +833,21 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
 
 
 # ------------------------------------------------- interleaved packing
-def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
+def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32,
+                     n_buckets: int = 64):
     """Greedy packing of INTERLEAVED text+media span documents (the
     crawl's payload schema — ``(doc_id, spans:list<struct<kind, text,
     media_ref, offset>>)``) into fixed-budget training sequences: the
     MMC4/OBELICS-style assembly step for multimodal LMs (Zhu'23 /
     Laurençon'23 — public pattern). A media span costs the fixed
     ``media_tokens`` visual-token budget, a text span its whitespace
-    token count; docs pack WHOLE in doc_id order (batch-local, like
-    ``pack_sequences`` — at most one underfull pack per batch), so
-    each document's span interleaving order survives packing intact.
-    A doc whose total cost exceeds ``seq_len`` gets its own pack,
-    flagged truncated.
+    token count; docs pack WHOLE, per explicit doc_id-HASH bucket in
+    doc_id order (like ``pack_sequences`` — pack assignment is a pure
+    function of ``(table, seq_len, media_tokens, n_buckets)``,
+    independent of block layout; at most one underfull pack per
+    bucket), so each document's span interleaving order survives
+    packing intact. A doc whose total cost exceeds ``seq_len`` gets
+    its own pack, flagged truncated.
 
     Per-doc costs are computed with one vectorized Arrow explode
     (``list_parent_indices`` + ``bincount`` — no Python loop over
@@ -824,6 +856,18 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
     n_media, truncated)``, sorted by doc_id."""
     import pyarrow.compute as pc
 
+    def _pb_of(ids) -> np.ndarray:
+        # int ids via the mixed bucket hash; string crawl ids via the
+        # stable content hash — both partition-invariant
+        from ..functions.hashing import bucket_of, hash64_array
+
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            return bucket_of(ids.to_numpy(zero_copy_only=False)
+                             .astype(np.int64), n_buckets)
+        return (hash64_array(ids) % np.uint64(n_buckets)).astype(np.int32)
+
     def cost(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n == 0:   # keep doc_id's own dtype even in the empty block
@@ -831,7 +875,8 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
                 "doc_id": pa.array([], b.schema.field("doc_id").type),
                 "doc_tokens": pa.array([], pa.int64()),
                 "n_text_tokens": pa.array([], pa.int64()),
-                "n_media": pa.array([], pa.int64())})
+                "n_media": pa.array([], pa.int64()),
+                "_pb": pa.array([], pa.int32())})
         from ..functions.blocks import explode_list_column
 
         parent, flat = explode_list_column(b["spans"])
@@ -858,6 +903,7 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
             "n_media": pa.array(np.bincount(
                 parent, weights=is_media.astype(np.int64),
                 minlength=n).astype(np.int64)),
+            "_pb": pa.array(_pb_of(b["doc_id"]), pa.int32()),
         })
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
@@ -877,7 +923,7 @@ def pack_interleaved(docs, seq_len: int = 2048, media_tokens: int = 32):
         })
 
     return docs.map_batches(cost, batch_format="pyarrow") \
-        .map_batches(pack, batch_format="pandas", batch_size=4096) \
+        .groupby("_pb").map_groups(pack, batch_format="pandas") \
         .sort("doc_id")
 
 

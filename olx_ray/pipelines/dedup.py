@@ -905,18 +905,38 @@ def _load_emb_chunk(file: str, rg: int, off: int, length: int):
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
-                            chunk_rows: int = 8192):
+                            chunk_rows: int = 8192,
+                            max_rows: int | None = 200_000):
     """EXACT pairs of embeddings with cosine ≥ τ, as a chunked all-pairs
     scan: the corpus is loaded once into plasma as normalized chunks
     (one task per parquet row-group slice), and every batch of the scan
     side streams the chunks sequentially — worker heap holds ONE chunk
     at a time, never the whole matrix, and chunks wholly below the
     batch's min id are skipped (upper-triangle pruning via chunk id
-    ranges). O(N²/2) similarity work is inherent to the exact operator;
-    hyperplane LSH at τ=0.45 (θ≈63°) needs ~48 band tables for recall≈1
-    and does MORE pair work than this scan — the approximate LSH path
-    (`embedding_neardup_lsh`) wins only at high thresholds."""
+    ranges).
+
+    QUADRATIC CONTRACT: similarity work is O(N²/2) BY CONSTRUCTION —
+    this operator is the ORACLE COMPANION (the exact answer LSH recall
+    is measured against) and the right tool only for corpora whose N²
+    is affordable. It refuses inputs above ``max_rows`` (parquet-footer
+    count, no scan) and points to `embedding_neardup_lsh`, the 100 TB
+    path; pass ``max_rows=None`` to consciously accept the quadratic
+    cost (e.g. oracle runs on a sampled slice). The default 200k rows
+    ≈ 2·10¹⁰ dot-row ops — minutes on one node, the knee past which
+    LSH always wins. (At τ=0.45 LSH needs ~48+ band tables for
+    recall≈1, so BELOW the knee the exact scan is also the faster
+    choice — see the LSH docstring.)"""
     path = f"{sf_dir}/embeddings.parquet"
+    if max_rows is not None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is O(N²) by construction and "
+                f"refuses N={n} > max_rows={max_rows}. Use "
+                f"embedding_neardup_lsh (the scale path), or pass "
+                f"max_rows=None to accept the quadratic cost.")
     meta_refs, data_refs = [], []
     for spec in _emb_chunk_specs(path, chunk_rows):
         meta, data = _load_emb_chunk.remote(*spec)

@@ -92,6 +92,22 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     assert len(es & aps) / len(es) >= 0.9
 
 
+def test_embedding_neardup_pairs_quadratic_guard(ray_session):
+    """The exact all-pairs entry is the ORACLE COMPANION: above
+    max_rows it must fail loud toward embedding_neardup_lsh instead of
+    silently starting an O(N²) scan; max_rows=None opts back in."""
+    import pytest
+
+    from olx_ray.pipelines.dedup import embedding_neardup_pairs
+
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs(SF, max_rows=1)
+    # the guard reads footer metadata only — building the (lazy)
+    # pipeline under the bound still works
+    assert embedding_neardup_pairs(SF, max_rows=None).to_pandas() \
+        .equals(embedding_neardup_pairs(SF).to_pandas())
+
+
 def test_neardup_groups_invariants(ray_session):
     """Groups must be exactly the union-find closure of the verified
     pairs: both ends of every verified pair share a group, group_id is
