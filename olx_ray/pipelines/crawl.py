@@ -416,24 +416,40 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
                 nxt_frontier = cand
                 n_survivors = n_cand
             else:
-                survivors = []
+                # ONE per-group-capped selection for ALL searches (a
+                # filter+sort+limit+count execution per search_id was
+                # one Dataset run per search per round): group_topk
+                # with a {search_id: remaining} cap map — smallest
+                # discovered_seq first, url tiebreak (seqs are unique
+                # by construction; the tiebreak pins determinism
+                # anyway)
+                from .sampling import group_topk
+
                 listings_next = cand.filter(expr="depth == 0")
                 n_survivors += n_listing_cand
-                for sid, cap in max_counts.items():
-                    remaining = cap - ads_admitted[sid]
-                    if remaining <= 0:
-                        continue
-                    picked = cand.filter(
-                        expr=f"depth == 1 and search_id == {sid}") \
-                        .sort("discovered_seq").limit(remaining)
-                    n_picked = picked.count()
-                    ads_admitted[sid] += n_picked
-                    n_survivors += n_picked
-                    if n_picked:
-                        survivors.append(picked)
-                nxt_frontier = listings_next
-                for sv in survivors:
-                    nxt_frontier = nxt_frontier.union(sv)
+                remaining = {sid: cap - ads_admitted[sid]
+                             for sid, cap in max_counts.items()
+                             if cap - ads_admitted[sid] > 0}
+                if remaining:
+                    picked = group_topk(
+                        cand.filter(expr="depth == 1"), "search_id",
+                        "discovered_seq", remaining, descending=False,
+                        tiebreak_col="url").materialize()
+                    from ..functions.blocks import collect_pandas
+
+                    per_sid = collect_pandas(
+                        picked.map_batches(
+                            lambda b: b.groupby("search_id", as_index=False)
+                            .size().rename(columns={"size": "n"}),
+                            batch_format="pandas"),
+                        {"search_id": np.int64, "n": np.int64})
+                    for sid, n_picked in per_sid.groupby("search_id")["n"] \
+                            .sum().items():
+                        ads_admitted[int(sid)] += int(n_picked)
+                        n_survivors += int(n_picked)
+                    nxt_frontier = listings_next.union(picked)
+                else:
+                    nxt_frontier = listings_next
         else:
             nxt_frontier = None
         _mark("cap")

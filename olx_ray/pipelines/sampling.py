@@ -154,7 +154,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
         .map_batches(_drop_pri, batch_format="pandas")
 
 
-def group_topk(ds, group_col: str, order_col: str, k: int,
+def group_topk(ds, group_col: str, order_col: str, k,
                descending: bool = True, tiebreak_col: str | None = None,
                n_buckets: int = 32):
     """EXACT top-k rows per group, deterministic: ordered by
@@ -162,12 +162,22 @@ def group_topk(ds, group_col: str, order_col: str, k: int,
     to the group col — pass a unique id for full determinism on value
     ties). Group cardinality may grow with the data: the finish runs
     per group-HASH bucket (one vectorized sort + ``groupby().head`` per
-    bucket), never per group."""
+    bucket), never per group.
+
+    ``k`` may be an int (one cap for every group) or a ``{group: k}``
+    dict — PER-GROUP caps in one pass (the crawl's per-search ad cap:
+    one execution instead of one filter+sort+limit per group). With a
+    dict, groups absent from it get k=0 (dropped)."""
     tb = tiebreak_col or group_col
+    per_group = dict(k) if isinstance(k, dict) else None
 
     def topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values([order_col, tb], ascending=[not descending, True],
                           kind="mergesort")
+        if per_group is not None:
+            caps = b[group_col].map(per_group).fillna(0).to_numpy(np.int64)
+            rank = b.groupby(group_col, sort=False).cumcount().to_numpy()
+            return b[rank < caps]
         return b.groupby(group_col, sort=False).head(k)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -189,11 +199,23 @@ def group_topk(ds, group_col: str, order_col: str, k: int,
 
 
 def sample_documents(sf_dir: str, k: int = 100, seed: int = 0):
-    """Uniform document sample — the corpus-inspection entry point."""
+    """Uniform document sample — the corpus-inspection entry point.
+
+    Two passes so the WIDE columns never ride the sample machinery:
+    priorities need only ``doc_id`` (a column-pruned scan that decodes
+    no text), then the k winning ids broadcast-semi-join the full rows
+    back. The text scan is the second pass's column-pruned read; only
+    k full rows ever leave it."""
     import ray.data as rd
 
-    return reservoir_sample(
-        rd.read_parquet(f"{sf_dir}/documents.parquet"), "doc_id", k, seed)
+    from ..functions.joins import broadcast_semi
+
+    ids = reservoir_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        "doc_id", k, seed).to_pandas()["doc_id"]
+    return broadcast_semi(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"),
+        set(int(i) for i in ids), "doc_id")
 
 
 def event_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99),

@@ -359,3 +359,20 @@ def test_group_score_band_filter_per_group_cuts(ray_session):
         "score": pa.array([None, None], pa.float64())}))
     out = group_score_band_filter(ds2, "lang", "score").to_pandas()
     assert len(out) == 0
+
+
+def test_sample_documents_pruned_two_pass(ray_session):
+    """sample_documents must pick ids from a doc_id-only scan and
+    return the same k-set as reservoir_sample over the full table
+    (order aside — the semi-join returns block order)."""
+    import ray.data as rd
+
+    from olx_ray.pipelines.sampling import reservoir_sample, sample_documents
+
+    SF = "/root/testdata/sf0.001"
+    got = sample_documents(SF, k=25, seed=3).to_pandas()
+    want = reservoir_sample(
+        rd.read_parquet(f"{SF}/documents.parquet"), "doc_id", 25,
+        seed=3).to_pandas()
+    assert set(got["doc_id"]) == set(want["doc_id"]) and len(got) == 25
+    assert "text" in got.columns        # full rows come back
