@@ -189,6 +189,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.TOKEN_COUNT_SQL,
         "word_freq_topk": text.WORD_FREQ_SQL,
         "docs_per_lang": text.DOCS_PER_LANG_SQL,
+        # full column-for-column oracle (quality composite + lang_pred
+        # replicated in SQL; the non-SQL fingerprint column moved to the
+        # TextProfile library stage, golden-pinned in pytest)
+        "text_profile": text.TEXT_PROFILE_SQL,
         "redact_pii": text.REDACT_PII_SQL,
         "train_val_split": corpus.TRAIN_VAL_SPLIT_SQL,
         "build_vocab": corpus.BUILD_VOCAB_SQL,
@@ -206,6 +210,6 @@ def oracle_sql() -> dict[str, str]:
         "neardup_groups_embedding": dedup.NEARDUP_GROUPS_EMBEDDING_SQL,
         "duplicate_spans": substrings.DUPLICATE_SPANS_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
-        # text_profile / simhash / knn_lsh / knn_ivf / media /
-        # training_corpus / crawl_*: non-SQL-expressible → rows-only checks.
+        # simhash / knn_lsh / media / training_corpus / crawl_*:
+        # non-SQL-expressible → rows-only checks.
     }

@@ -86,9 +86,15 @@ FROM documents ORDER BY doc_id
 
 class QualityScore:
     """Actor-pool stage: heuristic quality features per document —
-    lexical diversity, stopword ratio, mean word length, digit/punct
-    ratios. Deterministic floats; exposed without an oracle (the exact
-    float pipeline is not SQL-replicable bit-for-bit)."""
+    lexical diversity, stopword ratio, mean word length, composite
+    quality. Deterministic floats with FULL SQL parity: every quotient
+    divides exact integer counts as IEEE doubles and every rounding is
+    half-away-from-zero at 6 decimals (``money.round_half_away`` —
+    bit-identical to DuckDB ``round(DOUBLE, 6)``; Python/numpy
+    ``round`` is half-even and diverges on dyadic quotients like
+    1/128 whose ×10⁶ product lands exactly on .5). The composite
+    combines the ROUNDED components in the same literal order as
+    ``TEXT_PROFILE_SQL``."""
 
     def __init__(self):
         import re
@@ -97,6 +103,8 @@ class QualityScore:
         self.stops = _PROFILES["en"]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.money import round_half_away
+
         rows = []
         for text in batch["text"]:
             toks = self.word.findall(text or "")
@@ -104,12 +112,15 @@ class QualityScore:
             uniq = len(set(toks)) / n if n else 0.0
             stop = sum(t in self.stops for t in toks) / n if n else 0.0
             mwl = sum(len(t) for t in toks) / n if n else 0.0
-            rows.append((n, round(uniq, 6), round(stop, 6), round(mwl, 6)))
+            rows.append((n, round_half_away(uniq, 6),
+                         round_half_away(stop, 6), round_half_away(mwl, 6)))
         out = batch[["doc_id"]].copy()
         out[["n_tokens", "lex_diversity", "stop_ratio", "mean_word_len"]] = rows
-        out["quality"] = (0.4 * out["lex_diversity"]
-                          + 0.3 * (1 - (out["stop_ratio"] - 0.4).abs())
-                          + 0.3 * np.clip(out["mean_word_len"] / 8, 0, 1)).round(6)
+        out["quality"] = round_half_away(
+            (0.4 * out["lex_diversity"]
+             + 0.3 * (1 - (out["stop_ratio"] - 0.4).abs())
+             + 0.3 * np.clip(out["mean_word_len"] / 8, 0, 1)).to_numpy(),
+            6)
         return out
 
 
@@ -135,34 +146,115 @@ def fingerprint(sf_dir: str):
 
 
 class TextProfile:
-    """Actor-pool stage fusing the three per-doc profiling operators —
-    language-ID, quality scoring and fingerprinting — into ONE pass
-    over the text (one read, one tokenize amortized across features;
-    the single-operator variants remain for à-la-carte use). State
-    (regexes, stopword tables) compiled once per actor."""
+    """Actor-pool stage fusing the per-doc profiling operators —
+    language-ID, quality scoring and (optionally) fingerprinting —
+    into ONE pass over the text (one read, one tokenize amortized
+    across features; the single-operator variants remain for
+    à-la-carte use). State (regexes, stopword tables) compiled once
+    per actor. ``with_fingerprint=False`` drops the hash column — the
+    driver surface uses it so every remaining column is
+    SQL-oracle-checked (the fingerprint is hash-based, pinned by
+    golden on the standalone ``fingerprint`` operator instead)."""
 
-    def __init__(self):
+    def __init__(self, with_fingerprint: bool = True):
         self.langid = LangId()
         self.quality = QualityScore()
+        self.with_fingerprint = with_fingerprint
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = self.quality(batch)
         lang = self.langid(batch)
         out["lang"] = lang["lang"].to_numpy()
         out["lang_pred"] = lang["lang_pred"].to_numpy()
-        out["fingerprint"] = np.fromiter(
-            (hash64(" ".join((t or "").split())) for t in batch["text"]),
-            dtype=np.uint64, count=len(batch))
+        if self.with_fingerprint:
+            out["fingerprint"] = np.fromiter(
+                (hash64(" ".join((t or "").split())) for t in batch["text"]),
+                dtype=np.uint64, count=len(batch))
         return out
 
 
 def text_profile(sf_dir: str):
-    """Combined per-document text profile (lang_id + quality_score +
-    fingerprint in one pass) — the driver-checked surface for the
-    three heuristic operators."""
+    """Combined per-document text profile (lang_id + quality_score in
+    one pass) — the driver-checked surface for the heuristic text
+    operators, with a FULL DuckDB oracle (``TEXT_PROFILE_SQL``): every
+    output column (token stats, quality composite, predicted language)
+    is replicated in SQL exactly — see ``QualityScore``'s rounding
+    contract and the lang-pred tie-break CASE. The fingerprint column
+    (not SQL-expressible) lives on ``TextProfile(with_fingerprint=
+    True)`` / the standalone ``fingerprint`` operator, pinned by
+    golden in pytest."""
     return _read_docs(sf_dir, ["doc_id", "text", "lang"]) \
         .map_batches(TextProfile, batch_format="pandas", batch_size=2048,
+                     fn_constructor_kwargs={"with_fingerprint": False},
                      concurrency=(1, 4)).sort("doc_id")
+
+
+# Column-for-column twin of TextProfile (minus the hash fingerprint):
+# \S+ tokens for the quality stats; DISTINCT lowercased letter tokens
+# ([\p{L}\p{Nl}\p{No}]+ — RE2's spelling of Python's [^\W\d_]) for the
+# stopword-profile language guess; the lang_pred CASE replicates the
+# engine's strictly-greater first-profile-wins loop (en beats ties,
+# then de, fr, es; zh by CJK script; 'unknown' when every score is 0).
+# All quotients divide exact counts; round(,6) is half-away on both
+# sides (money.round_half_away). The quality composite combines the
+# ROUNDED components in the engine's literal order.
+TEXT_PROFILE_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+), wtok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM t
+), q AS (
+  SELECT doc_id, count(*)::BIGINT AS n, count(DISTINCT w) AS d,
+         count(*) FILTER (w IN ('the','a','of','and','to','in','is',
+                                'that','it','for')) AS stops,
+         sum(length(w)) AS sumlen
+  FROM wtok GROUP BY doc_id
+), ltok AS (
+  SELECT DISTINCT doc_id, lower(w) AS w FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(
+             text, '[\\p{L}\\p{Nl}\\p{No}]+')) AS w
+    FROM t)
+), l AS (
+  SELECT doc_id,
+         count(*) FILTER (w IN ('the','a','of','and','to','in','is',
+                                'that','it','for'))   AS s_en,
+         count(*) FILTER (w IN ('der','die','das','und','ist','ein',
+                                'zu','den','von','mit')) AS s_de,
+         count(*) FILTER (w IN ('le','la','les','et','est','un','une',
+                                'de','du','que'))     AS s_fr,
+         count(*) FILTER (w IN ('el','la','los','y','es','un','una',
+                                'de','del','que'))    AS s_es
+  FROM ltok GROUP BY doc_id
+), feat AS (
+  SELECT t.doc_id, t.lang,
+         coalesce(q.n, 0)::BIGINT AS n_tokens,
+         round(CASE WHEN q.n IS NULL THEN 0
+                    ELSE q.d::DOUBLE / q.n END, 6)      AS lex_diversity,
+         round(CASE WHEN q.n IS NULL THEN 0
+                    ELSE q.stops::DOUBLE / q.n END, 6)  AS stop_ratio,
+         round(CASE WHEN q.n IS NULL THEN 0
+                    ELSE q.sumlen::DOUBLE / q.n END, 6) AS mean_word_len,
+         regexp_matches(t.text, '[一-鿿]')              AS cjk,
+         coalesce(l.s_en, 0) AS s_en, coalesce(l.s_de, 0) AS s_de,
+         coalesce(l.s_fr, 0) AS s_fr, coalesce(l.s_es, 0) AS s_es
+  FROM t LEFT JOIN q USING (doc_id) LEFT JOIN l USING (doc_id)
+)
+SELECT doc_id, n_tokens, lex_diversity, stop_ratio, mean_word_len,
+       round(0.4 * lex_diversity
+             + 0.3 * (1 - abs(stop_ratio - 0.4))
+             + 0.3 * least(greatest(mean_word_len / 8, 0), 1), 6)
+         AS quality,
+       lang,
+       CASE WHEN cjk THEN 'zh'
+            WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
+                          AND s_en >= s_es THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_pred
+FROM feat ORDER BY doc_id
+"""
 
 
 def repetition_stats(sf_dir: str):

@@ -493,3 +493,65 @@ def test_compression_ratio_reference_and_edges(ray_session, tmp_path):
     a = compression_ratio(SF).to_pandas()
     b = compression_ratio(SF).to_pandas()
     assert a.equals(b)
+
+
+def test_text_profile_full_oracle_adversarial(ray_session, tmp_path):
+    """Every text_profile column against TEXT_PROFILE_SQL on planted
+    adversarial docs: dyadic quotients whose x1e6 lands exactly on .5
+    (half-away vs half-even rounding), empty/null text, CJK script,
+    stopword-profile score ties (first-profile-wins), and the shared
+    'la'/'de' tokens that score in several profiles at once."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.text import TEXT_PROFILE_SQL, text_profile
+
+    docs = [
+        # 128 tokens, 1 stopword 'the' → stop_ratio = 1/128 = 0.0078125:
+        # x1e6 = 7812.5 exactly — the half-away/half-even divergence
+        "the " + " ".join(f"w{i}" for i in range(127)),
+        "",                                   # n=0 → quality 0.18 path
+        None,                                 # null text
+        "观 测 数 据",                          # CJK → zh
+        "the der le el",                      # all profiles score 1 → en
+        "der die le la",                      # de=2 beats fr=2? tie → de
+        "la de du que le les",                # fr=4 vs es=2 … fr wins
+        "el los y es una",                    # es only
+        "zz yy xx",                           # no stopwords → unknown
+        "a A a A a",                          # case-sensitive distinct
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["xx"] * len(docs), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = text_profile(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(TEXT_PROFILE_SQL).df()
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+    by = got.set_index("doc_id")
+    assert by.loc[3, "lang_pred"] == "zh"
+    assert by.loc[4, "lang_pred"] == "en"      # tie → first profile
+    assert by.loc[8, "lang_pred"] == "unknown"
+    assert by.loc[0, "stop_ratio"] == 0.007813  # half-AWAY at the tie
+    assert "fingerprint" not in got.columns     # driver surface is SQL-full
+
+
+def test_text_profile_fingerprint_variant_matches_standalone(ray_session):
+    """TextProfile(with_fingerprint=True) keeps the golden-pinned hash
+    column, identical to the standalone fingerprint operator."""
+    from olx_ray.pipelines.text import TextProfile, fingerprint
+
+    SF = "/root/testdata/sf0.001"
+    want = fingerprint(SF).to_pandas().set_index("doc_id")["fingerprint"]
+    df = pd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).head(64)
+    out = TextProfile()(df).set_index("doc_id")
+    assert (out["fingerprint"] == want.loc[out.index]).all()
