@@ -75,6 +75,27 @@ def _listing_extract(_sf_dir: str):
             .sort(["page_url", "position"]))
 
 
+def _listing_extract_sql() -> str:
+    """DuckDB oracle for ``listing_extract``: the SPEC-derived golden
+    link rows (``goldens.golden_listing_links`` — raw hrefs →
+    first-wins distinct → path-replace absolutize, computed WITHOUT
+    the engine's HTML parser) inlined as a VALUES table, so the oracle
+    needs no file access and cannot be contaminated by a parser bug."""
+    from olx_ray.sources.goldens import golden_listing_links
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({q(r['url'])}, {q(r['href_raw'])}, {r['position']}, "
+        f"{q(r['page_url'])})"
+        for r in golden_listing_links("t1"))
+    return (f"SELECT url, href_raw, position::INTEGER AS position, "
+            f"page_url FROM (VALUES {rows}) "
+            f"AS t(url, href_raw, position, page_url) "
+            f"ORDER BY page_url, position")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from olx_ray.pipelines import (corpus, dedup, events, relational,
                                    similarity, substrings, text)
@@ -104,7 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,
-        "knn_ivf": similarity.knn_ivf,
+        # exhaustive-probe IVF: full IVF machinery (centroids, cell
+        # assignment, per-cell scan) with a structural exactness
+        # guarantee → real SQL oracle; the pruned config is measured by
+        # ann_recall + the indexed-layout tests
+        "knn_ivf": similarity.knn_ivf_exhaustive,
         # --- relational (continued) --------------------------------------
         "filter_project_revenue": relational.filter_project_revenue,
         "top_orders": relational.top_orders,
@@ -177,6 +202,9 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_lines": relational.Q12_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "q18_large_orders": relational.Q18_SQL,
+        # spec-derived golden rows inlined as VALUES (independent of the
+        # engine's HTML parser; no file access in the oracle)
+        "listing_extract": _listing_extract_sql(),
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
@@ -210,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "neardup_groups_embedding": dedup.NEARDUP_GROUPS_EMBEDDING_SQL,
         "duplicate_spans": substrings.DUPLICATE_SPANS_SQL,
         "knn_bruteforce": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
+        # exhaustive probing makes IVF structurally exact (see
+        # knn_ivf_exhaustive's docstring) → same brute-force SQL oracle
+        "knn_ivf": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
         # simhash / knn_lsh / media / training_corpus / crawl_*:
         # non-SQL-expressible → rows-only checks.
     }

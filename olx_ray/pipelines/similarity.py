@@ -227,6 +227,24 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
     return _global_topk(local, k)
 
 
+def knn_ivf_exhaustive(sf_dir: str, n_queries: int = 10, k: int = 10,
+                       n_cells: int = 16, train_rows: int = 4096):
+    """``knn_ivf`` with ``n_probe = n_cells`` — EXHAUSTIVE probing:
+    every query probes every cell, so the candidate set is complete
+    and the answer is STRUCTURALLY exact (equal to ``knn_bruteforce``
+    up to cosine-rank ties, which the shared deterministic
+    (cos desc, id asc) truncation breaks identically). This is the
+    driver-checked surface: it exercises the full IVF machinery —
+    centroid training, cell assignment, the per-cell scan kernel —
+    under an exactness guarantee that makes ``KNN_SQL_TEMPLATE`` a
+    valid equality oracle (the same structural argument as the
+    recall-1.0-pinned LSH oracles; see ``MINHASH_LSH_SQL``). The
+    PRUNED configuration's recall/pruning trade-off stays measured by
+    ``ann_recall`` and the ``knn_ivf_indexed`` parity tests."""
+    return knn_ivf(sf_dir, n_queries=n_queries, k=k, n_cells=n_cells,
+                   n_probe=n_cells, train_rows=train_rows)
+
+
 def _train_centroids(sf_dir: str, n_cells: int, train_rows: int):
     """Seeded k-means centroids from a bounded prefix sample (driver —
     sample-sized, never corpus-sized)."""

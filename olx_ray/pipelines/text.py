@@ -115,7 +115,14 @@ class QualityScore:
             rows.append((n, round_half_away(uniq, 6),
                          round_half_away(stop, 6), round_half_away(mwl, 6)))
         out = batch[["doc_id"]].copy()
-        out[["n_tokens", "lex_diversity", "stop_ratio", "mean_word_len"]] = rows
+        # per-column assignment: the tuple-list broadcast would coerce
+        # n_tokens to float64 (driver value-hash is dtype-kind-sensitive)
+        out["n_tokens"] = pd.Series([r[0] for r in rows], index=out.index,
+                                    dtype="int64")
+        for j, c in enumerate(("lex_diversity", "stop_ratio",
+                               "mean_word_len"), start=1):
+            out[c] = pd.Series([r[j] for r in rows], index=out.index,
+                               dtype="float64")
         out["quality"] = round_half_away(
             (0.4 * out["lex_diversity"]
              + 0.3 * (1 - (out["stop_ratio"] - 0.4).abs())

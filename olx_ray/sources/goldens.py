@@ -59,6 +59,23 @@ def page0_links(tier: str) -> list[str]:
     return [absolutize(lst.url, h) for h in _distinct_first_wins(lst.hrefs())]
 
 
+def golden_listing_links(tier: str) -> list[dict]:
+    """Expected ``listing_extract`` rows — (url, href_raw, position,
+    page_url) per listing page — computed straight from the SPECS
+    (raw hrefs → D1 first-wins distinct → M5 path-replace absolutize),
+    never from the engine's HTML parser. Feeds the driver's
+    ``listing_extract`` DuckDB oracle as an inline VALUES table."""
+    site = SiteSpec(tier)
+    rows: list[dict] = []
+    for lst in site.listings():
+        raws = _distinct_first_wins(lst.hrefs())
+        for pos, raw in enumerate(raws):
+            rows.append({"url": absolutize(lst.url, raw), "href_raw": raw,
+                         "position": pos, "page_url": lst.url})
+    rows.sort(key=lambda r: (r["page_url"], r["position"]))
+    return rows
+
+
 def golden_conformance_trace(tier: str, max_count: int | None = None) -> Trace:
     """Reference E1 semantics from the tier's seed (quirks Q2/Q3)."""
     site = SiteSpec(tier)
