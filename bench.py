@@ -207,6 +207,15 @@ def main() -> None:
     # can miss a mid-run degradation
     crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))
     queries = {} if crawl_only else run_queries()
+    calib_post = host_calibration()
+    # pre/post probes bracketing the run: when they diverge >20% (or
+    # either reads ≥2.5 s — healthy host ≈ 1.0-1.5 s) the host was
+    # throttled mid-run and the wall-times are NOT comparable across
+    # sessions; the record says so instead of silently reading as a
+    # regression (r3 post-mortem: crawl 88.9 s / minhash 7.4 s were
+    # pure throttle — probes 1.22 s pre vs 2.06 s post)
+    div = round(max(calib_pre, calib_post)
+                / max(min(calib_pre, calib_post), 1e-9), 3)
     result = {
         "metric": "native crawl pages/sec over bench site (2k listings, ~47k ads, simulated latency)",
         "value": crawl["crawl_sec"],
@@ -215,7 +224,10 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "num_cpus": NCPU,
         "host_calib_pre_sec": calib_pre,
-        "host_calib_sec": host_calibration(),
+        "host_calib_sec": calib_post,
+        "host_calib_divergence": div,
+        "host_throttled": bool(div > 1.2
+                               or max(calib_pre, calib_post) >= 2.5),
         **crawl,
     }
     print(json.dumps(result))
@@ -245,6 +257,11 @@ def run_scaling() -> None:
         "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
         "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # host parity across the two timed runs (see main()'s probes):
+        # a throttle hitting ONE leg skews efficiency either way
+        "host_calib_8": [lo["host_calib_pre_sec"], lo["host_calib_sec"]],
+        "host_calib_32": [hi["host_calib_pre_sec"], hi["host_calib_sec"]],
+        "host_throttled": bool(lo["host_throttled"] or hi["host_throttled"]),
     }))
 
 
