@@ -376,3 +376,31 @@ def test_sample_documents_pruned_two_pass(ray_session):
         seed=3).to_pandas()
     assert set(got["doc_id"]) == set(want["doc_id"]) and len(got) == 25
     assert "text" in got.columns        # full rows come back
+
+
+def test_group_topk_per_group_cap_map(ray_session):
+    """k as a {group: k} dict: per-group caps in one pass, groups
+    absent from the map drop, equivalence with per-group int-k runs."""
+    import ray
+
+    from olx_ray.pipelines.sampling import group_topk
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 2, 3, 3],
+        "v": [5.0, 4.0, 3.0, 2.0, 9.0, 8.0, 7.0, 1.0, 0.5],
+        "id": np.arange(9, dtype=np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = group_topk(ds, "g", "v", {1: 2, 2: 1}, tiebreak_col="id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # group 1 keeps its top-2, group 2 its top-1, group 3 (absent) drops
+    assert list(got["id"]) == [0, 1, 4]
+    # equivalence with int-k per group
+    for g, k in {1: 2, 2: 1}.items():
+        sub = group_topk(ds.filter(expr=f"g == {g}"), "g", "v", k,
+                         tiebreak_col="id").to_pandas()
+        assert set(sub["id"]) == set(got.loc[got["g"] == g, "id"])
+    # ascending order works with the map too (the crawl's shape)
+    asc = group_topk(ds, "g", "v", {1: 1, 3: 1}, descending=False,
+                     tiebreak_col="id").to_pandas()
+    assert set(asc["id"]) == {3, 8}
