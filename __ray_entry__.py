@@ -241,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive probing makes IVF structurally exact (see
         # knn_ivf_exhaustive's docstring) → same brute-force SQL oracle
         "knn_ivf": similarity.KNN_SQL_TEMPLATE.format(n_queries=10, k=10),
-        # simhash / knn_lsh / media / training_corpus / crawl_*:
+        # ±1 planes + floor-quantized integer dots make the LSH bucket
+        # assignment bit-identical in SQL (knn_lsh_sql's docstring) →
+        # full candidate-set + rerank equality oracle
+        "knn_lsh": similarity.knn_lsh_sql(),
+        # simhash / media / training_corpus / crawl_*:
         # non-SQL-expressible → rows-only checks.
     }

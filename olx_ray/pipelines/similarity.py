@@ -23,10 +23,13 @@ import ray
 import ray.data as rd
 
 
-def _load_queries(sf_dir: str, n_queries: int):
+def _load_queries(sf_dir: str, n_queries: int, *, with_raw: bool = False):
     """First ``n_queries`` rows as the query set — streamed via
     ``iter_batches`` so the driver reads O(n_queries), never the whole
-    embeddings table (row groups after the prefix are not touched)."""
+    embeddings table (row groups after the prefix are not touched).
+    ``with_raw=True`` additionally returns the UN-normalized vectors
+    (the LSH signature path quantizes raw stored values — see
+    ``_lsh_signatures`` — so normalization must not touch them)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
@@ -39,8 +42,10 @@ def _load_queries(sf_dir: str, n_queries: int):
             break
     t = pa.Table.from_batches(batches).slice(0, n_queries)
     ids = t["vec_id"].to_numpy()
-    q = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    raw = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    q = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    if with_raw:
+        return ids, q, raw
     return ids, q
 
 
@@ -387,32 +392,58 @@ def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
     return _global_topk(local, k)
 
 
+_LSH_QSCALE = 1 << 20
+
+
+def _lsh_planes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Seeded Rademacher (±1) hyperplanes for sign-LSH. ±1 entries
+    instead of Gaussians (same angular-LSH family — Achlioptas 2001
+    shows sign-random-projection quality is preserved) so the
+    bucket-key computation is EXACT INTEGER arithmetic, reproducible
+    bit-for-bit by the DuckDB oracle (``knn_lsh_sql``). Shared by the
+    engine and the oracle builder — the single source of the planes."""
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 2, (n_tables, n_bits, dim)).astype(np.int64) * 2 - 1
+
+
+def _lsh_signatures(m_raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, n_tables) int64 bucket keys from RAW stored vectors.
+
+    Quantize ``floor(x · 2^20)`` then dot with ±1 planes: every step is
+    exact in BOTH numpy int64 and DuckDB doubles (float32 × 2^20 is an
+    exact double; |dot| ≤ dim · max|x| · 2^20 ≪ 2^53), so the sign —
+    hence the bucket — can never diverge engine-vs-oracle on a
+    summation-order last-ulp (the CLAUDE.md half-cent rule applied to
+    hyperplane hashing). Signs are scale-invariant, so hashing raw
+    instead of normalized vectors selects the same buckets."""
+    e = np.floor(m_raw.astype(np.float64) * _LSH_QSCALE).astype(np.int64)
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    return np.stack([((e @ planes[t].T) > 0) @ weights
+                     for t in range(planes.shape[0])], axis=1)
+
+
 def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
             n_tables: int = 16, n_bits: int = 4):
     """ANN: random-hyperplane signatures; candidates = corpus vectors
     sharing a bucket with the query in ANY of ``n_tables`` tables;
     exact rerank of candidates. Buckets shuffle via groupby — at scale
-    each bucket-group task touches only its slice of the corpus."""
-    ids, q = _load_queries(sf_dir, n_queries)
-    rng = np.random.RandomState(7)
-    planes = rng.standard_normal((n_tables, n_bits, q.shape[1]))
-    weights = (1 << np.arange(n_bits)).astype(np.int64)
-
-    def sig(m: np.ndarray) -> np.ndarray:      # (rows, n_tables)
-        return np.stack([((m @ planes[t].T) > 0) @ weights
-                         for t in range(n_tables)], axis=1)
-
-    q_sigs = sig(q)                             # (Q, T)
+    each bucket-group task touches only its slice of the corpus.
+    Signatures are integer-exact (``_lsh_signatures``), which makes
+    ``knn_lsh_sql`` a full equality oracle for the candidate
+    enumeration + rerank."""
+    ids, q, q_raw = _load_queries(sf_dir, n_queries, with_raw=True)
+    planes = _lsh_planes(n_tables, n_bits, q.shape[1])
+    q_sigs = _lsh_signatures(q_raw, planes)     # (Q, T)
     bucket_of = {}                              # (table, key) → [query rows]
     for qi in range(len(ids)):
         for t in range(n_tables):
             bucket_of.setdefault((t, int(q_sigs[qi, t])), []).append(qi)
-    ref = ray.put((ids, q, bucket_of, planes, weights, k))
+    ref = ray.put((ids, q, bucket_of, planes, k))
 
     class Candidates:
         def __init__(self):
             (self.q_ids, self.q, self.buckets, self.planes,
-             self.weights, self.k) = ray.get(ref)
+             self.k) = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vids = b["vec_id"].to_numpy()
@@ -420,8 +451,7 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
                 return _empty_topk_table()
             m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sigs = np.stack([((m @ self.planes[t].T) > 0) @ self.weights
-                             for t in range(len(self.planes))], axis=1)
+            sigs = _lsh_signatures(m, self.planes)
             # vectorized candidate matching: per (table, key-in-batch) —
             # ≤ T × 2^bits small mask ops — mark the (query, row) hit
             # matrix, then ONE matmul per query over its candidate rows
@@ -451,6 +481,45 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
         .map_batches(Candidates, batch_format="pyarrow", batch_size=4096,
                      concurrency=(1, 4), num_cpus=1)
     return _global_topk(local, k)
+
+
+def knn_lsh_sql(n_queries: int = 10, k: int = 10, n_tables: int = 16,
+                n_bits: int = 4, dim: int = 64) -> str:
+    """FULL equality oracle for ``knn_lsh``: re-derives the candidate
+    sets (not just the rerank) in DuckDB. The ±1 planes come from the
+    same ``_lsh_planes`` the engine uses, inlined as literals; bucket
+    keys are the same exact-integer ``floor(x · 2^20) · (±1)`` dots
+    (see ``_lsh_signatures`` for the exactness argument), so candidate
+    membership is bit-identical by construction. Rerank = exact cosine
+    with the house (cos DESC, neighbor_id ASC) tie-break — the same
+    float-parity posture as ``KNN_SQL_TEMPLATE``."""
+    planes = _lsh_planes(n_tables, n_bits, dim)
+    vals = ",\n".join(
+        f"({t},{b},[{','.join(str(int(v)) for v in planes[t, b])}]::DOUBLE[])"
+        for t in range(n_tables) for b in range(n_bits))
+    return f"""
+WITH planes(t, b, p) AS (VALUES {vals}),
+e AS (SELECT vec_id, embedding,
+             list_transform(embedding, x -> floor(x * {float(_LSH_QSCALE)}))
+               AS eq
+      FROM embeddings),
+sig AS (SELECT e.vec_id, pl.t,
+               SUM(CASE WHEN list_dot_product(e.eq, pl.p) > 0
+                        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS key
+        FROM e, planes pl GROUP BY e.vec_id, pl.t),
+cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+         FROM sig qs JOIN sig cs ON cs.t = qs.t AND cs.key = qs.key
+         WHERE qs.vec_id < {n_queries} AND cs.vec_id != qs.vec_id),
+ranked AS (SELECT cand.query_id, cand.neighbor_id,
+                  row_number() OVER (PARTITION BY cand.query_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                             DESC, cand.neighbor_id) AS rank
+           FROM cand
+           JOIN e q ON q.vec_id = cand.query_id
+           JOIN e c ON c.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
 
 
 def knn_bruteforce_filtered(sf_dir: str, label: int, n_queries: int = 10,
