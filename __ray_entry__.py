@@ -245,6 +245,10 @@ def oracle_sql() -> dict[str, str]:
         # assignment bit-identical in SQL (knn_lsh_sql's docstring) →
         # full candidate-set + rerank equality oracle
         "knn_lsh": similarity.knn_lsh_sql(),
-        # simhash / media / training_corpus / crawl_*:
+        # md5 token hashes make signatures SQL-derivable; 4×16-bit
+        # banding is COMPLETE for hamming≤3 (pigeonhole), so the plain
+        # hamming predicate is a full equality oracle
+        "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
+        # media / training_corpus / crawl_*:
         # non-SQL-expressible → rows-only checks.
     }

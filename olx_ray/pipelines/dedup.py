@@ -126,6 +126,26 @@ def _token_hash(t: str) -> int:
     return h
 
 
+_MD5_TOK_CACHE: dict[str, int] = {}
+
+
+def _md5_token_hash(t: str) -> int:
+    """64-bit token hash the DuckDB oracle can reproduce:
+    ``md5_number_lower(t)`` = little-endian uint64 of md5 digest bytes
+    8..16 (verified against DuckDB 1.0). Used by the simhash path ONLY
+    — minhash/shingle hashing stays on the faster blake2b ``hash64``,
+    whose pinned goldens are unaffected."""
+    h = _MD5_TOK_CACHE.get(t)
+    if h is None:
+        from hashlib import md5
+
+        if len(_MD5_TOK_CACHE) >= _TOK_CACHE_CAP:
+            _MD5_TOK_CACHE.clear()
+        h = _MD5_TOK_CACHE[t] = int.from_bytes(
+            md5(t.encode("utf-8")).digest()[8:], "little")
+    return h
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Word n-gram shingle hashes, vectorized: one (memoized) blake2b
     per TOKEN, then an order-sensitive polynomial combine over each
@@ -745,14 +765,17 @@ class SimHasher:
     vectorized across the WHOLE batch: all docs' token hashes go into
     one bit matrix, per-doc bit sums come out of a single
     ``np.add.reduceat`` over the doc boundaries (no per-doc numpy
-    calls). Chunked by token count so the bit matrix stays ~32 MB."""
+    calls). Chunked by token count so the bit matrix stays ~32 MB.
+    Token hash = ``_md5_token_hash`` so the DuckDB oracle
+    (``SIMHASH_PAIRS_SQL``) re-derives the same signatures; every bit
+    decision is an exact integer sum — no float parity surface."""
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def _sigs(self, tok_lists: list[list[str]]) -> np.ndarray:
         lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
-        hs = np.fromiter((_token_hash(t) for toks in tok_lists
+        hs = np.fromiter((_md5_token_hash(t) for toks in tok_lists
                           for t in toks), dtype=np.uint64,
                          count=int(lens.sum()))
         bits = ((hs[:, None] >> self._SHIFTS[None, :])
@@ -873,6 +896,51 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     # (a per-batch drop_duplicates would miss duplicates straddling
     # batch boundaries)
     return pair_distinct(pairs, "doc_a", "doc_b").sort(["doc_a", "doc_b"])
+
+
+# Shared signature CTE: md5_number_lower token hashes (≡
+# ``_md5_token_hash``; tokens = the house '\S+' convention ≡ Python
+# str.split on this corpus), bit b set iff the exact integer sum of
+# ±count over distinct tokens is > 0 — no float anywhere. Tokenless
+# docs keep signature 0 (the engine's zeros-initialized output).
+_SIMHASH_SIG_CTE = """tw AS (
+  SELECT doc_id, md5_number_lower(tok) AS h, COUNT(*)::BIGINT AS w
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, h),
+bits AS (
+  SELECT doc_id, r.b,
+         SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM tw, range(64) r(b) GROUP BY doc_id, r.b),
+sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                  ELSE 0::UBIGINT END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sig0 s USING (doc_id))"""
+
+# signature-level oracle (pins ``simhash_signatures`` bit-for-bit)
+SIMHASH_SIGS_SQL = f"""
+WITH {_SIMHASH_SIG_CTE}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+"""
+
+# FULL equality oracle for ``simhash_pairs``. The band stage needs NO
+# SQL counterpart: 4 disjoint 16-bit bands can't all be hit by ≤3
+# differing bits (pigeonhole), so banding+verify ≡ the plain hamming≤3
+# predicate — the SQL states the SPEC, the engine's banding is pure
+# optimization.
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_SIG_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # ----------------------------------------------------- embedding near-dup

@@ -59,13 +59,24 @@ def _col_sha(df, col):
         ",".join(str(int(v)) for v in df[col]).encode()).hexdigest()[:16]
 
 
-def test_simhash_signatures_pinned_golden(ray_session):
-    """simhash is a deterministic pure function — no SQL oracle exists,
-    so the full signature column is pinned by hash for the fixture
-    corpus (self-validated gate for the driver's rows-only entry)."""
-    s = simhash_signatures(SF).to_pandas()
+def test_simhash_signatures_vs_duckdb(ray_session):
+    """Bit-for-bit signature parity with the independent DuckDB
+    re-derivation (md5 token hashes + exact ±count bit sums — see
+    SIMHASH_SIGS_SQL). Replaces the old self-pinned column hash: an
+    external oracle instead of a self-derived one."""
+    import duckdb
+
+    from olx_ray.pipelines.dedup import SIMHASH_SIGS_SQL
+
+    s = simhash_signatures(SF).to_pandas().reset_index(drop=True)
     assert len(s) == 500
-    assert _col_sha(s, "simhash") == "eb53b3466158b631"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(SIMHASH_SIGS_SQL).df()
+    assert s["doc_id"].astype("int64").equals(want["doc_id"].astype("int64"))
+    assert s["simhash"].astype("uint64").equals(
+        want["simhash"].astype("uint64"))
 
 
 def test_fingerprint_pinned_golden(ray_session):
