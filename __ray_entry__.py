@@ -249,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         # banding is COMPLETE for hamming≤3 (pigeonhole), so the plain
         # hamming predicate is a full equality oracle
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
-        # media / training_corpus / crawl_*:
-        # non-SQL-expressible → rows-only checks.
+        # the whole composed pipeline (quality composite, 13-gram
+        # decontamination, text dedup, knuth split/bucket, recursive-
+        # CTE greedy packer) re-derived in SQL — see training_corpus_sql
+        "training_corpus": corpus.training_corpus_sql(),
+        # media / crawl_*: non-SQL-expressible → rows-only checks.
     }

@@ -270,6 +270,19 @@ def contamination_13gram(sf_dir: str, n: int = 13,
 
 
 # ------------------------------------------------------------- end-to-end
+def _pack_bucket(ids: np.ndarray) -> np.ndarray:
+    """64-way pack bucket from the shared ``knuth_fingerprint32``
+    (bit-parity SQL: ``(id::HUGEINT * 2654435761) % 2^32 // 128 %
+    64``). Pack composition DEPENDS on this assignment — unlike the
+    pure-partitioning ``bucket_of`` buckets elsewhere — so it must be
+    a hash both engines can compute; fmix64's wrap-around uint64
+    multiplies aren't HUGEINT-safe in SQL."""
+    from ..functions.hashing import knuth_fingerprint32
+
+    return ((knuth_fingerprint32(ids) >> np.uint64(7))
+            % np.uint64(64)).astype(np.int32)
+
+
 def training_corpus(sf_dir: str, quality_min: float = 0.45,
                     seq_len: int = 512, benchmark_max_id: int = 50,
                     contamination_n: int = 13):
@@ -313,15 +326,15 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
         return out[["doc_id", "n_tokens", "quality", "text_hash", "bucket"]]
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashing import bucket_of
-
         idx = g.groupby("text_hash")["doc_id"].idxmin()
         out = g.loc[idx.sort_values()].drop(columns=["bucket", "text_hash"])
         # pack-bucket by doc_id HASH: the pack stage groups on this, so
         # pack assignment is a pure function of the surviving rows —
-        # never of the block layout this task happened to see
+        # never of the block layout this task happened to see. The
+        # knuth reduction (not fmix64's wrap-around multiplies) keeps
+        # the bucket SQL-derivable — see TRAINING_CORPUS_SQL.
         return out.assign(
-            _pb=bucket_of(out["doc_id"].to_numpy().astype(np.int64), 64))
+            _pb=_pack_bucket(out["doc_id"].to_numpy().astype(np.int64)))
 
     def assign_and_pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.drop(columns=["_pb"]).sort_values("doc_id")
@@ -350,6 +363,81 @@ def training_corpus(sf_dir: str, quality_min: float = 0.45,
             .groupby("_pb").map_groups(assign_and_pack,
                                        batch_format="pandas")
             .sort("doc_id"))
+
+
+def training_corpus_sql(quality_min: float = 0.45, seq_len: int = 512,
+                        benchmark_max_id: int = 50) -> str:
+    """FULL equality oracle for ``training_corpus`` — the whole
+    composed pipeline re-derived in DuckDB:
+
+    - quality + n_tokens from the proven ``TEXT_PROFILE_SQL`` composite
+      (embedded as a CTE);
+    - 13-gram decontamination as STRING-equality of 13-token windows
+      (the engine compares 64-bit shingle hashes — equal strings ⇔
+      equal hashes, modulo 2^-64 collisions, the same documented
+      posture as the text-hash dedup below);
+    - exact dedup = min doc_id per TEXT among filtered rows (the
+      engine groups on blake2b text hashes — same equivalence);
+    - the knuth split + ``_pack_bucket`` reductions in exact HUGEINT
+      arithmetic;
+    - the greedy packer as a recursive CTE stepping each
+      (bucket, split) group in doc_id order with ``_greedy_pack``'s
+      literal new-pack rule."""
+    from .text import TEXT_PROFILE_SQL
+
+    new_pack = (f"p.fill >= {seq_len} OR p.fill + r.take > {seq_len} "
+                f"OR r.n_tokens > {seq_len}")
+    return f"""
+WITH RECURSIVE tp AS ({TEXT_PROFILE_SQL}),
+txt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS p
+  FROM txt),
+wins AS (
+  SELECT doc_id,
+         list(w) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 12 FOLLOWING) AS win
+  FROM pos),
+g13 AS (SELECT doc_id, array_to_string(win, ' ') AS gram
+        FROM wins WHERE len(win) = 13),
+bench AS (SELECT DISTINCT gram FROM g13
+          WHERE doc_id < {benchmark_max_id}),
+contaminated AS (SELECT DISTINCT g13.doc_id
+                 FROM g13 JOIN bench USING (gram)),
+filtered AS (
+  SELECT tp.doc_id, tp.n_tokens, tp.quality, txt.text
+  FROM tp JOIN txt USING (doc_id)
+  WHERE tp.quality >= {quality_min}
+    AND NOT EXISTS (SELECT 1 FROM contaminated c
+                    WHERE c.doc_id = tp.doc_id)),
+assigned AS (
+  SELECT doc_id, n_tokens, quality,
+         CASE WHEN (doc_id::HUGEINT * 2654435761) % 4294967296 % 100 < 90
+              THEN 'train' ELSE 'val' END AS split,
+         ((doc_id::HUGEINT * 2654435761) % 4294967296 // 128) % 64 AS pb,
+         LEAST(n_tokens, {seq_len})::BIGINT AS take
+  FROM filtered
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pb, split
+                               ORDER BY doc_id) AS rn
+  FROM assigned),
+rec AS (
+  SELECT pb, split, rn, doc_id, n_tokens, quality,
+         doc_id AS pack_id, 0::BIGINT AS start_tok, take AS fill
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.pb, r.split, r.rn, r.doc_id, r.n_tokens, r.quality,
+         CASE WHEN {new_pack} THEN r.doc_id ELSE p.pack_id END,
+         CASE WHEN {new_pack} THEN 0::BIGINT ELSE p.fill END,
+         CASE WHEN {new_pack} THEN r.take ELSE p.fill + r.take END
+  FROM ranked r JOIN rec p
+    ON r.pb = p.pb AND r.split = p.split AND r.rn = p.rn + 1)
+SELECT doc_id, n_tokens, quality, split, pack_id, start_tok
+FROM rec ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------- packing
