@@ -483,6 +483,32 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
     return _global_topk(local, k)
 
 
+def _lsh_sig_cte(n_tables: int, n_bits: int, dim: int) -> str:
+    """The signature CTEs shared by ``knn_lsh_sql`` and the
+    adversarial sig-parity test: planes inlined as ±1 literals,
+    ``sig(vec_id, t, key)`` = the exact-integer bucket keys."""
+    planes = _lsh_planes(n_tables, n_bits, dim)
+    vals = ",\n".join(
+        f"({t},{b},[{','.join(str(int(v)) for v in planes[t, b])}]::DOUBLE[])"
+        for t in range(n_tables) for b in range(n_bits))
+    return f"""planes(t, b, p) AS (VALUES {vals}),
+e AS (SELECT vec_id, embedding,
+             list_transform(embedding, x -> floor(x * {float(_LSH_QSCALE)}))
+               AS eq
+      FROM embeddings),
+sig AS (SELECT e.vec_id, pl.t,
+               SUM(CASE WHEN list_dot_product(e.eq, pl.p) > 0
+                        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS key
+        FROM e, planes pl GROUP BY e.vec_id, pl.t)"""
+
+
+def lsh_signatures_sql(n_tables: int = 16, n_bits: int = 4,
+                       dim: int = 64) -> str:
+    """Standalone signature oracle: one row per (vec_id, table)."""
+    return (f"WITH {_lsh_sig_cte(n_tables, n_bits, dim)} "
+            f"SELECT vec_id, t, key FROM sig ORDER BY vec_id, t")
+
+
 def knn_lsh_sql(n_queries: int = 10, k: int = 10, n_tables: int = 16,
                 n_bits: int = 4, dim: int = 64) -> str:
     """FULL equality oracle for ``knn_lsh``: re-derives the candidate
@@ -493,20 +519,8 @@ def knn_lsh_sql(n_queries: int = 10, k: int = 10, n_tables: int = 16,
     membership is bit-identical by construction. Rerank = exact cosine
     with the house (cos DESC, neighbor_id ASC) tie-break — the same
     float-parity posture as ``KNN_SQL_TEMPLATE``."""
-    planes = _lsh_planes(n_tables, n_bits, dim)
-    vals = ",\n".join(
-        f"({t},{b},[{','.join(str(int(v)) for v in planes[t, b])}]::DOUBLE[])"
-        for t in range(n_tables) for b in range(n_bits))
     return f"""
-WITH planes(t, b, p) AS (VALUES {vals}),
-e AS (SELECT vec_id, embedding,
-             list_transform(embedding, x -> floor(x * {float(_LSH_QSCALE)}))
-               AS eq
-      FROM embeddings),
-sig AS (SELECT e.vec_id, pl.t,
-               SUM(CASE WHEN list_dot_product(e.eq, pl.p) > 0
-                        THEN (1::BIGINT << pl.b) ELSE 0 END)::BIGINT AS key
-        FROM e, planes pl GROUP BY e.vec_id, pl.t),
+WITH {_lsh_sig_cte(n_tables, n_bits, dim)},
 cand AS (SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
          FROM sig qs JOIN sig cs ON cs.t = qs.t AND cs.key = qs.key
          WHERE qs.vec_id < {n_queries} AND cs.vec_id != qs.vec_id),

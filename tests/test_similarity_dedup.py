@@ -670,3 +670,80 @@ def test_hybrid_and_ann_recall_zero_row_legs(ray_session, tmp_path):
     assert len(rep) == 1                      # summary row only
     assert rep.iloc[0]["query_id"] == -1
     assert rep.iloc[0]["recall_at_k"] == 0.0 and rep.iloc[0]["mrr"] == 0.0
+
+
+def test_lsh_signature_parity_adversarial(ray_session, tmp_path):
+    """The quantized-signature contract attacked directly: exact
+    half-fractions at the floor boundary (x·2^20 = k+0.5 — where
+    round() would diverge half-even vs half-away), negatives,
+    huge/tiny magnitudes (incl. parallel scaled copies), and
+    bit-identical duplicates. Signature parity must be EXACT for all
+    of them; the full pipeline output is compared on the subset
+    without parallel DISTINCT vectors (parallel vectors have
+    mathematically tied cosines that each engine rounds differently —
+    the same documented rerank posture as KNN_SQL_TEMPLATE; ties from
+    bit-identical duplicates resolve identically on both sides)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.similarity import (_lsh_planes, _lsh_signatures,
+                                              knn_lsh, knn_lsh_sql,
+                                              lsh_signatures_sql)
+
+    rng = np.random.default_rng(17)
+    dim, n = 64, 40
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    # exact (k + 0.5)/2^20 values: floor is unambiguous, round is not
+    m[3] = ((np.arange(dim) + 0.5) / (1 << 20)).astype(np.float32)
+    m[4] = -m[3]
+    m[5] = m[3] * 1e6                 # large magnitudes (parallel copy)
+    m[6] = (m[3] * 1e-6).astype(np.float32)   # tiny (quantizes to 0)
+    m[7] = m[12]                      # bit-identical duplicate
+    m[8] = -m[12]                     # antipodal
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')")
+
+    # 1) bucket keys bit-identical for EVERY adversarial row
+    planes = _lsh_planes(16, 4, dim)
+    sig_eng = _lsh_signatures(m.astype(np.float64), planes)
+    so = con.sql(lsh_signatures_sql()).df()
+    sig_sql = so.pivot(index="vec_id", columns="t", values="key").to_numpy()
+    assert (sig_eng == sig_sql).all()
+
+    # 2) full pipeline equality on the fixture WITHOUT the parallel
+    # scaled copies (rows 5/6 replaced by fresh random vectors)
+    m2 = m.copy()
+    m2[5] = rng.normal(size=dim).astype(np.float32)
+    m2[6] = rng.normal(size=dim).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m2],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    eng = knn_lsh(str(tmp_path)).to_pandas().reset_index(drop=True)
+    want = con.sql(knn_lsh_sql()).df()
+    assert eng.astype("int64").equals(want.astype("int64"))
+
+
+def test_md5_token_hash_matches_duckdb():
+    """_md5_token_hash byte-order contract vs DuckDB md5_number_lower
+    on adversarial tokens (unicode scripts, digits, punctuation runs,
+    single char, 1000-char token)."""
+    import duckdb
+
+    from olx_ray.pipelines.dedup import _md5_token_hash
+
+    toks = ["a", "Опис", "œufs-épicés", "123456789", "!!##$$",
+            "寿司", "x" * 1000, "mIxEdCaSe"]
+    con = duckdb.connect()
+    for t in toks:
+        want = con.execute(
+            "SELECT md5_number_lower(?)", [t]).fetchone()[0]
+        assert _md5_token_hash(t) == int(want), t
