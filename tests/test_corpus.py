@@ -673,3 +673,62 @@ def test_pack_interleaved_partition_invariant(ray_session):
     many = pack_interleaved(rd.from_arrow(tbl).repartition(5),
                             seq_len=64).to_pandas()
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_training_corpus_oracle_adversarial_packing(ray_session, tmp_path):
+    """training_corpus ≡ training_corpus_sql on a crafted corpus that
+    exercises the packer branches the SF fixtures never reach (max 99
+    tokens there): OVERSIZED docs (>512 — own pack, nothing joins),
+    exactly-512 docs (next doc must open a new pack), zero-token docs
+    (quality_min=0.0 lets them through; they must open real packs),
+    duplicate texts (dedup keeps min id), and a contaminated doc
+    sharing a 13-gram with the benchmark slice."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import training_corpus, training_corpus_sql
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+
+    def text_of(n, salt):
+        r = np.random.default_rng(salt)
+        return " ".join(words[i] for i in r.integers(0, 10, n))
+
+    rows = []
+    # benchmark slice (doc_id < 50): one long doc whose grams poison
+    rows.append((3, text_of(30, 3)))
+    # contaminated: shares benchmark doc 3's first 13 tokens
+    rows.append((60, text_of(30, 3).rsplit(" ", 10)[0]))
+    rows.append((61, ""))                      # zero tokens
+    rows.append((62, "   "))                   # whitespace only
+    rows.append((63, text_of(600, 63)))        # oversized
+    rows.append((64, text_of(512, 64)))        # exactly seq_len
+    rows.append((65, text_of(5, 65)))          # after the full pack
+    rows.append((66, text_of(513, 66)))        # oversized by one
+    rows.append((67, text_of(5, 65)))          # duplicate text of doc 65
+    for i in range(68, 120):                   # filler with varied sizes
+        rows.append((i, text_of(int(rng.integers(0, 300)), i)))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    eng = training_corpus(str(tmp_path), quality_min=0.0) \
+        .to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(training_corpus_sql(quality_min=0.0)).df()
+    pd.testing.assert_frame_equal(eng, want, check_dtype=False)
+    # branch coverage sanity: the fixture really exercised them
+    assert 60 not in set(eng.doc_id)           # contaminated dropped
+    assert 67 not in set(eng.doc_id)           # duplicate dropped
+    big = eng[eng.doc_id.isin((63, 66))]
+    assert (big.pack_id == big.doc_id).all()   # oversized → own pack
+    assert (eng.start_tok < 512).all()
+    assert set(eng.doc_id[eng.n_tokens == 0])  # zero-token docs packed
