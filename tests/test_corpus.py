@@ -732,3 +732,29 @@ def test_training_corpus_oracle_adversarial_packing(ray_session, tmp_path):
     assert (big.pack_id == big.doc_id).all()   # oversized → own pack
     assert (eng.start_tok < 512).all()
     assert set(eng.doc_id[eng.n_tokens == 0])  # zero-token docs packed
+
+
+def test_training_corpus_all_filtered_empty(ray_session, tmp_path):
+    """Every doc below the quality bar → empty output from BOTH the
+    engine (typed empty frame, no zero-row KeyError) and the recursive
+    CTE (empty base case terminates immediately)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import training_corpus, training_corpus_sql
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "text": pa.array(["", "   "], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    eng = training_corpus(str(tmp_path), quality_min=0.99).to_pandas()
+    assert len(eng) == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(training_corpus_sql(quality_min=0.99)).df()
+    assert len(want) == 0
+    assert list(want.columns) == ["doc_id", "n_tokens", "quality",
+                                  "split", "pack_id", "start_tok"]
