@@ -42,7 +42,7 @@ QUERY_NAMES = [
     "dedup_exact", "minhash_lsh_pairs", "simhash_pairs",
     "knn_bruteforce", "embedding_neardup_pairs", "embedding_neardup_lsh",
     "token_count", "build_vocab", "training_corpus", "text_profile",
-    "duplicate_spans", "neardup_groups_embedding",
+    "duplicate_spans", "neardup_groups_embedding", "knn_lsh",
 ]
 
 
