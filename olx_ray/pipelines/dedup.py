@@ -35,6 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.blocks import list_matrix
 from ..functions.hashing import hash64
 
 N_PERM = 256
@@ -967,7 +968,7 @@ def _load_emb_chunk(file: str, rg: int, off: int, length: int):
     t = pq.ParquetFile(file).read_row_group(
         rg, columns=["vec_id", "embedding"]).slice(off, length)
     ids = t["vec_id"].to_numpy().astype(np.int64)
-    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    m = list_matrix(t["embedding"])
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return (int(ids.min()), int(ids.max())), (ids, m)
 
@@ -1023,7 +1024,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
             if len(q_ids) == 0:
                 return pa.table({"vec_a": pa.array([], pa.int64()),
                                  "vec_b": pa.array([], pa.int64())})
-            q = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            q = list_matrix(b["embedding"])
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             qmin = int(q_ids.min())
             out_a, out_b = [], []
@@ -1087,7 +1088,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
                              "tbl": pa.array([], pa.int32()),
                              "key": pa.array([], pa.int64()),
                              "vec": pa.array([], pa.list_(pa.float64()))})
-        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         if planes is None:
             planes = np.random.RandomState(7).standard_normal(

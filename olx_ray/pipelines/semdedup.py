@@ -41,6 +41,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.blocks import list_matrix
+
 
 def _prune_ordered(vecs: np.ndarray, eps: float,
                    col_chunk: int = 2048) -> np.ndarray:
@@ -88,7 +90,7 @@ def _prune_cluster_frame(g: pd.DataFrame, eps: float, keep: str,
 
 def _normalized(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = b["vec_id"].to_numpy().astype(np.int64)
-    m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+    m = list_matrix(b["embedding"])
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return ids, m
 

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.blocks import list_matrix
+
 
 def _load_queries(sf_dir: str, n_queries: int, *, with_raw: bool = False):
     """First ``n_queries`` rows as the query set — streamed via
@@ -42,7 +44,7 @@ def _load_queries(sf_dir: str, n_queries: int, *, with_raw: bool = False):
             break
     t = pa.Table.from_batches(batches).slice(0, n_queries)
     ids = t["vec_id"].to_numpy()
-    raw = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    raw = list_matrix(t["embedding"])
     q = raw / np.linalg.norm(raw, axis=1, keepdims=True)
     if with_raw:
         return ids, q, raw
@@ -81,7 +83,7 @@ class _LocalTopK:
         ids = b["vec_id"].to_numpy()
         if len(ids) == 0:
             return _empty_topk_table()
-        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = self.q @ m.T                        # (Q, batch)
         k = min(self.k + 1, cos.shape[1])         # +1: self-match dropped later
@@ -219,7 +221,7 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 10,
             vids = b["vec_id"].to_numpy()
             if len(vids) == 0:
                 return _empty_topk_table()
-            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            m = list_matrix(b["embedding"])
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cell = cell_similarities(m, self.cents).argmax(axis=1)
             return _score_cells(self.q_ids, self.q, self.cells, self.k,
@@ -258,7 +260,7 @@ def _train_centroids(sf_dir: str, n_cells: int, train_rows: int):
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     sample_tbl = next(pf.iter_batches(batch_size=train_rows,
                                       columns=["embedding"]))
-    sample = np.vstack(sample_tbl["embedding"].to_pylist()).astype(np.float64)
+    sample = list_matrix(sample_tbl["embedding"])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     return _kmeans(sample, n_cells)
 
@@ -336,7 +338,7 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
     def assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:      # guard BEFORE vstack (vstack([]) raises)
             return b.append_column("cell", pa.array([], pa.int64()))
-        m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+        m = list_matrix(b["embedding"])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cell = cell_similarities(m, ray.get(cref)).argmax(axis=1) \
             .astype(np.int64)
@@ -380,7 +382,7 @@ def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
             vids = b["vec_id"].to_numpy()
             if len(vids) == 0:
                 return _empty_topk_table()
-            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            m = list_matrix(b["embedding"])
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             return _score_cells(self.q_ids, self.q, self.cells, self.k,
                                 vids, m, b["cell"].to_numpy())
@@ -449,7 +451,7 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 10,
             vids = b["vec_id"].to_numpy()
             if len(vids) == 0:
                 return _empty_topk_table()
-            m = np.vstack(b["embedding"].to_pylist()).astype(np.float64)
+            m = list_matrix(b["embedding"])
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             sigs = _lsh_signatures(m, self.planes)
             # vectorized candidate matching: per (table, key-in-batch) —
