@@ -134,3 +134,43 @@ def test_knuth_fingerprint32_rejects_negative_ids():
         knuth_fingerprint32(np.array([-1, 5], dtype=np.int64))
     # empty input is fine
     assert len(knuth_fingerprint32(np.array([], dtype=np.int64))) == 0
+
+
+def test_list_matrix_contract():
+    """Arrow-native embedding decode: fixed-width fast path equals the
+    boxing path, honors slice offsets, stays writable, and falls back
+    on ragged/null columns instead of mis-reshaping."""
+    import numpy as np
+    import pyarrow as pa
+
+    from olx_ray.functions.blocks import list_matrix
+
+    m = np.arange(24, dtype=np.float32).reshape(6, 4)
+    col = pa.array([r.tolist() for r in m], pa.list_(pa.float32()))
+    out = list_matrix(col)
+    assert out.dtype == np.float64 and np.array_equal(out, m)
+    out[0, 0] = -1.0                       # must be writable
+
+    sliced = list_matrix(col.slice(2, 3))
+    assert np.array_equal(sliced, m[2:5])
+
+    chunked = pa.chunked_array([col.slice(0, 2), col.slice(2, 4)])
+    assert np.array_equal(list_matrix(chunked), m)
+
+    # float64 source → zero-copy view would be read-only; contract
+    # says writable comes back
+    col64 = pa.array([r.tolist() for r in m], pa.list_(pa.float64()))
+    w = list_matrix(col64)
+    w[0, 0] = -1.0
+    assert np.array_equal(list_matrix(col64), m)   # original unharmed
+
+    # ragged / null rows: fail LOUD (numpy refuses the stack) — never a
+    # silent wrong-shape reshape
+    import pytest
+    with pytest.raises(ValueError):
+        list_matrix(pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())))
+    with pytest.raises((ValueError, TypeError)):
+        list_matrix(pa.array([[1.0, 2.0], None], pa.list_(pa.float32())))
+
+    empty = pa.array([], pa.list_(pa.float32()))
+    assert list_matrix(empty).shape == (0, 0)
