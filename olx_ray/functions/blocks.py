@@ -111,6 +111,22 @@ def list_matrix(col, dtype=None):
     return np.vstack(col.to_pylist()).astype(dtype)
 
 
+def matrix_list(m) -> pa.Array:
+    """Inverse of ``list_matrix``: (rows, dim) float ndarray → Arrow
+    ``list<double>`` column from one flat buffer + arithmetic offsets —
+    no per-row Python boxing (``pa.array(list(m))`` boxes every float).
+    Plain list type (not fixed-size) on purpose: empty-batch tables
+    declare ``list_(float64())`` and a union must stay block-type
+    homogeneous."""
+    import numpy as np
+
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    n, d = m.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                       pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(m.ravel()))
+
+
 def collect_pandas(ds, columns: dict) -> pd.DataFrame:
     """Driver-side collect that survives the zero-row column drop:
     Ray 2.49's ``Dataset.to_pandas()`` returns a COLUMN-LESS frame for

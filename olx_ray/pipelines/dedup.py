@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.blocks import list_matrix
+from ..functions.blocks import list_matrix, matrix_list
 from ..functions.hashing import hash64
 
 N_PERM = 256
@@ -1104,7 +1104,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
             "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
             "tbl": pa.array(np.concatenate(out_t), pa.int32()),
             "key": pa.array(np.concatenate(out_k), pa.int64()),
-            "vec": pa.array(list(np.concatenate(out_v, axis=0))),
+            "vec": matrix_list(np.concatenate(out_v, axis=0)),
         })
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.blocks import list_matrix
+from ..functions.blocks import list_matrix, matrix_list
 
 
 def _prune_ordered(vecs: np.ndarray, eps: float,
@@ -154,7 +154,7 @@ def _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows, keep,
                 "vec_id": pa.array(ids, pa.int64()),
                 "cluster": pa.array(cl.astype(np.int32), pa.int32()),
                 "cent_cos": pa.array(cent_cos, pa.float64()),
-                "vec": pa.array(list(m)),
+                "vec": matrix_list(m),
             })
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:

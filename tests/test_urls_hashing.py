@@ -174,3 +174,16 @@ def test_list_matrix_contract():
 
     empty = pa.array([], pa.list_(pa.float32()))
     assert list_matrix(empty).shape == (0, 0)
+
+
+def test_matrix_list_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+
+    from olx_ray.functions.blocks import list_matrix, matrix_list
+
+    m = np.random.default_rng(2).normal(size=(5, 3))
+    col = matrix_list(m)
+    assert col.type == pa.list_(pa.float64())
+    assert np.array_equal(list_matrix(col), m)
+    assert col.to_pylist() == [r.tolist() for r in m]
