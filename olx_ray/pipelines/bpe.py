@@ -24,9 +24,13 @@ Both strategies produce IDENTICAL merges (deterministic tie-break:
 count desc, then pair lexicographic asc) — pinned by tests against an
 independent reference implementation.
 
-``encode_bpe`` is the application side: an actor-pool stage that
-builds the merge-rank table once per actor and encodes each distinct
-word once per batch (memoized), emitting per-doc BPE token counts.
+``encode_bpe`` is the counting application side: an actor-pool
+stage that builds the merge-rank table once per actor and encodes each
+distinct word once per batch (memoized), emitting per-doc BPE token
+counts. ``bpe_vocab`` + ``tokenize_bpe`` are the ID side (same
+``_merge_word`` kernel, so counts and ids can never drift); the end
+product is ``corpus.write_training_shards`` — packed fixed-length
+token-id rows in resumable hash shards.
 """
 
 from __future__ import annotations
@@ -150,6 +154,24 @@ def train_bpe(sf_dir: str, n_merges: int = 200, *,
     return merges
 
 
+def _merge_word(word: str, rank: dict) -> list:
+    """The BPE encode loop — ONE copy shared by the counting stage
+    (``BpeEncoder``), the id stage (``BpeTokenizer``) and any future
+    consumer, so their outputs can never drift: repeatedly apply the
+    lowest-rank adjacent merge until none applies."""
+    syms = list(_word_symbols(word))
+    while len(syms) >= 2:
+        best, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
 class BpeEncoder:
     """Actor-pool stage: per-doc BPE token counts. The merge-rank table
     builds once per actor; each DISTINCT word in a batch encodes once
@@ -165,17 +187,7 @@ class BpeEncoder:
         got = self.memo.get(word)
         if got is not None:
             return got
-        syms = list(_word_symbols(word))
-        while len(syms) >= 2:
-            best, best_i = None, -1
-            for i in range(len(syms) - 1):
-                r = self.rank.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best):
-                    best, best_i = r, i
-            if best is None:
-                break
-            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        n = len(syms)
+        n = len(_merge_word(word, self.rank))
         if len(self.memo) < 200_000:
             self.memo[word] = n
         return n
@@ -203,3 +215,107 @@ def encode_bpe(sf_dir: str, merges: list[tuple[str, str]], *,
                      fn_constructor_kwargs={"merges_ref": ref},
                      concurrency=concurrency, num_cpus=1) \
         .sort("doc_id")
+
+
+# ------------------------------------------------------------- token ids
+PAD_ID, UNK_ID = 0, 1
+
+
+def bpe_vocab(sf_dir: str, merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol→id table: 0=``<pad>``, 1=``<unk>``, then
+    the corpus ALPHABET (distinct characters of the word table, plus
+    the ``</w>`` end-of-word marker) in sorted order, then the merge
+    OUTPUT symbols in rank order. The alphabet pass runs over
+    ``word_counts`` (the corpus compressed by word repetition) with a
+    per-batch distinct-chars partial — the driver only ever sees
+    alphabet-sized frames."""
+    import pandas as pd
+
+    from .text import word_counts
+
+    def chars_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cs: set[str] = set()
+        for w in b["word"]:
+            cs.update(w)
+        return pd.DataFrame({"ch": sorted(cs)})
+
+    alpha = sorted(set(word_counts(sf_dir).map_batches(
+        chars_partial, batch_format="pandas").to_pandas()["ch"]))
+    vocab = {"<pad>": PAD_ID, "<unk>": UNK_ID}
+    for s in alpha + [_EOW]:
+        vocab.setdefault(s, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+class BpeTokenizer:
+    """Actor-pool stage: text → per-doc BPE token IDS (the step past
+    counting — what a training pipeline actually materializes). Merge
+    ranks + vocab broadcast once per actor (``ray.put``); each DISTINCT
+    word encodes once per actor (memoized id arrays). Symbols outside
+    the vocab (characters unseen at vocab-build time) map to
+    ``UNK_ID``. Output: ``(doc_id, ids list<int32>, n_bpe_tokens)``;
+    the ids column is built from one flat buffer + offsets — no per-id
+    Python boxing."""
+
+    def __init__(self, table_ref):
+        self.rank, self.vocab = ray.get(table_ref) \
+            if not isinstance(table_ref, tuple) else table_ref
+        self.memo: dict[str, np.ndarray] = {}
+
+    def _encode(self, word: str) -> np.ndarray:
+        got = self.memo.get(word)
+        if got is None:
+            got = np.fromiter(
+                (self.vocab.get(s, UNK_ID)
+                 for s in _merge_word(word, self.rank)),
+                dtype=np.int32)
+            if len(self.memo) < 200_000:
+                self.memo[word] = got
+        return got
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        flat, offsets = [], [0]
+        for t in b["text"].to_pylist():
+            n = offsets[-1]
+            for w in (t or "").split():
+                ids = self._encode(w)
+                flat.append(ids)
+                n += len(ids)
+            offsets.append(n)
+        values = (np.concatenate(flat) if flat
+                  else np.empty(0, np.int32))
+        off = np.asarray(offsets, dtype=np.int32)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ids": pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                            pa.array(values, pa.int32())),
+            "n_bpe_tokens": pa.array(np.diff(off).astype(np.int64),
+                                     pa.int64()),
+        })
+
+
+def tokenize_bpe(sf_dir: str, merges: list[tuple[str, str]],
+                 vocab: dict[str, int] | None = None, *,
+                 batch_size: int = 1024, concurrency=(1, 8),
+                 sort: bool = True):
+    """→ ``(doc_id, ids, n_bpe_tokens)`` per document, sorted. The id
+    companion of ``encode_bpe`` (same ``_merge_word`` kernel, so
+    ``len(ids) == n_bpe_tokens`` of the counting path by construction —
+    pinned in tests)."""
+    import ray.data as rd
+
+    vocab = vocab if vocab is not None else bpe_vocab(sf_dir, merges)
+    rank = {pair: i for i, pair in enumerate(merges)}
+    ref = ray.put((rank, vocab))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(BpeTokenizer, batch_format="pyarrow",
+                     batch_size=batch_size,
+                     fn_constructor_kwargs={"table_ref": ref},
+                     concurrency=concurrency, num_cpus=1)
+    # sort=False for consumers that re-shuffle anyway (the shard
+    # writer buckets by doc_id hash — a global sort here is a wasted
+    # all-to-all)
+    return ds.sort("doc_id") if sort else ds

@@ -270,9 +270,9 @@ def contamination_13gram(sf_dir: str, n: int = 13,
 
 
 # ------------------------------------------------------------- end-to-end
-def _pack_bucket(ids: np.ndarray) -> np.ndarray:
-    """64-way pack bucket from the shared ``knuth_fingerprint32``
-    (bit-parity SQL: ``(id::HUGEINT * 2654435761) % 2^32 // 128 %
+def _pack_bucket(ids: np.ndarray, n_buckets: int = 64) -> np.ndarray:
+    """Pack bucket from the shared ``knuth_fingerprint32`` (bit-parity
+    SQL at the default 64: ``(id::HUGEINT * 2654435761) % 2^32 // 128 %
     64``). Pack composition DEPENDS on this assignment — unlike the
     pure-partitioning ``bucket_of`` buckets elsewhere — so it must be
     a hash both engines can compute; fmix64's wrap-around uint64
@@ -280,7 +280,7 @@ def _pack_bucket(ids: np.ndarray) -> np.ndarray:
     from ..functions.hashing import knuth_fingerprint32
 
     return ((knuth_fingerprint32(ids) >> np.uint64(7))
-            % np.uint64(64)).astype(np.int32)
+            % np.uint64(n_buckets)).astype(np.int32)
 
 
 def training_corpus(sf_dir: str, quality_min: float = 0.45,
@@ -1087,3 +1087,88 @@ def temperature_mix(sources: dict[str, tuple], temperature: float = 1.0,
                 or 5e-324
         scaled[name] = (ds, w)
     return weighted_interleave(scaled, id_col=id_col, seed=seed)
+
+
+# ------------------------------------------------------ training shards
+def write_training_shards(sf_dir: str, merges: list[tuple[str, str]],
+                          out_dir: str, *, seq_len: int = 512,
+                          vocab: dict[str, int] | None = None,
+                          n_buckets: int = 64) -> dict:
+    """The END PRODUCT of the training-data pipeline: BPE token-id
+    sequences packed into fixed-length rows and written as resumable
+    hash shards — what a trainer's data loader actually reads.
+
+        tokenize (``bpe.tokenize_bpe`` actor pool, merges+vocab
+        broadcast once) → deterministic pack assignment (the
+        ``training_corpus`` packer contract: ``_pack_bucket`` of
+        doc_id, ``_greedy_pack`` in doc order within the bucket —
+        a pure function of the table) → assemble each pack into ONE
+        ``input_ids`` row of exactly ``seq_len`` int32 ids (members
+        concatenated at their ``start_tok`` offsets, oversized docs
+        truncated, tail padded with ``PAD_ID``) → ``export_shards``
+        (one shard per pack bucket: crash-safe manifests, reruns skip
+        complete shards).
+
+    Output rows: ``(bucket, pack_id, input_ids fixed_size_list<int32,
+    seq_len>, n_real, doc_ids list<int64>, doc_starts list<int32>)`` —
+    the boundary columns make every doc's slice recoverable, so tests
+    pin a full roundtrip against the tokenizer.
+
+    Scale: text is dropped at the tokenize stage (ids ride the one
+    bucket shuffle); per-bucket assembly allocates (packs × seq_len)
+    int32 — bounded by the bucket's token mass, and ``n_buckets``
+    scales the parallelism/width down."""
+    import pandas as pd
+
+    from .bpe import PAD_ID, tokenize_bpe
+    from .export import export_shards
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array(_pack_bucket(ids, n_buckets), pa.int32()))
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id")
+        dids = g["doc_id"].to_numpy().astype(np.int64)
+        counts = g["n_bpe_tokens"].to_numpy().astype(np.int64)
+        bucket = int(g["bucket"].iloc[0])
+        packs, starts, takes, _ = _greedy_pack(dids, counts, seq_len)
+        packs = np.asarray(packs, dtype=np.int64)
+        starts = np.asarray(starts, dtype=np.int64)
+        takes = np.asarray(takes, dtype=np.int64)
+        # pack boundaries: _greedy_pack emits members contiguously
+        heads = np.flatnonzero(np.r_[True, packs[1:] != packs[:-1]])
+        tails = np.r_[heads[1:], len(packs)]
+        mat = np.full((len(heads), seq_len), PAD_ID, dtype=np.int32)
+        row_of = np.repeat(np.arange(len(heads)), tails - heads)
+        ids_col = g["ids"].to_numpy()
+        for i in range(len(dids)):
+            if takes[i]:
+                mat[row_of[i], starts[i]:starts[i] + takes[i]] = \
+                    ids_col[i][:takes[i]]
+        n_real = np.add.reduceat(takes, heads).astype(np.int32) \
+            if len(heads) else np.empty(0, np.int32)
+        member_off = np.empty(len(heads) + 1, dtype=np.int32)
+        member_off[0] = 0
+        np.cumsum(tails - heads, out=member_off[1:])
+        return pa.table({
+            "bucket": pa.array(np.full(len(heads), bucket, np.int32),
+                               pa.int32()),
+            "pack_id": pa.array(packs[heads], pa.int64()),
+            "input_ids": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.int32()), seq_len),
+            "n_real": pa.array(n_real, pa.int32()),
+            "doc_ids": pa.ListArray.from_arrays(
+                pa.array(member_off, pa.int32()),
+                pa.array(dids, pa.int64())),
+            "doc_starts": pa.ListArray.from_arrays(
+                pa.array(member_off, pa.int32()),
+                pa.array(starts.astype(np.int32), pa.int32())),
+        })
+
+    assembled = tokenize_bpe(sf_dir, merges, vocab, sort=False) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(assemble, batch_format="pandas")
+    return export_shards(assembled, out_dir, key="bucket",
+                         n_shards=n_buckets, assign="value")
