@@ -66,6 +66,8 @@ def _consume(res) -> int:
     import pandas as pd
     import pyarrow as pa
 
+    if res is None:                 # op consumed itself (sink write)
+        return 0
     if isinstance(res, (pd.DataFrame, pa.Table)):
         return len(res)
     return res.count()
@@ -159,11 +161,27 @@ def _extra_ops() -> dict:
                                      columns=["text"]))["text"][0].as_py()
         return hybrid_search_rrf(sf, " ".join(text0.split()[:6]))
 
+    def _shards(sf):
+        import shutil
+        import tempfile
+
+        from olx_ray.pipelines.bpe import bpe_vocab, train_bpe
+        from olx_ray.pipelines.corpus import write_training_shards
+
+        out = tempfile.mkdtemp(prefix="bench_shards_")
+        try:
+            merges = train_bpe(sf, n_merges=100)
+            write_training_shards(sf, merges, out,
+                                  vocab=bpe_vocab(sf, merges))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return None                      # consumed by the write
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
             "normalize_text": _normalize, "source_quota_sample": _quota,
             "dedup_lines_within_doc": _dedup_lines,
-            "hybrid_search_rrf": _hybrid}
+            "hybrid_search_rrf": _hybrid, "training_shards": _shards}
 
 
 def run_queries() -> dict:
