@@ -265,6 +265,122 @@ def _train_centroids(sf_dir: str, n_cells: int, train_rows: int):
     return _kmeans(sample, n_cells)
 
 
+# Quantization scale for kmeans_train's integer partial sums: 2^-20
+# (~1e-6 of a unit-norm coordinate) is clustering-negligible, and the
+# int64 budget 2^63 / 2^20 = 2^43 rows (~8.8e12) comfortably covers the
+# 100 TB regime before the loud overflow guard fires.
+_KMEANS_SCALE = 1 << 20
+
+
+def kmeans_train(sf_dir: str, n_clusters: int = 16, iters: int = 10,
+                 train_rows: int = 4096, init: np.ndarray | None = None,
+                 batch_size: int = 4096, fan_in: int = 32) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the FULL embeddings
+    table — the scale-path sibling of ``_train_centroids``'s
+    bounded-prefix-sample trainer. Each iteration is one streaming
+    pass: per batch, rows are normalized, assigned to their argmax-
+    cosine centroid via the shared shape-independent
+    ``cell_similarities`` kernel, and reduced to per-cluster partial
+    sums; partials merge through ``summary_tree`` (≤ ``n_clusters``
+    rows per node) and the driver folds exactly ``n_clusters`` rows
+    into the next round's centroids — the corpus never coalesces and
+    driver state is O(n_clusters · dim).
+
+    Deterministic AND partition-invariant by construction (the
+    functions/money.py discipline, applied to vectors): coordinates
+    quantize to ``_KMEANS_SCALE`` integer units per batch, so partial
+    sums are exact int64 and integer addition makes every iteration's
+    centroids a pure function of the table — independent of batch
+    layout, block order, and merge fan-in, which float partial sums
+    can never be. The finish raises loudly if the global row count
+    could overflow the int64 budget (see ``_KMEANS_SCALE``).
+
+    ``init`` overrides the starting centroids (default: the same
+    seeded prefix-sample ``_kmeans`` init as ``_train_centroids``, at
+    ``iters=0`` sample-Lloyd rounds — i.e. raw seeds, refined here by
+    the full-corpus rounds). Empty clusters keep their previous
+    centroid. Cost is ``iters`` corpus scans — at 100 TB, train on a
+    large uniform sample written by ``sampling.reservoir_sample`` or
+    lower ``iters``; this trainer exists so the sample is not forced
+    to fit the DRIVER. Returns (n_clusters, dim) float64 unit rows,
+    drop-in for every ``cents=`` override (``semantic_dedup``,
+    ``knn_ivf``-family via ``build_ivf_layout`` retrain)."""
+    from ..functions.summaries import summary_tree
+
+    if init is None:
+        # seeded choice from the bounded prefix sample — deterministic,
+        # and distinct rows of the table itself (classic Forgy init)
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        sample_tbl = next(pf.iter_batches(batch_size=train_rows,
+                                          columns=["embedding"]))
+        sample = list_matrix(sample_tbl["embedding"])
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        rng = np.random.RandomState(11)
+        cents = sample[rng.choice(len(sample), n_clusters,
+                                  replace=False)].copy()
+    else:
+        cents = np.asarray(init, dtype=np.float64).copy()
+        if cents.shape[0] != n_clusters:
+            raise ValueError(f"init holds {cents.shape[0]} centroids, "
+                             f"n_clusters={n_clusters}")
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    scol = None                                  # s0..s{dim-1}, set below
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pd.DataFrame:
+            c = ray.get(cref)
+            k, dim = c.shape
+            cols = {f"s{j}": np.zeros(k, np.int64) for j in range(dim)}
+            out = {"cluster": np.arange(k, dtype=np.int32),
+                   "n": np.zeros(k, np.int64), **cols}
+            if b.num_rows:
+                m = list_matrix(b["embedding"])
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                cl = cell_similarities(m, c).argmax(axis=1)
+                q = np.rint(m * _KMEANS_SCALE).astype(np.int64)
+                sums = np.zeros((k, dim), np.int64)
+                np.add.at(sums, cl, q)
+                out["n"] = np.bincount(cl, minlength=k).astype(np.int64)
+                for j in range(dim):
+                    out[f"s{j}"] = sums[:, j]
+            df = pd.DataFrame(out)
+            return df[df["n"] > 0] if b.num_rows else df.iloc[:0]
+
+        def merge(b: pa.Table) -> pd.DataFrame:
+            # summary_tree hands merge nodes the partial format
+            # (pyarrow); nodes see ≤ fan_in · n_clusters rows
+            return b.to_pandas().groupby("cluster", as_index=False).sum()
+
+        folded = summary_tree(ds, partial, merge, fan_in=fan_in,
+                              batch_format="pyarrow",
+                              batch_size=batch_size).to_pandas()
+        if len(folded) == 0:     # empty corpus: nothing to refine (and
+            break                # Ray 2.49 drops zero-row columns)
+        if scol is None:
+            scol = [c for c in folded.columns if c.startswith("s")]
+        total = int(folded["n"].sum())
+        if total >= (1 << 63) // _KMEANS_SCALE:
+            raise OverflowError(
+                f"kmeans_train: {total} rows exceeds the int64 partial-"
+                f"sum budget at scale {_KMEANS_SCALE}; shard the corpus "
+                "or train on a reservoir_sample")
+        nxt = cents.copy()
+        for _, row in folded.iterrows():         # ≤ n_clusters rows
+            n = int(row["n"])
+            if n == 0:
+                continue
+            v = row[scol].to_numpy(np.float64) / (float(n) * _KMEANS_SCALE)
+            nxt[int(row["cluster"])] = v / (np.linalg.norm(v) or 1.0)
+        cents = nxt
+    return cents
+
+
 def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
                      train_rows: int = 4096) -> dict:
     """Materialize the IVF-PARTITIONED physical layout the ``knn_ivf``

@@ -747,3 +747,73 @@ def test_md5_token_hash_matches_duckdb():
         want = con.execute(
             "SELECT md5_number_lower(?)", [t]).fetchone()[0]
         assert _md5_token_hash(t) == int(want), t
+
+
+# ------------------------------------------------------- kmeans_train
+def _ref_kmeans_quantized(m, init, iters):
+    """Driver-side reference of kmeans_train's EXACT quantized Lloyd:
+    same assignment kernel (shape-independent einsum), same integer
+    partial sums, same float derivation — equality must be bitwise."""
+    from olx_ray.pipelines.similarity import _KMEANS_SCALE
+
+    cents = init.copy()
+    for _ in range(iters):
+        cl = np.einsum("ij,kj->ik", m, cents).argmax(axis=1)
+        q = np.rint(m * _KMEANS_SCALE).astype(np.int64)
+        nxt = cents.copy()
+        for c in range(len(cents)):
+            rows = q[cl == c]
+            if len(rows):
+                s = rows.sum(axis=0, dtype=np.int64)
+                v = s.astype(np.float64) / (float(len(rows))
+                                            * _KMEANS_SCALE)
+                nxt[c] = v / (np.linalg.norm(v) or 1.0)
+        cents = nxt
+    return cents
+
+
+def test_kmeans_train_exact_reference_parity(ray_session):
+    """Distributed quantized Lloyd == in-memory reference, BITWISE:
+    integer partial sums make each iteration a pure function of the
+    table, so no tolerance is needed (a float-sum design could never
+    pin this)."""
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.similarity import kmeans_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(7)
+    init = m[rng.choice(len(m), 4, replace=False)].copy()
+    got = kmeans_train(SF, n_clusters=4, iters=3, init=init)
+    ref = _ref_kmeans_quantized(m, init, 3)
+    assert np.array_equal(got, ref)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+
+
+def test_kmeans_train_partition_invariant(ray_session):
+    """Same centroids regardless of batch layout / merge fan-in — the
+    point of the integer-units discipline."""
+    from olx_ray.pipelines.similarity import kmeans_train
+
+    a = kmeans_train(SF, n_clusters=4, iters=2, batch_size=64, fan_in=4)
+    b = kmeans_train(SF, n_clusters=4, iters=2, batch_size=4096,
+                     fan_in=32)
+    assert np.array_equal(a, b)
+
+
+def test_kmeans_train_drop_in_for_semdedup_cents(ray_session):
+    """The trained centroids slot into semantic_dedup's cents override
+    (the documented integration point) and the run completes with the
+    usual invariants."""
+    from olx_ray.pipelines.semdedup import semantic_dedup
+    from olx_ray.pipelines.similarity import kmeans_train
+
+    cents = kmeans_train(SF, n_clusters=4, iters=1)
+    out = semantic_dedup(SF, eps=0.35, n_clusters=4,
+                         cents=cents).to_pandas()
+    assert len(out) == 500
+    assert out["vec_id"].is_monotonic_increasing
+    assert set(out["cluster"].unique()) <= set(range(4))
