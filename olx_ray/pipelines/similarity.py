@@ -382,7 +382,8 @@ def kmeans_train(sf_dir: str, n_clusters: int = 16, iters: int = 10,
 
 
 def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
-                     train_rows: int = 4096) -> dict:
+                     train_rows: int = 4096, trainer: str = "sample",
+                     corpus_iters: int = 10) -> dict:
     """Materialize the IVF-PARTITIONED physical layout the ``knn_ivf``
     docstring promises: embeddings written as one shard per k-means
     cell (``export_shards(assign="value")`` — resumable, atomic
@@ -390,25 +391,38 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
     this layout (``knn_ivf_indexed``) open ONLY the cells they probe —
     partition pruning at the file level, the actual 100 TB ANN path.
 
+    ``trainer``: ``"sample"`` (default) trains on the bounded prefix
+    sample (``_train_centroids``); ``"corpus"`` refines the same seeds
+    with ``corpus_iters`` full-corpus ``kmeans_train`` rounds — the
+    driver-unbounded path when the prefix sample would misrepresent
+    the table. Layouts pin the trainer in their manifests like every
+    other parameter (pre-``trainer`` layouts read as ``"sample"``,
+    which is what built them).
+
     Resume/drift safety: ``centroids.npy`` is written BEFORE the export
     and RELOADED (never retrained/overwritten) on a resumed build, so
     shard contents and centroids cannot drift apart; a layout manifest
-    pins (n_cells, train_rows) and a re-build with different parameters
-    is refused (use a fresh directory)."""
+    pins (n_cells, train_rows, trainer) and a re-build with different
+    parameters is refused (use a fresh directory)."""
     import os
 
     from .. import storage
     from .export import export_shards
 
+    if trainer not in ("sample", "corpus"):
+        raise ValueError(f"trainer must be 'sample' or 'corpus', "
+                         f"got {trainer!r}")
     os.makedirs(out_dir, exist_ok=True)
     lman_path = f"{out_dir}/IVF_MANIFEST.json"
     lman = storage.read_manifest(lman_path)
-    if lman is not None and (lman["n_cells"], lman["train_rows"]) \
-            != (n_cells, train_rows):
+    if lman is not None and (lman["n_cells"], lman["train_rows"],
+                             lman.get("trainer", "sample")) \
+            != (n_cells, train_rows, trainer):
         raise ValueError(
             f"{out_dir} was built with n_cells={lman['n_cells']}, "
-            f"train_rows={lman['train_rows']}; rebuild parameters must "
-            f"match — use a fresh directory")
+            f"train_rows={lman['train_rows']}, "
+            f"trainer={lman.get('trainer', 'sample')!r}; rebuild "
+            f"parameters must match — use a fresh directory")
     cpath = f"{out_dir}/centroids.npy"
     cmeta_path = f"{out_dir}/CENTROIDS_META.json"
     if os.path.exists(cpath):
@@ -423,29 +437,38 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
             # pre-sidecar layout whose IVF_MANIFEST.json already pins
             # params matching this call (checked above): backfill the
             # sidecar instead of refusing a perfectly-recorded resume
-            cmeta = {"n_cells": n_cells, "train_rows": train_rows}
+            cmeta = {"n_cells": n_cells, "train_rows": train_rows,
+                     "trainer": trainer}
             storage.write_manifest(cmeta_path, cmeta)
-        if cmeta is None or (cmeta["n_cells"], cmeta["train_rows"]) \
-                != (n_cells, train_rows):
+        if cmeta is None or (cmeta["n_cells"], cmeta["train_rows"],
+                             cmeta.get("trainer", "sample")) \
+                != (n_cells, train_rows, trainer):
             have = ("unrecorded" if cmeta is None else
                     f"n_cells={cmeta['n_cells']}, "
-                    f"train_rows={cmeta['train_rows']}")
+                    f"train_rows={cmeta['train_rows']}, "
+                    f"trainer={cmeta.get('trainer', 'sample')!r}")
         else:
             have = None
         if have is not None:
             raise ValueError(
                 f"{cpath} was trained with {have}; call asked "
-                f"n_cells={n_cells}, train_rows={train_rows} — use a "
-                f"fresh directory")
+                f"n_cells={n_cells}, train_rows={train_rows}, "
+                f"trainer={trainer!r} — use a fresh directory")
         if len(cents) != n_cells:
             raise ValueError(f"{cpath} holds {len(cents)} centroids, "
                              f"call asked n_cells={n_cells}")
     else:
-        cents = _train_centroids(sf_dir, n_cells, train_rows)
+        if trainer == "corpus":
+            cents = kmeans_train(sf_dir, n_clusters=n_cells,
+                                 iters=corpus_iters, train_rows=train_rows)
+        else:
+            cents = _train_centroids(sf_dir, n_cells, train_rows)
         # meta first, then the (temp+renamed) npy: a crash between the
         # two leaves meta-without-centroids, which just retrains
         storage.write_manifest(cmeta_path,
-                               {"n_cells": n_cells, "train_rows": train_rows})
+                               {"n_cells": n_cells,
+                                "train_rows": train_rows,
+                                "trainer": trainer})
         tmp = f"{out_dir}/.tmp-centroids.npy"
         np.save(tmp, cents)
         os.replace(tmp, cpath)
@@ -466,7 +489,8 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
     res = export_shards(ds, out_dir, key="cell", n_shards=n_cells,
                         assign="value")
     storage.write_manifest(lman_path, {"n_cells": n_cells,
-                                       "train_rows": train_rows})
+                                       "train_rows": train_rows,
+                                       "trainer": trainer})
     return res
 
 

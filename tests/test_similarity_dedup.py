@@ -817,3 +817,37 @@ def test_kmeans_train_drop_in_for_semdedup_cents(ray_session):
     assert len(out) == 500
     assert out["vec_id"].is_monotonic_increasing
     assert set(out["cluster"].unique()) <= set(range(4))
+
+
+def test_ivf_layout_corpus_trainer(ray_session, tmp_path):
+    """trainer='corpus' layouts: centroids == a direct kmeans_train run
+    (same seeds, same rounds); exhaustive probing over the layout ==
+    brute force (candidate-complete regardless of centroids); trainer
+    is pinned in the manifests like every other parameter."""
+    import numpy as np
+
+    from olx_ray.pipelines.similarity import (build_ivf_layout,
+                                              kmeans_train,
+                                              knn_bruteforce,
+                                              knn_ivf_indexed)
+
+    idx = str(tmp_path / "ivf_corpus")
+    res = build_ivf_layout(SF, idx, n_cells=4, trainer="corpus",
+                           corpus_iters=2)
+    assert sorted(res["written"]) == list(range(4))
+    cents = np.load(f"{idx}/centroids.npy")
+    want = kmeans_train(SF, n_clusters=4, iters=2)
+    assert np.array_equal(cents, want)
+    # exhaustive probing == brute force, up to the shared tie-break
+    got = knn_ivf_indexed(SF, idx, n_probe=4).to_pandas()
+    brute = knn_bruteforce(SF).to_pandas()
+    assert got.reset_index(drop=True).equals(
+        brute.reset_index(drop=True))
+    # resume with the same trainer: cheap no-op
+    assert build_ivf_layout(SF, idx, n_cells=4, trainer="corpus",
+                            corpus_iters=2)["written"] == []
+    # trainer drift is refused like any other param drift
+    with pytest.raises(ValueError, match="rebuild parameters"):
+        build_ivf_layout(SF, idx, n_cells=4, trainer="sample")
+    with pytest.raises(ValueError, match="trainer must be"):
+        build_ivf_layout(SF, idx, n_cells=4, trainer="bogus")
