@@ -269,6 +269,85 @@ def contamination_13gram(sf_dir: str, n: int = 13,
         concurrency=(1, 4), num_cpus=1).sort("doc_id")
 
 
+def contamination_semantic(sf_dir: str, threshold: float = 0.95,
+                           benchmark_max_id: int = 50):
+    """Embedding-space eval-set decontamination — the semantic sibling
+    of ``contamination_13gram`` (the DataComp-LM/Phi-style gate: exact
+    n-grams miss paraphrased benchmark leakage; cosine against the
+    benchmark's embeddings catches it). Rows with ``vec_id <
+    benchmark_max_id`` stand in for the embedded eval suite.
+
+    Same shape as the n-gram gate: the benchmark matrix is bounded —
+    one predicate-pushdown read, L2-normalized, ``ray.put`` once,
+    fetched per actor in ``__init__`` — and the corpus streams through
+    one vectorized matmul per batch (O(batch · |bench| · d), no
+    shuffle; the output sort is the only exchange). Returns
+    ``(vec_id, n_contaminated, max_cos, is_contaminated)`` where
+    ``n_contaminated`` counts benchmark vectors with cos >
+    ``threshold`` (benchmark rows flag themselves at cos 1.0, like the
+    n-gram gate). Fully SQL-expressible → DuckDB oracle in pytest."""
+    import pyarrow.parquet as pq
+
+    from ..functions.blocks import list_matrix
+
+    bt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", benchmark_max_id)])
+    bench = list_matrix(bt["embedding"])
+    if len(bench) == 0:
+        raise ValueError(
+            f"no benchmark rows under vec_id < {benchmark_max_id}")
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    ref = ray.put(bench)
+
+    class Probe:
+        def __init__(self):
+            self.bench = ray.get(ref)           # fetched once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "n_contaminated": pa.array([], pa.int64()),
+                    "max_cos": pa.array([], pa.float64()),
+                    "is_contaminated": pa.array([], pa.bool_())})
+            m = list_matrix(b["embedding"])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ self.bench.T              # (batch, |bench|)
+            n = (cos > threshold).sum(axis=1).astype(np.int64)
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "n_contaminated": pa.array(n, pa.int64()),
+                "max_cos": pa.array(cos.max(axis=1), pa.float64()),
+                "is_contaminated": pa.array(n > 0, pa.bool_())})
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(Probe, batch_format="pyarrow", batch_size=2048,
+                     concurrency=(1, 4), num_cpus=1).sort("vec_id")
+
+
+# DuckDB oracle (pytest): same gate in SQL; max_cos rounds to 6dp on
+# both sides (numpy float64 dot vs DuckDB double cosine agree to
+# ~1e-12; counts/flags are exact away from the threshold boundary).
+CONTAMINATION_SEMANTIC_SQL = """
+SELECT e.vec_id,
+       sum(CASE WHEN list_cosine_similarity(e.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])
+                     > {threshold} THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(max(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[])), 6)
+         AS max_cos,
+       bool_or(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+               > {threshold}) AS is_contaminated
+FROM embeddings e, embeddings b
+WHERE b.vec_id < {benchmark_max_id}
+GROUP BY e.vec_id ORDER BY e.vec_id
+"""
+
+
 # ------------------------------------------------------------- end-to-end
 def _pack_bucket(ids: np.ndarray, n_buckets: int = 64) -> np.ndarray:
     """Pack bucket from the shared ``knuth_fingerprint32`` (bit-parity

@@ -758,3 +758,42 @@ def test_training_corpus_all_filtered_empty(ray_session, tmp_path):
     assert len(want) == 0
     assert list(want.columns) == ["doc_id", "n_tokens", "quality",
                                   "split", "pack_id", "start_tok"]
+
+
+def test_contamination_semantic_vs_duckdb(ray_session):
+    """Full DuckDB oracle for the embedding-space decontamination gate
+    (counts + flags exact, max_cos at the house 6-decimal
+    canonicalization), plus the sibling invariant: benchmark rows flag
+    themselves."""
+    import duckdb
+
+    from olx_ray.pipelines.corpus import (CONTAMINATION_SEMANTIC_SQL,
+                                          contamination_semantic)
+
+    # synthetic embeddings are near-uniform: use a threshold the
+    # fixture actually crosses (pairs exist at 0.45) so the gate fires
+    # beyond the trivial self-match
+    thr, bmax = 0.45, 50
+    got = contamination_semantic(SF, threshold=thr,
+                                 benchmark_max_id=bmax).to_pandas()
+    got["max_cos"] = got["max_cos"].round(6)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    want = con.sql(CONTAMINATION_SEMANTIC_SQL.format(
+        threshold=thr, benchmark_max_id=bmax)).df()
+    assert list(got.columns) == list(want.columns)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["n_contaminated"].tolist() == want["n_contaminated"].tolist()
+    assert got["is_contaminated"].tolist() == want["is_contaminated"].tolist()
+    assert np.allclose(got["max_cos"], want["max_cos"], atol=2e-6)
+    # benchmark self-match: every vec_id < bmax is contaminated at 1.0
+    bench = got[got["vec_id"] < bmax]
+    assert bench["is_contaminated"].all()
+    assert np.allclose(bench["max_cos"], 1.0, atol=1e-9)
+    # the gate must fire beyond self-matches on this fixture
+    assert got[got["vec_id"] >= bmax]["is_contaminated"].any()
+    # empty benchmark is a loud error, not a silent all-clean pass
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no benchmark rows"):
+        contamination_semantic(SF, benchmark_max_id=0)
