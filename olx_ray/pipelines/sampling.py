@@ -340,6 +340,66 @@ def group_quantiles(ds, group_col: str, value_col: str, qs=(25, 50, 75),
             .groupby("_bucket").map_groups(finish, batch_format="pandas"))
 
 
+def cluster_balanced_sample(sf_dir: str, k_per_cluster: int,
+                            n_clusters: int = 16,
+                            cents: "np.ndarray | None" = None,
+                            train_rows: int = 4096, seed: int = 0):
+    """Diversity-preserving sample over the ``embeddings`` table: at
+    most ``k_per_cluster`` rows from EACH k-means cluster — even
+    coverage of embedding space where a uniform sample mirrors the
+    corpus's density skew (the cluster-quota selection shape from
+    DataComp-style curation; SemDeDup prunes within-cluster redundancy,
+    this balances ACROSS clusters).
+
+    Composition of verified pieces, nothing new moves: centroids come
+    from ``similarity.kmeans_train``/``_train_centroids`` (or are
+    passed in), assignment is the shared shape-independent
+    ``cell_similarities`` kernel (broadcast centroids, no shuffle),
+    within-cluster pick is the deterministic ``mix64(vec_id, seed)``
+    priority through ``group_topk`` — exact per-group bottom-k with
+    only ``(vec_id, cluster, priority)`` ever shuffling. Deterministic
+    and partition-invariant end to end; returns ``(vec_id, cluster)``
+    sorted by vec_id."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.blocks import list_matrix
+    from ..functions.hashing import mix64
+    from .similarity import _train_centroids, cell_similarities
+
+    if cents is None:
+        cents = _train_centroids(sf_dir, n_clusters, train_rows)
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int32()),
+                                 "_pri": pa.array([], pa.uint64())})
+            ids = b["vec_id"].to_numpy().astype(np.int64)
+            m = list_matrix(b["embedding"])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cl = cell_similarities(m, self.cents).argmax(axis=1)
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl.astype(np.int32), pa.int32()),
+                "_pri": pa.array(mix64(ids, seed), pa.uint64())})
+
+    import ray.data as rd
+
+    assigned = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .map_batches(Assign, batch_format="pyarrow", batch_size=2048,
+                     concurrency=(1, 4), num_cpus=1)
+    picked = group_topk(assigned, "cluster", "_pri", k_per_cluster,
+                        descending=False, tiebreak_col="vec_id")
+    return picked.select_columns(["vec_id", "cluster"]).sort("vec_id")
+
+
 def score_band_filter(ds, value_col: str, qlo: float = 0.05,
                       qhi: float = 0.95, id_col: str = "doc_id",
                       sample_size: int = 4096, seed: int = 0):

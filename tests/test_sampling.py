@@ -404,3 +404,45 @@ def test_group_topk_per_group_cap_map(ray_session):
     asc = group_topk(ds, "g", "v", {1: 1, 3: 1}, descending=False,
                      tiebreak_col="id").to_pandas()
     assert set(asc["id"]) == {3, 8}
+
+
+def test_cluster_balanced_sample_exact_reference(ray_session):
+    """cluster_balanced_sample == in-memory reference (same centroids,
+    same assignment kernel, same mix64 priorities) EXACTLY; per-cluster
+    quotas hold; deterministic across runs; seed changes the pick."""
+    import pyarrow.parquet as pq
+
+    from olx_ray.functions.hashing import mix64
+    from olx_ray.pipelines.sampling import cluster_balanced_sample
+    from olx_ray.pipelines.similarity import _train_centroids
+
+    cents = _train_centroids(SF, 8, 4096)
+    got = cluster_balanced_sample(SF, k_per_cluster=5, n_clusters=8,
+                                  cents=cents).to_pandas()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cl = np.einsum("ij,kj->ik", m, cents).argmax(axis=1)
+    pri = mix64(ids, 0)
+    ref = pd.DataFrame({"vec_id": ids, "cluster": cl, "pri": pri})
+    ref = ref.sort_values(["pri", "vec_id"], kind="mergesort") \
+        .groupby("cluster", sort=False).head(5)
+    ref = ref.sort_values("vec_id")
+
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert got["cluster"].tolist() == ref["cluster"].tolist()
+    # quotas: every cluster contributes min(k, members) rows
+    sizes = pd.Series(cl).value_counts()
+    picked = got["cluster"].value_counts()
+    for c, n in sizes.items():
+        assert picked.get(c, 0) == min(5, n)
+    # determinism + seed sensitivity
+    again = cluster_balanced_sample(SF, k_per_cluster=5, n_clusters=8,
+                                    cents=cents).to_pandas()
+    assert got.equals(again)
+    other = cluster_balanced_sample(SF, k_per_cluster=5, n_clusters=8,
+                                    cents=cents, seed=7).to_pandas()
+    assert got["vec_id"].tolist() != other["vec_id"].tolist()
