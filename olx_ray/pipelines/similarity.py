@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.blocks import list_matrix
+from ..functions.blocks import list_matrix, matrix_list
 
 
 def _load_queries(sf_dir: str, n_queries: int, *, with_raw: bool = False):
@@ -263,6 +263,96 @@ def _train_centroids(sf_dir: str, n_cells: int, train_rows: int):
     sample = list_matrix(sample_tbl["embedding"])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     return _kmeans(sample, n_cells)
+
+
+def embed_documents(sf_dir: str, dim: int = 64, batch_size: int = 1024):
+    """Text → embedding stage: ``documents.text`` encoded to unit
+    ``list<double>`` vectors on an actor pool — the in-engine producer
+    of the ``embeddings`` table every semantic operator consumes
+    (knn/*dedup*/SemDeDup/cluster sampling no longer require an
+    externally-supplied table).
+
+    The encoder is a DETERMINISTIC hashed bag-of-ngrams featurizer
+    (the feature-hashing trick, Weinberger'09 — same
+    ``scoring._hashed_features`` word uni+bigram kernel as the quality
+    classifier and DSIR): per doc, hashed-feature counts over ``dim``
+    buckets, L2-normalized; featureless docs map to the reserved basis
+    vector e₀ (a zero vector would NaN every downstream normalize).
+    It is the honest public-knowledge stand-in for a sentence-encoder
+    — the PLUMBING is exactly what real model inference needs (state
+    built once per actor in ``__init__``, batches encoded with
+    vectorized gathers, small batches × bounded concurrency), so a
+    real model drops into ``Encoder.__init__``/``__call__`` unchanged
+    (cf. the multimodal codec boundary, the same philosophy).
+
+    Returns ``(vec_id, embedding)`` in document order — ``vec_id`` is
+    ``doc_id``, matching the testdata table's join convention."""
+    from .scoring import _hashed_features
+
+    class Encoder:
+        def __init__(self):
+            # a real model load belongs here (ray.put ref fetched once
+            # per actor — the scoring.py broadcast-inference shape)
+            self.dim = dim
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64()))})
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            feat, offsets = _hashed_features(b["text"].to_pylist(),
+                                             self.dim)
+            n = len(ids)
+            m = np.zeros((n, self.dim), np.float64)
+            rows = np.repeat(np.arange(n), np.diff(offsets))
+            np.add.at(m, (rows, feat), 1.0)
+            norms = np.linalg.norm(m, axis=1)
+            empty = norms == 0.0
+            m[empty, 0] = 1.0
+            norms[empty] = 1.0
+            m /= norms[:, None]
+            return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "embedding": matrix_list(m)})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(Encoder, batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=(1, 8),
+                     num_cpus=1)
+
+
+def embed_corpus_file(sf_dir: str, out_dir: str, dim: int = 64) -> str:
+    """Materialize ``embed_documents`` as ``{out_dir}/embeddings.parquet``
+    — a single FILE in the testdata layout, so every semantic operator
+    (they open ``pq.ParquetFile(f"{sf_dir}/embeddings.parquet")`` for
+    their bounded prefix reads) runs unchanged on ENGINE-PRODUCED
+    vectors: ``embed_corpus_file(sf, d)`` then ``knn_bruteforce(d)`` /
+    ``semantic_dedup(d)`` / ``kmeans_train(d)``.
+
+    The single-file writer streams ``iter_batches`` through one
+    ParquetWriter (driver-streamed but O(batch) memory) and commits by
+    atomic rename — it exists for the layout convention; the SCALE
+    sink for embedding output is ``Dataset.write_parquet`` /
+    ``export.export_shards`` like any other table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = f"{out_dir}/embeddings.parquet"
+    tmp = f"{out_dir}/.tmp-embeddings.parquet"
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float64()))])
+    writer = pq.ParquetWriter(tmp, schema)
+    try:
+        for b in embed_documents(sf_dir, dim).iter_batches(
+                batch_format="pyarrow"):
+            writer.write_table(b.cast(schema))
+    finally:
+        writer.close()
+    os.replace(tmp, path)
+    return path
 
 
 # Quantization scale for kmeans_train's integer partial sums: 2^-20

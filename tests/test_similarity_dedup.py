@@ -851,3 +851,65 @@ def test_ivf_layout_corpus_trainer(ray_session, tmp_path):
         build_ivf_layout(SF, idx, n_cells=4, trainer="sample")
     with pytest.raises(ValueError, match="trainer must be"):
         build_ivf_layout(SF, idx, n_cells=4, trainer="bogus")
+
+
+def test_embed_documents_reference_and_end_to_end(ray_session, tmp_path):
+    """embed_documents == the in-memory hashed-BoW reference EXACTLY;
+    planted duplicate texts embed identically; empty docs map to e0;
+    and the whole semantic family runs unchanged on the ENGINE-produced
+    embeddings file (knn + semantic_dedup close the documents→vectors
+    loop in-engine)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.scoring import _hashed_features
+    from olx_ray.pipelines.semdedup import semantic_dedup
+    from olx_ray.pipelines.similarity import (embed_corpus_file,
+                                              embed_documents,
+                                              knn_bruteforce)
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["the quick brown fox", "lazy dogs sleep all day",
+                 "the quick brown fox",          # exact dup of 0
+                 "", None,                       # featureless pair
+                 "parquet files hold columns", "fox quick the brown",
+                 "lazy dogs sleep all day"],     # exact dup of 1
+    })
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf}/documents.parquet")
+
+    got = embed_documents(sf, dim=32).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = np.vstack(got["embedding"].to_numpy())
+    # reference: same kernel, driver-side
+    feat, off = _hashed_features(docs["text"].tolist(), 32)
+    ref = np.zeros((8, 32))
+    rows = np.repeat(np.arange(8), np.diff(off))
+    np.add.at(ref, (rows, feat), 1.0)
+    norms = np.linalg.norm(ref, axis=1)
+    ref[norms == 0, 0] = 1.0
+    norms[norms == 0] = 1.0
+    ref /= norms[:, None]
+    assert np.array_equal(m, ref)
+    assert np.array_equal(m[0], m[2])            # dup texts, same vector
+    assert np.array_equal(m[1], m[7])
+    e0 = np.zeros(32); e0[0] = 1.0
+    assert np.array_equal(m[3], e0) and np.array_equal(m[4], e0)
+    assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+
+    # end-to-end: engine-produced file feeds the semantic family
+    path = embed_corpus_file(sf, sf, dim=32)
+    assert path.endswith("embeddings.parquet")
+    knn = knn_bruteforce(sf, n_queries=3, k=2).to_pandas()
+    assert len(knn) == 6
+    # each planted duplicate is its twin's rank-1 neighbor
+    assert knn[(knn["query_id"] == 0) &
+               (knn["rank"] == 1)].iloc[0]["neighbor_id"] == 2
+    assert knn[(knn["query_id"] == 1) &
+               (knn["rank"] == 1)].iloc[0]["neighbor_id"] == 7
+    sd = semantic_dedup(sf, eps=0.999, n_clusters=2,
+                        train_rows=8).to_pandas()
+    assert len(sd) == 8
+    assert not sd["keep"].all()                  # dups pruned
