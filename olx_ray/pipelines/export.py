@@ -249,6 +249,26 @@ def committed_shard_files(out_dir: str) -> dict[int, list[str]]:
     return {s: files for s, _, files in _committed(out_dir) if files}
 
 
+def appended_round_dirs(out_dir: str) -> list[str]:
+    """Sorted ``round=<n>`` subdirectories of a shard layout — the
+    crash-safe increment appends written by ``similarity.ivf_append``
+    (each round is its own ``export_shards`` run with its own
+    manifests). Round-aware readers union these with the base
+    directory; non-integer ``round=`` names are ignored."""
+    out = []
+    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        if not name.startswith("round="):
+            continue
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            out.append((int(name.split("=", 1)[1]), d))
+        except ValueError:
+            continue
+    return [d for _, d in sorted(out)]
+
+
 def read_shards(out_dir: str, columns: list[str] | None = None,
                 shards: list[int] | None = None,
                 prune: tuple | None = None):

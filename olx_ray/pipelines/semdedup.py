@@ -195,8 +195,17 @@ def semantic_dedup_indexed(index_dir: str, eps: float = 0.93,
     cents = np.load(f"{index_dir}/centroids.npy").astype(np.float64)
     cref = ray.put(cents)
 
+    # base layout + every committed ivf_append round: appended rows
+    # carry the SAME frozen-centroid cell assignment, so merging a
+    # cell's files across rounds keeps the prune exactly cell-local
+    from .export import appended_round_dirs
+
+    cell_files: dict[int, list[str]] = {}
+    for d in [index_dir] + appended_round_dirs(index_dir):
+        for c, files in committed_shard_files(d).items():
+            cell_files.setdefault(c, []).extend(files)
     cells = [{"cell": c, "files": files}
-             for c, files in committed_shard_files(index_dir).items()]
+             for c, files in sorted(cell_files.items())]
     if not cells:
         return rd.from_arrow(_EMPTY)
 

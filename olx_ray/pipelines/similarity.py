@@ -471,6 +471,61 @@ def kmeans_train(sf_dir: str, n_clusters: int = 16, iters: int = 10,
     return cents
 
 
+def _cell_assigner(cref):
+    """Batch fn attaching the ``cell`` column from broadcast centroids
+    — the ONE assignment used by layout builds and round appends (a
+    drifting copy here would silently split a cell across shards)."""
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:      # guard BEFORE vstack (vstack([]) raises)
+            return b.append_column("cell", pa.array([], pa.int64()))
+        m = list_matrix(b["embedding"])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cell = cell_similarities(m, ray.get(cref)).argmax(axis=1) \
+            .astype(np.int64)
+        return b.append_column("cell", pa.array(cell, pa.int64()))
+    return assign
+
+
+def ivf_append(sf_dir: str, index_dir: str, round_id: int) -> dict:
+    """Append a NEW increment's vectors to an existing IVF layout
+    WITHOUT rebuilding it — index maintenance for the continuous-
+    ingestion flow (``ingest.ingest_increment`` gates an increment;
+    this adds its embeddings to the serving index): rows assign with
+    the layout's FROZEN ``centroids.npy`` (never retrained, so cells
+    stay query-compatible) and export as the same cell-partitioned
+    shards under ``{index_dir}/round=<round_id>/``.
+
+    Each round is its own crash-safe ``export_shards`` run (atomic
+    per-cell manifests; re-running the same round skips complete
+    cells, exactly like the base build). Round-aware readers —
+    ``knn_ivf_indexed`` and ``semantic_dedup_indexed`` — union the
+    base layout with every committed round, still opening only the
+    cells they probe. vec_id uniqueness across rounds is the
+    INGEST gate's contract (dedup_incremental), not re-checked here.
+
+    Refuses an incomplete base layout (no ``IVF_MANIFEST.json``): the
+    append's cell shards would otherwise sit beside a half-built base
+    whose missing cells a later rebuild would rewrite around."""
+    from .. import storage
+    from .export import export_shards
+
+    lman = storage.read_manifest(f"{index_dir}/IVF_MANIFEST.json")
+    if lman is None:
+        raise ValueError(
+            f"{index_dir} has no IVF_MANIFEST.json — complete "
+            f"build_ivf_layout before appending rounds")
+    if round_id < 0:
+        raise ValueError(f"round_id must be >= 0, got {round_id}")
+    n_cells = int(lman["n_cells"])
+    cents = np.load(f"{index_dir}/centroids.npy")
+    cref = ray.put(cents)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(_cell_assigner(cref), batch_format="pyarrow")
+    return export_shards(ds, f"{index_dir}/round={round_id}",
+                         key="cell", n_shards=n_cells, assign="value")
+
+
 def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
                      train_rows: int = 4096, trainer: str = "sample",
                      corpus_iters: int = 10) -> dict:
@@ -563,19 +618,9 @@ def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,
         np.save(tmp, cents)
         os.replace(tmp, cpath)
     cref = ray.put(cents)
-
-    def assign(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:      # guard BEFORE vstack (vstack([]) raises)
-            return b.append_column("cell", pa.array([], pa.int64()))
-        m = list_matrix(b["embedding"])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cell = cell_similarities(m, ray.get(cref)).argmax(axis=1) \
-            .astype(np.int64)
-        return b.append_column("cell", pa.array(cell, pa.int64()))
-
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]) \
-        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(_cell_assigner(cref), batch_format="pyarrow")
     res = export_shards(ds, out_dir, key="cell", n_shards=n_cells,
                         assign="value")
     storage.write_manifest(lman_path, {"n_cells": n_cells,
@@ -617,10 +662,20 @@ def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
             return _score_cells(self.q_ids, self.q, self.cells, self.k,
                                 vids, m, b["cell"].to_numpy())
 
-    local = read_shards(index_dir, columns=["vec_id", "embedding", "cell"],
-                        shards=sorted(cell_queries)) \
-        .map_batches(ShardScan, batch_format="pyarrow", batch_size=4096,
-                     concurrency=(1, 4), num_cpus=1)
+    from .export import appended_round_dirs
+
+    # base layout + every committed append round (ivf_append), probed
+    # cells only in each — the union is still partition-pruned I/O
+    probe_cells = sorted(cell_queries)
+    ds = read_shards(index_dir, columns=["vec_id", "embedding", "cell"],
+                     shards=probe_cells)
+    for d in appended_round_dirs(index_dir):
+        ds = ds.union(read_shards(
+            d, columns=["vec_id", "embedding", "cell"],
+            shards=probe_cells))
+    local = ds.map_batches(ShardScan, batch_format="pyarrow",
+                           batch_size=4096, concurrency=(1, 4),
+                           num_cpus=1)
     return _global_topk(local, k)
 
 

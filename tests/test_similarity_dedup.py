@@ -913,3 +913,90 @@ def test_embed_documents_reference_and_end_to_end(ray_session, tmp_path):
                         train_rows=8).to_pandas()
     assert len(sd) == 8
     assert not sd["keep"].all()                  # dups pruned
+
+
+def test_ivf_append_round_aware_consumers(ray_session, tmp_path):
+    """ivf_append: increments join the index without a rebuild; both
+    indexed consumers see base+rounds. Exhaustive-probe knn over the
+    appended layout == in-memory brute force over the UNION;
+    semantic_dedup_indexed == the shuffle variant run on a single
+    union table with the layout's centroids; append resume skips; an
+    incomplete base is refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.semdedup import (semantic_dedup,
+                                            semantic_dedup_indexed)
+    from olx_ray.pipelines.similarity import (build_ivf_layout,
+                                              ivf_append,
+                                              knn_ivf_indexed)
+
+    base = pq.read_table(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # increment: the first 100 base rows with DISTINCT shifted ids —
+    # planted exact duplicates across rounds
+    inc = pa.table({
+        "vec_id": pa.array((base["vec_id"].to_numpy()[:100]
+                            + 100000).astype("int64")),
+        "embedding": base["embedding"].slice(0, 100)})
+    inc_dir = tmp_path / "inc"
+    inc_dir.mkdir()
+    pq.write_table(inc, f"{inc_dir}/embeddings.parquet")
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_layout(SF, idx, n_cells=4)
+    with pytest.raises(ValueError, match="IVF_MANIFEST"):
+        ivf_append(str(inc_dir), str(tmp_path / "nolayout"), 1)
+    res = ivf_append(str(inc_dir), idx, 1)
+    assert res["skipped"] == []
+    # resume: same round re-run is a cheap no-op
+    assert ivf_append(str(inc_dir), idx, 1)["written"] == []
+
+    # knn (exhaustive probing → candidate-complete): == brute over union
+    got = knn_ivf_indexed(SF, idx, n_queries=5, k=3,
+                          n_probe=4).to_pandas()
+    ids = base["vec_id"].to_numpy().astype(np.int64)
+    vecs = np.vstack(base["embedding"].to_pylist()).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    inc_ids = inc["vec_id"].to_numpy()
+    inc_vecs = vecs[:100]
+    all_ids = np.concatenate([ids, inc_ids])
+    all_vecs = np.vstack([vecs, inc_vecs])
+    import pandas as pd
+    rows = []
+    for qi in range(5):
+        cos = all_vecs @ vecs[qi]
+        df = pd.DataFrame({"neighbor_id": all_ids, "cos": cos})
+        df = df[df["neighbor_id"] != ids[qi]]
+        df = df.sort_values(["cos", "neighbor_id"],
+                            ascending=[False, True]).head(3)
+        for r, (_, row) in enumerate(df.iterrows(), 1):
+            rows.append((ids[qi], int(row["neighbor_id"]), r))
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.astype("int64").equals(want.astype("int64"))
+    # the appended duplicates must actually surface as rank-1 hits
+    assert (got["neighbor_id"] >= 100000).any()
+
+    # semantic dedup over the appended layout == shuffle variant on the
+    # union table with the SAME centroids
+    union_dir = tmp_path / "union"
+    union_dir.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(all_ids.astype("int64")),
+        "embedding": pa.concat_arrays([
+            base["embedding"].combine_chunks(),
+            inc["embedding"].combine_chunks()])}),
+        f"{union_dir}/embeddings.parquet")
+    cents = np.load(f"{idx}/centroids.npy").astype(np.float64)
+    a = semantic_dedup_indexed(idx, eps=0.35).to_pandas()
+    b = semantic_dedup(str(union_dir), eps=0.35, n_clusters=4,
+                       cents=cents).to_pandas()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()
+    assert len(a) == 600
+    # the cross-round exact duplicates are pruned (cos 1.0 >= eps)
+    dup_rows = a[a["vec_id"] >= 100000]
+    assert not dup_rows["keep"].all()
