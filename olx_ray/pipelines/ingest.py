@@ -39,7 +39,9 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
                      weights: np.ndarray | None = None,
                      quality_min: float = 0.5, threshold: float = 0.6,
                      n_shards: int = 16, n_buckets: int = 32,
-                     heuristic_rules: int | None = None) -> dict:
+                     heuristic_rules: int | None = None,
+                     index_dir: str | None = None,
+                     embed_dim: int = 64) -> dict:
     """Run one ingestion round of ``new`` against ``corpus`` → write
     surviving ``(doc_id, text)`` rows to ``out_dir/round=<round_no>``;
     returns the export manifest summary plus per-gate survivor counts.
@@ -47,7 +49,16 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
     skips the quality gate (no model yet). ``heuristic_rules``: a
     ``GopherRules.fail_mask`` bitmask — rows failing ANY selected rule
     drop before the dedup gates (``None`` skips; ``-1`` enforces the
-    full rule set)."""
+    full rule set).
+
+    ``index_dir``: an existing ``build_ivf_layout`` directory — when
+    given, the round ALSO makes its survivors searchable: they embed
+    (``similarity.embed_dataset``, dim=``embed_dim`` — must match the
+    index's vectors) and append to the index under the same round id
+    (``ivf_append_dataset``: frozen-centroid cells, own crash-safe
+    manifests), so gate output and serving index advance together —
+    the closed ingest→index loop. The result gains an ``"index"``
+    manifest summary."""
     import ray.data as rd
 
     from ..functions.blocks import ensure_arrow_schema
@@ -129,4 +140,20 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
                              f"{out_dir}/round={round_no}",
                              key="doc_id", n_shards=n_shards)
     counts["exported"] = int(sum(manifest["rows"].values()))
-    return {"counts": counts, "manifest": manifest}
+    out = {"counts": counts, "manifest": manifest}
+    if index_dir is not None:
+        from .similarity import embed_dataset, ivf_append_dataset
+
+        # read the round BACK from its committed shards rather than
+        # re-running the gate plan: the export above already paid the
+        # gates, and a crash between export and append re-runs only
+        # this step (survivors' lineage would re-execute every gate)
+        from .export import read_shards
+
+        committed = read_shards(f"{out_dir}/round={round_no}",
+                                columns=["doc_id", "text"])
+        out["index"] = ivf_append_dataset(
+            embed_dataset(committed, dim=embed_dim), index_dir,
+            round_id=round_no)
+        counts["indexed"] = int(sum(out["index"]["rows"].values()))
+    return out

@@ -287,6 +287,16 @@ def embed_documents(sf_dir: str, dim: int = 64, batch_size: int = 1024):
 
     Returns ``(vec_id, embedding)`` in document order — ``vec_id`` is
     ``doc_id``, matching the testdata table's join convention."""
+    return embed_dataset(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        dim=dim, batch_size=batch_size)
+
+
+def embed_dataset(ds, dim: int = 64, batch_size: int = 1024):
+    """``embed_documents`` over an in-flight ``(doc_id, text)`` Dataset
+    (the ingestion path: gate survivors embed without a parquet
+    round-trip). Same encoder, same contract."""
     from .scoring import _hashed_features
 
     class Encoder:
@@ -315,11 +325,9 @@ def embed_documents(sf_dir: str, dim: int = 64, batch_size: int = 1024):
             return pa.table({"vec_id": pa.array(ids, pa.int64()),
                              "embedding": matrix_list(m)})
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
-        .map_batches(Encoder, batch_format="pyarrow",
-                     batch_size=batch_size, concurrency=(1, 8),
-                     num_cpus=1)
+    return ds.map_batches(Encoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 8),
+                          num_cpus=1)
 
 
 def embed_corpus_file(sf_dir: str, out_dir: str, dim: int = 64) -> str:
@@ -506,6 +514,17 @@ def ivf_append(sf_dir: str, index_dir: str, round_id: int) -> dict:
     Refuses an incomplete base layout (no ``IVF_MANIFEST.json``): the
     append's cell shards would otherwise sit beside a half-built base
     whose missing cells a later rebuild would rewrite around."""
+    return ivf_append_dataset(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        index_dir, round_id)
+
+
+def ivf_append_dataset(ds, index_dir: str, round_id: int) -> dict:
+    """``ivf_append`` over an in-flight ``(vec_id, embedding)`` Dataset
+    (the ingestion path: ``embed_dataset`` output appends without a
+    parquet round-trip). Same frozen-centroid assignment, same
+    crash-safe round export."""
     from .. import storage
     from .export import export_shards
 
@@ -519,9 +538,7 @@ def ivf_append(sf_dir: str, index_dir: str, round_id: int) -> dict:
     n_cells = int(lman["n_cells"])
     cents = np.load(f"{index_dir}/centroids.npy")
     cref = ray.put(cents)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]) \
-        .map_batches(_cell_assigner(cref), batch_format="pyarrow")
+    ds = ds.map_batches(_cell_assigner(cref), batch_format="pyarrow")
     return export_shards(ds, f"{index_dir}/round={round_id}",
                          key="cell", n_shards=n_cells, assign="value")
 

@@ -159,3 +159,55 @@ def test_ingest_zero_survivor_round_exports_empty(ray_session, tmp_path):
                             round_no=0, weights=None, n_shards=2)
     assert res2["counts"]["n_new"] == 0
     assert res2["counts"]["exported"] == 0
+
+
+def test_ingest_round_appends_to_serving_index(ray_session, tmp_path):
+    """index_dir closes the ingest→index loop: the round's survivors
+    embed and append to the IVF layout under the same round id, the
+    appended vectors are exactly the exported doc_ids, the index read
+    surfaces them, and a re-run is idempotent on BOTH sinks."""
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.export import read_shards
+    from olx_ray.pipelines.ingest import ingest_increment
+    from olx_ray.pipelines.similarity import (build_ivf_layout,
+                                              embed_corpus_file,
+                                              knn_ivf_indexed)
+
+    corpus_texts = {i: _clean(i) for i in range(1, 6)}
+    cdf = pd.DataFrame({
+        "doc_id": pd.array(sorted(corpus_texts), dtype="int64"),
+        "text": [corpus_texts[i] for i in sorted(corpus_texts)]})
+    corpus = _ds(cdf)
+    # serving index over the ENGINE-embedded corpus
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    pq.write_table(pa.Table.from_pandas(cdf, preserve_index=False),
+                   f"{cdir}/documents.parquet")
+    embed_corpus_file(str(cdir), str(cdir), dim=32)
+    idx = str(tmp_path / "ivf")
+    build_ivf_layout(str(cdir), idx, n_cells=2, train_rows=5)
+
+    new = _ds(pd.DataFrame({
+        "doc_id": pd.array([200, 201], dtype="int64"),
+        "text": [corpus_texts[1],        # exact dup → gated out
+                 _clean(77)]}))          # novel → exported AND indexed
+    out = str(tmp_path / "ingested")
+    res = ingest_increment(corpus, new, out, round_no=1, n_shards=2,
+                           index_dir=idx, embed_dim=32)
+    c = res["counts"]
+    assert c["exported"] == 1 and c["indexed"] == 1
+    appended = read_shards(f"{idx}/round=1").to_pandas()
+    assert appended["vec_id"].tolist() == [201]
+    # the index serves the appended doc (its own nearest hit at cos 1:
+    # query straight from the round shards via the indexed reader)
+    got = knn_ivf_indexed(str(cdir), idx, n_queries=5, k=6,
+                          n_probe=2).to_pandas()
+    assert set(appended["vec_id"]) <= set(got["neighbor_id"])
+
+    # idempotence: both sinks skip on the re-run, counts identical
+    res2 = ingest_increment(corpus, new, out, round_no=1, n_shards=2,
+                            index_dir=idx, embed_dim=32)
+    assert res2["manifest"]["written"] == []
+    assert res2["index"]["written"] == []
+    assert res2["counts"] == c
