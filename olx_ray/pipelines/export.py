@@ -34,6 +34,29 @@ def _manifest_path(out_dir: str, s: int) -> str:
     return os.path.join(_shard_dir(out_dir, s), "MANIFEST.json")
 
 
+_FOLD_HISTORY = "FOLD_HISTORY.json"
+
+
+def _fold_manifest_path(out_dir: str, s: int) -> str:
+    return os.path.join(_shard_dir(out_dir, s), "MANIFEST_FOLD.json")
+
+
+def _fold_history(out_dir: str) -> dict:
+    """The layout's fold record: ``pending`` (round names staged+
+    committed but not yet physically finalized) and ``folded_ids``
+    (every round id EVER folded — permanent, so a round id can never
+    be re-appended and silently duplicate its rows)."""
+    man = storage.read_manifest(os.path.join(out_dir, _FOLD_HISTORY))
+    return man if man is not None else {"pending": [], "folded_ids": []}
+
+
+def folded_round_ids(out_dir: str) -> set[int]:
+    """Round ids already folded into the base layout by
+    ``fold_rounds`` — appenders must refuse these (re-appending a
+    folded round would duplicate every one of its rows)."""
+    return set(_fold_history(out_dir)["folded_ids"])
+
+
 def export_shards(ds, out_dir: str, key: str = "doc_id",
                   n_shards: int = 16, assign: str = "hash") -> dict:
     """Write ``ds`` into ``n_shards`` shards under ``out_dir``.
@@ -232,11 +255,22 @@ def _live_files(sdir: str, man: dict) -> list[str]:
 def _committed(out_dir: str):
     """Yield ``(shard_id, manifest, live_files)`` for every COMMITTED
     shard in NUMERIC shard order — the single discovery walk behind
-    every reader here."""
+    every reader here.
+
+    While a fold is PENDING (``fold_rounds`` committed its history
+    marker but finalize hasn't renamed every staged manifest yet), a
+    shard's ``MANIFEST_FOLD.json`` takes precedence — the single
+    atomic history write flips ALL readers from the base+rounds view
+    to the folded view at once, shard renames just catch the disk up."""
+    fold_pending = bool(_fold_history(out_dir)["pending"])
     names = [n for n in os.listdir(out_dir) if n.startswith("shard=")]
     for name in sorted(names, key=lambda n: int(n.split("=", 1)[1])):
         s = int(name.split("=", 1)[1])
-        man = storage.read_manifest(_manifest_path(out_dir, s))
+        man = None
+        if fold_pending:
+            man = storage.read_manifest(_fold_manifest_path(out_dir, s))
+        if man is None:
+            man = storage.read_manifest(_manifest_path(out_dir, s))
         if man is None:
             continue
         yield s, man, _live_files(os.path.join(out_dir, name), man)
@@ -254,7 +288,10 @@ def appended_round_dirs(out_dir: str) -> list[str]:
     crash-safe increment appends written by ``similarity.ivf_append``
     (each round is its own ``export_shards`` run with its own
     manifests). Round-aware readers union these with the base
-    directory; non-integer ``round=`` names are ignored."""
+    directory; non-integer ``round=`` names are ignored, as are rounds
+    already folded into the base by ``fold_rounds`` (their rows live
+    in the base shards now; the directories are deletion-pending)."""
+    folded = folded_round_ids(out_dir)
     out = []
     for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
         if not name.startswith("round="):
@@ -263,10 +300,164 @@ def appended_round_dirs(out_dir: str) -> list[str]:
         if not os.path.isdir(d):
             continue
         try:
-            out.append((int(name.split("=", 1)[1]), d))
+            rid = int(name.split("=", 1)[1])
         except ValueError:
             continue
+        if rid not in folded:
+            out.append((rid, d))
     return [d for _, d in sorted(out)]
+
+
+def _merge_stats(parts: list[tuple[int, dict]]) -> dict:
+    """Fold per-source ``(rows, stats)`` into one sound bounds map: a
+    column survives only when EVERY source that contributes rows
+    recorded bounds for it (a missing bound anywhere means that
+    source's rows are unbounded for the column, so pruning on it could
+    drop matches). Empty sources contribute no rows and no
+    constraints."""
+    live = [st for rows, st in parts if rows > 0]
+    if not live:
+        return {}
+    common = set(live[0])
+    for st in live[1:]:
+        common &= set(st)
+    return {c: [min(st[c][0] for st in live),
+                max(st[c][1] for st in live)] for c in sorted(common)}
+
+
+def _finalize_fold(out_dir: str, hist: dict) -> None:
+    """Catch the disk up to a COMMITTED fold (history's ``pending`` is
+    non-empty): promote each staged ``MANIFEST_FOLD.json`` to the
+    shard's ``MANIFEST.json`` (atomic per shard — during the sweep
+    ``_committed`` reads the identical content from whichever name
+    survives), delete the folded ``round=`` directories, then clear
+    ``pending``. Every step is idempotent; a kill anywhere re-runs
+    cleanly from ``fold_rounds``."""
+    for name in os.listdir(out_dir):
+        if not name.startswith("shard="):
+            continue
+        s = int(name.split("=", 1)[1])
+        fp = _fold_manifest_path(out_dir, s)
+        if os.path.exists(fp):
+            os.replace(fp, _manifest_path(out_dir, s))
+    for rname in hist["pending"]:
+        shutil.rmtree(os.path.join(out_dir, rname), ignore_errors=True)
+    storage.write_manifest(os.path.join(out_dir, _FOLD_HISTORY),
+                           {"pending": [], "folded_ids": hist["folded_ids"]})
+
+
+def fold_rounds(out_dir: str) -> dict:
+    """Fold every committed ``round=<n>`` append (``ivf_append``) into
+    the base shard layout — the compaction half of the append lifecycle
+    (append rounds accumulate read fan-out: every query unions base +
+    all rounds; folding restores the one-layout read path, after which
+    ``compact_shards`` can bin-pack the shard files).
+
+    Metadata-only and cheap: round shard files HARDLINK into the base
+    shard directories (no data rewrite — rounds were exported with the
+    identical placement function, so ``round=*/shard=s`` rows belong in
+    base ``shard=s`` verbatim) and the per-shard manifests take the
+    merged rows / files / stats.
+
+    Crash-safe commit protocol, with the single ``FOLD_HISTORY.json``
+    write as the commit point:
+
+    1. finalize any previously committed fold (resume)
+    2. validate: base complete, every round's shards committed with
+       identical ``(n_shards, key, assign)``
+    3. stage per shard: pin the base manifest's ``files`` list (new
+       links must be invisible to pre-commit readers), hardlink round
+       files in as ``fold-r<round>-<name>``, write ``MANIFEST_FOLD``
+       with summed rows and soundly merged stats — all idempotent,
+       invisible before the commit
+    4. COMMIT: one atomic history write (``pending`` = the round
+       names, ``folded_ids`` += the round ids) flips every reader —
+       ``_committed`` prefers staged fold manifests while pending;
+       ``appended_round_dirs`` drops folded ids forever
+    5. finalize: promote fold manifests, delete round dirs, clear
+       ``pending``
+
+    ``folded_ids`` is permanent: a folded round id can never be
+    re-appended (``ivf_append`` refuses it), because its rows already
+    live in the base shards."""
+    hist = _fold_history(out_dir)
+    if hist["pending"]:
+        _finalize_fold(out_dir, hist)
+        hist = _fold_history(out_dir)
+    rounds = appended_round_dirs(out_dir)
+    if not rounds:
+        return {"folded": [], "rows_added": 0}
+
+    base_mans = {s: man for s, man, _ in _committed(out_dir)}
+    if not base_mans:
+        raise ValueError(f"{out_dir} has no committed base shards to "
+                         f"fold into")
+    any_man = next(iter(base_mans.values()))
+    n_shards = any_man["n_shards"]
+    key, assign = any_man["key"], any_man.get("assign", "hash")
+    missing = [s for s in range(n_shards) if s not in base_mans]
+    if missing:
+        raise ValueError(f"{out_dir} base export incomplete (shards "
+                         f"{missing} uncommitted) — finish it before "
+                         f"folding")
+    round_ids: list[int] = []
+    for d in rounds:
+        rid = int(os.path.basename(d).split("=", 1)[1])
+        round_ids.append(rid)
+        for s in range(n_shards):
+            rman = storage.read_manifest(_manifest_path(d, s))
+            if rman is None:
+                raise ValueError(
+                    f"{d} shard {s} uncommitted — finish the round "
+                    f"export before folding")
+            got = (rman["n_shards"], rman["key"], rman.get("assign", "hash"))
+            if got != (n_shards, key, assign):
+                raise ValueError(
+                    f"{d} was exported with (n_shards, key, assign)="
+                    f"{got}, base uses {(n_shards, key, assign)} — "
+                    f"rows would land in the wrong shards; cannot fold")
+
+    rows_added = 0
+    for s in range(n_shards):
+        sdir = _shard_dir(out_dir, s)
+        base_man = base_mans[s]
+        if "files" not in base_man:
+            base_man = {**base_man,
+                        "files": [os.path.basename(f) for f in
+                                  _live_files(sdir, base_man)]}
+            storage.write_manifest(_manifest_path(out_dir, s), base_man)
+        files = list(base_man["files"])
+        rows = base_man["rows"]
+        parts = [(base_man["rows"], base_man.get("stats") or {})]
+        for d, rid in zip(rounds, round_ids):
+            rman = storage.read_manifest(_manifest_path(d, s))
+            for src in _live_files(_shard_dir(d, s), rman):
+                name = f"fold-r{rid}-{os.path.basename(src)}"
+                dst = os.path.join(sdir, name)
+                if not os.path.exists(dst):
+                    try:
+                        os.link(src, dst)
+                    except OSError:   # cross-device / no-hardlink fs
+                        tmp = os.path.join(sdir, f".tmp-{name}")
+                        shutil.copyfile(src, tmp)
+                        os.replace(tmp, dst)
+                files.append(name)
+            rows += rman["rows"]
+            parts.append((rman["rows"], rman.get("stats") or {}))
+        fold_man = {**base_man, "rows": rows, "files": files}
+        merged = _merge_stats(parts)
+        if merged:
+            fold_man["stats"] = merged
+        else:
+            fold_man.pop("stats", None)
+        storage.write_manifest(_fold_manifest_path(out_dir, s), fold_man)
+        rows_added += rows - base_man["rows"]
+
+    hist = {"pending": [os.path.basename(d) for d in rounds],
+            "folded_ids": sorted(set(hist["folded_ids"]) | set(round_ids))}
+    storage.write_manifest(os.path.join(out_dir, _FOLD_HISTORY), hist)
+    _finalize_fold(out_dir, hist)
+    return {"folded": sorted(round_ids), "rows_added": rows_added}
 
 
 def read_shards(out_dir: str, columns: list[str] | None = None,

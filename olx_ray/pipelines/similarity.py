@@ -526,7 +526,7 @@ def ivf_append_dataset(ds, index_dir: str, round_id: int) -> dict:
     parquet round-trip). Same frozen-centroid assignment, same
     crash-safe round export."""
     from .. import storage
-    from .export import export_shards
+    from .export import export_shards, folded_round_ids
 
     lman = storage.read_manifest(f"{index_dir}/IVF_MANIFEST.json")
     if lman is None:
@@ -535,12 +535,35 @@ def ivf_append_dataset(ds, index_dir: str, round_id: int) -> dict:
             f"build_ivf_layout before appending rounds")
     if round_id < 0:
         raise ValueError(f"round_id must be >= 0, got {round_id}")
+    if round_id in folded_round_ids(index_dir):
+        raise ValueError(
+            f"round {round_id} was already folded into {index_dir}'s "
+            f"base shards (fold_rounds) — re-appending it would "
+            f"duplicate every one of its rows; use a fresh round_id")
     n_cells = int(lman["n_cells"])
     cents = np.load(f"{index_dir}/centroids.npy")
     cref = ray.put(cents)
     ds = ds.map_batches(_cell_assigner(cref), batch_format="pyarrow")
     return export_shards(ds, f"{index_dir}/round={round_id}",
                          key="cell", n_shards=n_cells, assign="value")
+
+
+def ivf_compact(index_dir: str, target_bytes: int = 128 << 20) -> dict:
+    """Index maintenance for an appended-to IVF layout: fold every
+    committed ``round=`` append into the base cell shards
+    (``export.fold_rounds`` — hardlinks + manifest merge, no data
+    rewrite), then bin-pack each cell's fragment files to
+    ``target_bytes`` (``export.compact_shards``). After this the
+    round-aware readers (``knn_ivf_indexed``, ``semantic_dedup_indexed``)
+    open exactly one well-packed layout again — append rounds are a
+    read-amplification debt this call retires. Both halves are
+    crash-safe and idempotent; safe to run on any schedule."""
+    from .export import compact_shards, fold_rounds
+
+    fold = fold_rounds(index_dir)
+    comp = compact_shards(index_dir, target_bytes=target_bytes)
+    return {"folded": fold["folded"], "rows_added": fold["rows_added"],
+            "compacted": comp["compacted"]}
 
 
 def build_ivf_layout(sf_dir: str, out_dir: str, n_cells: int = 16,

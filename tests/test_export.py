@@ -250,3 +250,155 @@ def test_footer_stats_refuse_unsound_string_bounds(ray_session, tmp_path):
     })), out2, key="doc_id", n_shards=1)
     man2 = storage.read_manifest(_manifest_path(out2, 0))
     assert "text" not in (man2.get("stats") or {})
+
+
+def _mk(tmp_path, name, ids, vals):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, dtype="int64")),
+        "val": pa.array(np.asarray(vals, dtype="int64"))}))
+
+
+def test_fold_rounds_merges_appends(ray_session, tmp_path):
+    """fold_rounds: committed round= appends hardlink into the base
+    shards, one layout serves the union, round dirs are retired and
+    their ids permanently refused; idempotent; compaction-compatible."""
+    from olx_ray.pipelines.export import (appended_round_dirs,
+                                          compact_shards, export_shards,
+                                          fold_rounds, folded_round_ids,
+                                          read_shards)
+
+    out = str(tmp_path / "lay")
+    export_shards(_mk(tmp_path, "b", range(50), range(50)),
+                  out, key="doc_id", n_shards=4)
+    export_shards(_mk(tmp_path, "r1", range(100, 120), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+    export_shards(_mk(tmp_path, "r2", range(200, 210), range(10)),
+                  f"{out}/round=2", key="doc_id", n_shards=4)
+    # pre-fold: the base read serves base rows only
+    assert len(read_shards(out).to_pandas()) == 50
+    assert len(appended_round_dirs(out)) == 2
+
+    res = fold_rounds(out)
+    assert res == {"folded": [1, 2], "rows_added": 30}
+    back = read_shards(out).to_pandas()
+    assert len(back) == 80 and back["doc_id"].is_unique
+    assert set(back["doc_id"]) == set(range(50)) | set(range(100, 120)) \
+        | set(range(200, 210))
+    # rounds are gone from disk AND from the reader walk, forever
+    assert appended_round_dirs(out) == []
+    assert not os.path.exists(f"{out}/round=1")
+    assert folded_round_ids(out) == {1, 2}
+    # idempotent
+    assert fold_rounds(out) == {"folded": [], "rows_added": 0}
+    # export resume still sees every shard as complete
+    assert export_shards(_mk(tmp_path, "b", range(50), range(50)),
+                         out, key="doc_id", n_shards=4)["written"] == []
+    # compaction bin-packs the folded fragments losslessly
+    compact_shards(out, target_bytes=1 << 20)
+    after = read_shards(out).to_pandas()
+    assert sorted(after["doc_id"]) == sorted(back["doc_id"])
+
+
+def test_fold_rounds_crash_states(ray_session, tmp_path, monkeypatch):
+    """Readers are correct at both crash points: before the history
+    commit the OLD view (base + live rounds) serves, staged links
+    invisible; after it the FOLDED view serves exactly once even with
+    round dirs still on disk; a re-run completes either way."""
+    import pytest
+
+    import olx_ray.pipelines.export as ex
+    from olx_ray.pipelines.export import (appended_round_dirs,
+                                          export_shards, fold_rounds,
+                                          read_shards)
+
+    out = str(tmp_path / "lay")
+    export_shards(_mk(tmp_path, "b", range(50), range(50)),
+                  out, key="doc_id", n_shards=4)
+    export_shards(_mk(tmp_path, "r1", range(100, 120), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+
+    # crash point A: staged but not committed (history write dies)
+    real = ex.storage.write_manifest
+
+    def boom(path, payload):
+        if path.endswith(ex._FOLD_HISTORY):
+            raise RuntimeError("crash before commit")
+        real(path, payload)
+
+    monkeypatch.setattr(ex.storage, "write_manifest", boom)
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        fold_rounds(out)
+    monkeypatch.setattr(ex.storage, "write_manifest", real)
+    # old view intact: base-only read, round still listed, no dup
+    assert len(read_shards(out).to_pandas()) == 50
+    assert len(appended_round_dirs(out)) == 1
+
+    # crash point B: committed, finalize dies mid-flight
+    monkeypatch.setattr(ex, "_finalize_fold",
+                        lambda *a: (_ for _ in ()).throw(
+                            RuntimeError("crash after commit")))
+    with pytest.raises(RuntimeError, match="crash after commit"):
+        fold_rounds(out)
+    monkeypatch.undo()
+    # folded view serves EXACTLY once though round=1 is still on disk
+    assert os.path.exists(f"{out}/round=1")
+    back = read_shards(out).to_pandas()
+    assert len(back) == 70 and back["doc_id"].is_unique
+    assert appended_round_dirs(out) == []     # id already folded
+    # resume completes the finalize
+    assert fold_rounds(out) == {"folded": [], "rows_added": 0}
+    assert not os.path.exists(f"{out}/round=1")
+    assert len(read_shards(out).to_pandas()) == 70
+
+
+def test_fold_rounds_stats_merge_and_refusals(ray_session, tmp_path):
+    """Folded manifests carry soundly merged bounds (union when both
+    sides recorded; dropped when any contributing side lacks them);
+    placement-mismatched rounds are refused."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (_manifest_path, export_shards,
+                                          fold_rounds,
+                                          shards_for_predicate)
+
+    def cells(ids, vals, names):
+        return rd.from_arrow(pa.table({
+            "cell": pa.array(np.asarray(ids, dtype="int64")),
+            "val": pa.array(np.asarray(vals, dtype="int64")),
+            "name": pa.array(names, pa.string())}))
+
+    out = str(tmp_path / "ivfish")
+    # base: cell c holds val in [c*100, c*100+9]
+    export_shards(cells(np.repeat(np.arange(2), 10),
+                        np.repeat(np.arange(2), 10) * 100
+                        + np.tile(np.arange(10), 2),
+                        [f"a{i}" for i in range(20)]),
+                  out, key="cell", n_shards=2, assign="value")
+    # round widens cell 0's val range and BLANKS its name stats
+    export_shards(cells([0, 1], [55, 155], ["b", "z" * 5000]),
+                  f"{out}/round=3", key="cell", n_shards=2,
+                  assign="value")
+    assert fold_rounds(out)["folded"] == [3]
+    man0 = storage.read_manifest(_manifest_path(out, 0))
+    assert man0["stats"]["val"] == [0, 55]          # merged bounds
+    assert "name" in man0["stats"]                  # round 0 kept names
+    man1 = storage.read_manifest(_manifest_path(out, 1))
+    assert man1["stats"]["val"] == [100, 155]
+    assert "name" not in man1["stats"]              # blanked → dropped
+    assert shards_for_predicate(out, "val", 50, 60) == [0]
+    assert shards_for_predicate(out, "val", 150, 160) == [1]
+
+    # a round exported under different placement cannot fold
+    export_shards(cells([0, 1], [1, 2], ["x", "y"]),
+                  f"{out}/round=4", key="cell", n_shards=4,
+                  assign="value")
+    with pytest.raises(ValueError, match="wrong shards"):
+        fold_rounds(out)

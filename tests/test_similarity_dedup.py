@@ -1000,3 +1000,52 @@ def test_ivf_append_round_aware_consumers(ray_session, tmp_path):
     # the cross-round exact duplicates are pruned (cos 1.0 >= eps)
     dup_rows = a[a["vec_id"] >= 100000]
     assert not dup_rows["keep"].all()
+
+
+def test_ivf_compact_retires_rounds(ray_session, tmp_path):
+    """ivf_compact = fold_rounds + compact_shards on the index: query
+    results are bit-identical before/after, round dirs are retired,
+    and the folded round id can never be re-appended."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.export import appended_round_dirs
+    from olx_ray.pipelines.similarity import (build_ivf_layout,
+                                              ivf_append, ivf_compact,
+                                              knn_ivf_indexed)
+
+    base = pq.read_table(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    inc = pa.table({
+        "vec_id": pa.array((base["vec_id"].to_numpy()[:50]
+                            + 100000).astype("int64")),
+        "embedding": base["embedding"].slice(0, 50)})
+    inc_dir = tmp_path / "inc"
+    inc_dir.mkdir()
+    pq.write_table(inc, f"{inc_dir}/embeddings.parquet")
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_layout(SF, idx, n_cells=4)
+    ivf_append(str(inc_dir), idx, 1)
+    before = knn_ivf_indexed(SF, idx, n_queries=5, k=3,
+                             n_probe=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (before["neighbor_id"] >= 100000).any()   # round visible
+
+    res = ivf_compact(idx)
+    assert res["folded"] == [1] and res["rows_added"] == 50
+    assert appended_round_dirs(idx) == []
+    after = knn_ivf_indexed(SF, idx, n_queries=5, k=3,
+                            n_probe=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert after.equals(before)
+
+    # the folded id is permanently retired; a fresh id still appends
+    with pytest.raises(ValueError, match="already folded"):
+        ivf_append(str(inc_dir), idx, 1)
+    inc2 = pa.table({
+        "vec_id": pa.array((base["vec_id"].to_numpy()[50:60]
+                            + 200000).astype("int64")),
+        "embedding": base["embedding"].slice(50, 10)})
+    pq.write_table(inc2, f"{inc_dir}/embeddings.parquet")
+    assert sum(ivf_append(str(inc_dir), idx, 2)["rows"].values()) == 10
