@@ -346,6 +346,39 @@ def _finalize_fold(out_dir: str, hist: dict) -> None:
                            {"pending": [], "folded_ids": hist["folded_ids"]})
 
 
+def _finish_promotion(out_dir: str, hist: dict) -> None:
+    """Complete a COMMITTED base-bootstrap promotion (history's
+    ``promoting`` names the round): rename each of the round's shard
+    directories (and its schema sidecar) up into ``out_dir``, delete
+    the emptied round dir, then record the round id as folded. Every
+    rename is atomic and the base∪rounds union stays exact at each
+    instant (a moved shard serves from the base, an unmoved one from
+    the round — never both); re-runs resume from wherever the renames
+    stopped."""
+    rname = hist["promoting"]
+    rdir = os.path.join(out_dir, rname)
+    rid = int(rname.split("=", 1)[1])
+    if os.path.isdir(rdir):
+        for name in sorted(os.listdir(rdir)):
+            src = os.path.join(rdir, name)
+            if name.startswith("shard=") and os.path.isdir(src):
+                dst = os.path.join(out_dir, name)
+                if os.path.isdir(dst):
+                    raise ValueError(
+                        f"promotion of {rdir}: {dst} already exists — "
+                        f"the base gained shards mid-promotion; refusing "
+                        f"to overwrite data")
+                os.rename(src, dst)
+            elif name == "_schema.parquet" and not os.path.exists(
+                    os.path.join(out_dir, name)):
+                os.rename(src, os.path.join(out_dir, name))
+        shutil.rmtree(rdir, ignore_errors=True)
+    storage.write_manifest(
+        os.path.join(out_dir, _FOLD_HISTORY),
+        {"pending": hist["pending"],
+         "folded_ids": sorted(set(hist["folded_ids"]) | {rid})})
+
+
 def fold_rounds(out_dir: str) -> dict:
     """Fold every committed ``round=<n>`` append (``ivf_append``) into
     the base shard layout — the compaction half of the append lifecycle
@@ -377,21 +410,64 @@ def fold_rounds(out_dir: str) -> dict:
     5. finalize: promote fold manifests, delete round dirs, clear
        ``pending``
 
+    A layout with NO base yet (the ingest-corpus case:
+    ``ingest_increment`` writes only ``round=N`` increments) first
+    BOOTSTRAPS one — the lowest round's shard directories rename up
+    into ``out_dir`` (pure metadata; committed under a ``promoting``
+    history marker so a crash resumes, and the base∪rounds union stays
+    exact mid-rename) — and the remaining rounds then fold into it.
+
     ``folded_ids`` is permanent: a folded round id can never be
-    re-appended (``ivf_append`` refuses it), because its rows already
-    live in the base shards."""
+    re-appended (``ivf_append`` / ``ingest_increment`` refuse it),
+    because its rows already live in the base shards."""
+    promoted: list[int] = []
+    promoted_rows = 0
     hist = _fold_history(out_dir)
+    if hist.get("promoting"):
+        # resume a crashed promotion; it counts as folded BY THIS call
+        # (the base was empty before it, so the base total afterwards
+        # is exactly the promoted round's row count)
+        promoted = [int(hist["promoting"].split("=", 1)[1])]
+        _finish_promotion(out_dir, hist)
+        hist = _fold_history(out_dir)
+        promoted_rows = sum(man["rows"]
+                            for _, man, _ in _committed(out_dir))
     if hist["pending"]:
         _finalize_fold(out_dir, hist)
         hist = _fold_history(out_dir)
     rounds = appended_round_dirs(out_dir)
     if not rounds:
-        return {"folded": [], "rows_added": 0}
+        return {"folded": promoted, "rows_added": promoted_rows}
 
     base_mans = {s: man for s, man, _ in _committed(out_dir)}
     if not base_mans:
-        raise ValueError(f"{out_dir} has no committed base shards to "
-                         f"fold into")
+        # bootstrap: the lowest round BECOMES the base
+        r0 = rounds[0]
+        rid0 = int(os.path.basename(r0).split("=", 1)[1])
+        m0 = storage.read_manifest(_manifest_path(r0, 0))
+        if m0 is None:
+            raise ValueError(f"{r0} shard 0 uncommitted — finish the "
+                             f"round export before folding")
+        incomplete = [s for s in range(m0["n_shards"])
+                      if storage.read_manifest(_manifest_path(r0, s))
+                      is None]
+        if incomplete:
+            raise ValueError(f"{r0} export incomplete (shards "
+                             f"{incomplete} uncommitted) — finish it "
+                             f"before folding")
+        promoted_rows = sum(
+            storage.read_manifest(_manifest_path(r0, s))["rows"]
+            for s in range(m0["n_shards"]))
+        storage.write_manifest(os.path.join(out_dir, _FOLD_HISTORY),
+                               {**hist, "promoting": os.path.basename(r0)})
+        _finish_promotion(out_dir, {**hist,
+                                    "promoting": os.path.basename(r0)})
+        hist = _fold_history(out_dir)
+        promoted = [rid0]
+        rounds = appended_round_dirs(out_dir)
+        base_mans = {s: man for s, man, _ in _committed(out_dir)}
+        if not rounds:
+            return {"folded": promoted, "rows_added": promoted_rows}
     any_man = next(iter(base_mans.values()))
     n_shards = any_man["n_shards"]
     key, assign = any_man["key"], any_man.get("assign", "hash")
@@ -457,7 +533,8 @@ def fold_rounds(out_dir: str) -> dict:
             "folded_ids": sorted(set(hist["folded_ids"]) | set(round_ids))}
     storage.write_manifest(os.path.join(out_dir, _FOLD_HISTORY), hist)
     _finalize_fold(out_dir, hist)
-    return {"folded": sorted(round_ids), "rows_added": rows_added}
+    return {"folded": sorted(promoted + round_ids),
+            "rows_added": promoted_rows + rows_added}
 
 
 def read_shards(out_dir: str, columns: list[str] | None = None,
@@ -494,6 +571,25 @@ def read_shards(out_dir: str, columns: list[str] | None = None,
             return rd.from_arrow(tbl)
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths, columns=columns)
+
+
+def read_layout(out_dir: str, columns: list[str] | None = None):
+    """Dataset over the WHOLE layout: the committed base shards
+    unioned with every live ``round=`` append — the one-call reader
+    for an accumulating corpus (``ingest_increment`` output) that is
+    correct at every lifecycle state: rounds-only (no base yet),
+    base+rounds, mid-``fold_rounds`` at either crash point, and fully
+    folded. Folded rounds never double-serve (``appended_round_dirs``
+    excludes their ids)."""
+    parts = [read_shards(d, columns=columns)
+             for d in [out_dir] + appended_round_dirs(out_dir)]
+    # drop schema-less placeholders (a part with neither committed
+    # shards nor a sidecar) — metadata-only, no execution triggered
+    live = [p for p in parts
+            if p.schema() is not None and p.schema().names]
+    if not live:
+        return parts[0]
+    return live[0].union(*live[1:]) if len(live) > 1 else live[0]
 
 
 def _compact_one(sdir: str, man_path: str, target_bytes: int) -> dict:

@@ -23,6 +23,15 @@ lists (increment-bounded) and the weight vector. Order matters:
 heuristic → exact → near → quality, cheapest first — the expensive
 near-dup machinery sees only rule-passing novel text and the model
 scores only near-unique survivors.
+
+Lifecycle: rounds accumulate as ``round=N`` directories; read the
+whole corpus with ``export.read_layout(out_dir)`` (correct at every
+lifecycle state), and periodically retire accumulated rounds with
+``export.fold_rounds(out_dir)`` (the first fold promotes the lowest
+round to the base layout, later folds hardlink into it) followed by
+``export.compact_shards``. A folded round_no is permanently refused
+here — its resume machinery is gone, so re-running it would duplicate
+rows.
 """
 
 from __future__ import annotations
@@ -63,8 +72,14 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
 
     from ..functions.blocks import ensure_arrow_schema
     from .dedup import dedup_incremental, neardup_incremental
-    from .export import export_shards
+    from .export import export_shards, folded_round_ids
 
+    if round_no in folded_round_ids(out_dir):
+        raise ValueError(
+            f"round {round_no} was already folded into {out_dir}'s "
+            f"base shards (export.fold_rounds) — re-running it would "
+            f"re-export and duplicate every one of its rows; use a "
+            f"fresh round_no")
     if new.schema() is None:
         raise ValueError(
             "ingest_increment: the increment dataset carries no schema "

@@ -402,3 +402,48 @@ def test_fold_rounds_stats_merge_and_refusals(ray_session, tmp_path):
                   assign="value")
     with pytest.raises(ValueError, match="wrong shards"):
         fold_rounds(out)
+
+
+def test_fold_rounds_bootstraps_base_from_rounds(ray_session, tmp_path):
+    """A rounds-only layout (the ingest-corpus shape) folds by
+    promoting the lowest round to the base and folding the rest;
+    read_layout serves the exact union at every lifecycle state,
+    including resuming a mid-promotion crash."""
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (export_shards, fold_rounds,
+                                          folded_round_ids, read_layout,
+                                          read_shards)
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    export_shards(_mk(tmp_path, "r1", range(20), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+    export_shards(_mk(tmp_path, "r2", range(100, 110), range(10)),
+                  f"{out}/round=2", key="doc_id", n_shards=4)
+    # rounds-only read
+    pre = read_layout(out).to_pandas()
+    assert len(pre) == 30 and pre["doc_id"].is_unique
+
+    # simulate a mid-promotion crash: marker committed, one shard moved
+    storage.write_manifest(f"{out}/FOLD_HISTORY.json",
+                           {"pending": [], "folded_ids": [],
+                            "promoting": "round=1"})
+    os.rename(f"{out}/round=1/shard=0", f"{out}/shard=0")
+    mid = read_layout(out).to_pandas()      # union exact mid-crash
+    assert len(mid) == 30 and mid["doc_id"].is_unique
+
+    res = fold_rounds(out)                  # resumes + folds the rest
+    assert res == {"folded": [1, 2], "rows_added": 30}
+    base = read_shards(out).to_pandas()     # base alone serves all rows
+    assert len(base) == 30 and base["doc_id"].is_unique
+    assert folded_round_ids(out) == {1, 2}
+    assert not os.path.exists(f"{out}/round=1")
+    assert not os.path.exists(f"{out}/round=2")
+    post = read_layout(out).to_pandas()
+    assert sorted(post["doc_id"]) == sorted(pre["doc_id"])
+    # a later append folds the normal (non-promote) way
+    export_shards(_mk(tmp_path, "r3", range(200, 205), range(5)),
+                  f"{out}/round=3", key="doc_id", n_shards=4)
+    assert len(read_layout(out).to_pandas()) == 35
+    assert fold_rounds(out) == {"folded": [3], "rows_added": 5}
+    assert len(read_shards(out).to_pandas()) == 35

@@ -211,3 +211,36 @@ def test_ingest_round_appends_to_serving_index(ray_session, tmp_path):
     assert res2["manifest"]["written"] == []
     assert res2["index"]["written"] == []
     assert res2["counts"] == c
+
+
+def test_ingest_refuses_folded_round_and_reads_layout(ray_session, tmp_path):
+    """Corpus lifecycle: rounds accumulate, read_layout serves the
+    union, fold_rounds retires them into a base, and a folded round_no
+    can never be re-ingested (its resume machinery is gone — a re-run
+    would re-export and duplicate)."""
+    from olx_ray.pipelines.export import fold_rounds, read_layout
+    from olx_ray.pipelines.ingest import ingest_increment
+
+    corpus = _ds(pd.DataFrame({
+        "doc_id": pd.array([1], dtype="int64"), "text": [_clean(1)]}))
+    out = str(tmp_path / "ing")
+    new1 = _ds(pd.DataFrame({
+        "doc_id": pd.array([100], dtype="int64"), "text": [_clean(50)]}))
+    res = ingest_increment(corpus, new1, out, round_no=1, weights=None,
+                           n_shards=2)
+    assert res["counts"]["exported"] == 1
+    # pre-fold: the resume path still skips
+    assert ingest_increment(corpus, new1, out, round_no=1, weights=None,
+                            n_shards=2)["manifest"]["written"] == []
+    assert read_layout(out).to_pandas()["doc_id"].tolist() == [100]
+
+    assert fold_rounds(out)["folded"] == [1]
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_increment(corpus, new1, out, round_no=1, weights=None,
+                         n_shards=2)
+    # a fresh round still ingests; read_layout unions base + round
+    new2 = _ds(pd.DataFrame({
+        "doc_id": pd.array([101], dtype="int64"), "text": [_clean(60)]}))
+    ingest_increment(corpus, new2, out, round_no=2, weights=None,
+                     n_shards=2)
+    assert sorted(read_layout(out).to_pandas()["doc_id"]) == [100, 101]
