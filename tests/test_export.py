@@ -447,3 +447,80 @@ def test_fold_rounds_bootstraps_base_from_rounds(ray_session, tmp_path):
     assert len(read_layout(out).to_pandas()) == 35
     assert fold_rounds(out) == {"folded": [3], "rows_added": 5}
     assert len(read_shards(out).to_pandas()) == 35
+
+
+def test_fold_lifecycle_exhaustive_crash_points(ray_session, tmp_path):
+    """Kill fold_rounds at EVERY metadata mutation in turn (manifest
+    writes, renames, links, deletes — covering bootstrap promotion,
+    staging, commit and finalize): after each crash the union view
+    must be exact and duplicate-free, and one unpatched re-run must
+    converge to the fully folded layout. Exhaustive, not sampled."""
+    import shutil as _sh
+
+    import olx_ray.pipelines.export as ex
+    from olx_ray.pipelines.export import (appended_round_dirs,
+                                          export_shards, fold_rounds,
+                                          read_layout, read_shards)
+
+    # pristine rounds-only layout built ONCE, copied per crash point
+    pristine = str(tmp_path / "pristine")
+    os.makedirs(pristine)
+    export_shards(_mk(tmp_path, "r1", range(20), range(20)),
+                  f"{pristine}/round=1", key="doc_id", n_shards=2)
+    export_shards(_mk(tmp_path, "r2", range(100, 110), range(10)),
+                  f"{pristine}/round=2", key="doc_id", n_shards=2)
+    want = sorted(set(range(20)) | set(range(100, 110)))
+
+    real = {"link": os.link, "rename": os.rename, "replace": os.replace,
+            "rmtree": _sh.rmtree, "wm": ex.storage.write_manifest}
+    budget = {"left": 0, "fired": False}
+
+    def guard(fn):
+        def wrapped(*a, **kw):
+            if budget["left"] == 0:
+                budget["fired"] = True
+                raise RuntimeError("injected crash")
+            budget["left"] -= 1
+            return fn(*a, **kw)
+        return wrapped
+
+    def patch():
+        os.link = guard(real["link"])
+        os.rename = guard(real["rename"])
+        os.replace = guard(real["replace"])
+        _sh.rmtree = ex.shutil.rmtree = guard(real["rmtree"])
+        ex.storage.write_manifest = guard(real["wm"])
+
+    def unpatch():
+        os.link, os.rename = real["link"], real["rename"]
+        os.replace = real["replace"]
+        _sh.rmtree = ex.shutil.rmtree = real["rmtree"]
+        ex.storage.write_manifest = real["wm"]
+
+    k = 0
+    while True:
+        out = str(tmp_path / f"lay{k}")
+        _sh.copytree(pristine, out)
+        budget.update(left=k, fired=False)
+        patch()
+        try:
+            fold_rounds(out)
+            completed = not budget["fired"]
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            completed = False
+        finally:
+            unpatch()
+        # invariant at EVERY crash state: union view exact, no dups
+        mid = read_layout(out).to_pandas()
+        assert sorted(mid["doc_id"]) == want, f"crash point {k}"
+        # one re-run converges to the fully folded layout
+        fold_rounds(out)
+        final = read_shards(out).to_pandas()
+        assert sorted(final["doc_id"]) == want, f"crash point {k}"
+        assert final["doc_id"].is_unique and \
+            appended_round_dirs(out) == []
+        if completed:
+            break
+        k += 1
+    assert k >= 15          # the sweep actually exercised many points
