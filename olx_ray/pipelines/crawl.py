@@ -614,6 +614,117 @@ def explode_spans(ds):
         .sort(["fetched_seq", "offset"])
 
 
+def span_fingerprints(ds):
+    """documents (doc_id, spans) → (doc_id, n_spans, span_fp): an
+    ORDER-SENSITIVE uint64 fingerprint of each document's span sequence
+    over exactly the conformance tuple (kind, text, media_ref, order).
+    Batch-local and vectorized — one blake2b per span field plus fmix
+    folds, position baked into every term so any reorder changes the
+    digest; only the narrow fingerprint rows ever leave the worker
+    (``span_diff`` shuffles these, never document payloads)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.blocks import explode_list_column
+    from ..functions.hashing import hash64_array, mix64
+
+    def fp(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "n_spans": pa.array([], pa.int64()),
+                             "span_fp": pa.array([], pa.uint64())})
+        parent, flat = explode_list_column(b["spans"])
+        parent = np.asarray(parent, dtype=np.int64)
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        kind = hash64_array(pc.struct_field(flat, "kind"))
+        text = hash64_array(pc.struct_field(flat, "text"))
+        media = hash64_array(pc.struct_field(flat, "media_ref"))
+        # position within each doc: parent is non-decreasing, so the
+        # doc's first flat index is the exclusive cumsum of counts
+        first = np.concatenate(([0], np.cumsum(counts)))[parent] \
+            .astype(np.uint64)
+        pos = np.arange(len(parent), dtype=np.uint64) - first
+        # distinct seeds per field so a kind↔text swap can't cancel;
+        # pos inside every term makes the sum-fold order-sensitive
+        term = mix64(kind ^ mix64(text, 1) ^ mix64(media, 2)
+                     ^ mix64(pos, 3))
+        sums = np.zeros(n, np.uint64)
+        np.add.at(sums, parent, term)        # 0-span docs keep fp 0
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.string()),
+            "n_spans": pa.array(counts, pa.int64()),
+            "span_fp": pa.array(sums, pa.uint64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def span_diff(ds_a, ds_b, n_buckets: int = 64):
+    """Per-document span-sequence equality between two interleaved
+    tables — the engine's correctness bar (per-row span-sequence
+    equality on kind, text, media_ref, order) as a distributed QA
+    operator, for checking an engine run against a reference dump or
+    two runs against each other. Returns ``(doc_id, status)`` sorted by
+    doc_id, status ∈ {match, mismatch, only_a, only_b}.
+
+    Both sides reduce to ``span_fingerprints`` rows first, so the only
+    exchange is a doc_id-hash bucket shuffle of (doc_id, n_spans,
+    span_fp, side) — document payloads never move, and equality is one
+    vectorized (n_spans, span_fp) comparison per bucket (64-bit digest:
+    a false match is a ~2⁻⁶⁴ collision). doc_id must be unique within
+    each side (duplicate ids raise — the diff would be ambiguous)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_array
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            h = hash64_array(b["doc_id"])
+            return b.append_column(
+                "side", pa.array([side] * b.num_rows, pa.string())) \
+                .append_column("_bucket", pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int32),
+                    pa.int32()))
+        return fn
+
+    both = span_fingerprints(ds_a) \
+        .map_batches(tag("a"), batch_format="pyarrow") \
+        .union(span_fingerprints(ds_b)
+               .map_batches(tag("b"), batch_format="pyarrow"))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated(["doc_id", "side"])
+        if dup.any():
+            raise ValueError(
+                f"span_diff: duplicate doc_id within one side, e.g. "
+                f"{g.loc[dup, 'doc_id'].iloc[0]!r} — diff is ambiguous")
+        g = g.copy()
+        # compare digests as STRINGS: a pivot inserting NaN would cast
+        # uint64 to float64 and silently round the top 11 bits away
+        g["key"] = (g["n_spans"].astype("int64").astype(str) + ":"
+                    + g["span_fp"].astype("uint64").astype(str))
+        p = g.pivot(index="doc_id", columns="side", values="key")
+
+        def col(side):
+            return p[side] if side in p.columns \
+                else pd.Series(pd.NA, index=p.index)
+
+        ka, kb = col("a"), col("b")
+        has_a, has_b = ka.notna(), kb.notna()
+        status = np.where(
+            has_a & has_b,
+            np.where((ka == kb).fillna(False), "match", "mismatch"),
+            np.where(has_a, "only_a", "only_b"))
+        return pd.DataFrame({"doc_id": p.index.astype(str),
+                             "status": status})
+
+    return both.groupby("_bucket") \
+        .map_groups(diff, batch_format="pandas").sort("doc_id")
+
+
 
 def read_trace(out_dir: str) -> list[tuple[int, str, str]]:
     """Visit order across rounds: (seq, url, action), seq densified in

@@ -116,3 +116,98 @@ def test_carried_column_collision_is_loud():
                       "spans": ["stale"]})
     with pytest.raises(ValueError, match="collide"):
         ParseAds()(batch)
+
+
+def _interleaved(rows):
+    """rows: [(doc_id, [(kind, text, media_ref), ...]), ...] → Dataset
+    with the engine's interleaved span schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "spans": pa.array(
+            [[{"kind": k, "text": t, "media_ref": m, "offset": i}
+              for i, (k, t, m) in enumerate(r[1])] for r in rows],
+            pa.list_(span_t))}))
+
+
+def test_span_diff_statuses(ray_session):
+    """span_diff classifies every per-document relation: identical
+    sequences match (including 0-span docs), a changed field or a
+    REORDER of identical spans mismatches, one-sided docs report the
+    side; duplicate ids within a side are refused."""
+    import pytest
+
+    from olx_ray.pipelines.crawl import span_diff
+
+    tx = ("text", "hello world", "")
+    im = ("image", "", "img#1")
+    t2 = ("text", "second", "")
+    a = _interleaved([
+        ("same", [tx, im, t2]),
+        ("edited", [tx, im]),
+        ("reordered", [tx, im, t2]),
+        ("gone", [tx]),
+        ("empty", []),
+    ])
+    b = _interleaved([
+        ("same", [tx, im, t2]),
+        ("edited", [("text", "hello world!", ""), im]),   # one char
+        ("reordered", [im, tx, t2]),    # same multiset, swapped order
+        ("added", [im]),
+        ("empty", []),
+    ])
+    got = span_diff(a, b).to_pandas()
+    want = {"same": "match", "empty": "match", "edited": "mismatch",
+            "reordered": "mismatch", "gone": "only_a",
+            "added": "only_b"}
+    assert dict(zip(got["doc_id"], got["status"])) == want
+    assert got["doc_id"].tolist() == sorted(want)   # sorted output
+
+    dup = _interleaved([("d", [tx]), ("d", [t2])])
+    with pytest.raises(Exception, match="ambiguous"):
+        span_diff(dup, a).to_pandas()
+
+
+def test_span_diff_engine_documents_self_and_perturbed(ray_session):
+    """The QA operator over real engine output: ParseAds documents
+    diff clean against themselves, and a single-span perturbation in a
+    single document is pinpointed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from olx_ray.pipelines.crawl import span_diff
+    from olx_ray.sources.sitegen import write_site
+    from olx_ray.stages.parse import ParseAds
+
+    paths = write_site("t1", "/tmp/span_diff_site")
+    docs = (rd.read_parquet(paths["pages"]).filter(expr="kind == 'ad'")
+            .map_batches(ParseAds(), batch_format="pyarrow")
+            .select_columns(["doc_id", "spans"]))
+    clean = span_diff(docs, docs).to_pandas()
+    assert (clean["status"] == "match").all() and len(clean) > 0
+
+    tbl = docs.to_pandas()          # fixture-scale perturbation only
+    victim = sorted(tbl["doc_id"])[0]
+    def mutate(row):
+        spans = [dict(s) for s in row["spans"]]
+        if row["doc_id"] == victim and spans:
+            spans[0] = {**spans[0], "text": spans[0]["text"] + "!"}
+        return spans
+    tbl["spans"] = tbl.apply(mutate, axis=1)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    mutated = rd.from_arrow(pa.table({
+        "doc_id": pa.array(tbl["doc_id"], pa.string()),
+        "spans": pa.array([[{k: s[k] for k in
+                             ("kind", "text", "media_ref", "offset")}
+                            for s in spans]
+                           for spans in tbl["spans"]], pa.list_(span_t))}))
+    d = span_diff(docs, mutated).to_pandas()
+    assert dict(zip(d["doc_id"], d["status"]))[victim] == "mismatch"
+    assert (d[d["doc_id"] != victim]["status"] == "match").all()
