@@ -712,3 +712,38 @@ def compact_shards(out_dir: str, target_bytes: int = 128 << 20) -> dict:
                               if not r["compacted"]),
             "files": {r["shard"]: (r["before"], r["after"])
                       for r in results}}
+
+
+if __name__ == "__main__":     # pragma: no cover - thin CLI shim
+    # layout maintenance from the command line:
+    #   python -m olx_ray.pipelines.export <layout_dir> [--fold]
+    #       [--compact] [--target-mb 128]
+    # (CLAUDE.md: only CLI __main__ blocks own a Ray session)
+    import argparse
+    import json
+
+    import ray as _ray
+
+    ap = argparse.ArgumentParser(
+        description="Shard-layout maintenance: fold append rounds "
+                    "into the base and/or bin-pack shard files.")
+    ap.add_argument("layout_dir")
+    ap.add_argument("--fold", action="store_true",
+                    help="fold committed round= appends into the base")
+    ap.add_argument("--compact", action="store_true",
+                    help="bin-pack each shard's files to --target-mb")
+    ap.add_argument("--target-mb", type=int, default=128)
+    args = ap.parse_args()
+    if not (args.fold or args.compact):
+        ap.error("nothing to do: pass --fold and/or --compact")
+    out: dict = {}
+    if args.fold:
+        out["fold"] = fold_rounds(args.layout_dir)
+    if args.compact:
+        if not _ray.is_initialized():
+            _ray.init(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        out["compact"] = compact_shards(
+            args.layout_dir, target_bytes=args.target_mb << 20)
+        _ray.shutdown()
+    print(json.dumps(out, sort_keys=True))
