@@ -211,3 +211,76 @@ def test_span_diff_engine_documents_self_and_perturbed(ray_session):
     d = span_diff(docs, mutated).to_pandas()
     assert dict(zip(d["doc_id"], d["status"]))[victim] == "mismatch"
     assert (d[d["doc_id"] != victim]["status"] == "match").all()
+
+
+def test_transform_text_spans_structure_preserved(ray_session):
+    """The interleaved adapter rewrites ONLY selected-kind text —
+    span order, media refs, offsets, counts and the struct schema are
+    bit-identical; span_diff pinpoints exactly the rewritten docs."""
+    import pyarrow.compute as pc
+
+    from olx_ray.pipelines.crawl import span_diff
+    from olx_ray.pipelines.spans import transform_text_spans
+
+    a = _interleaved([
+        ("d1", [("text", "hello", ""), ("image", "", "img#1"),
+                ("text", "world", "")]),
+        ("d2", [("image", "", "img#2")]),
+        ("d3", []),
+    ])
+    up = transform_text_spans(a, lambda t: pc.utf8_upper(t))
+    rows = {r["doc_id"]: r["spans"] for r in up.take_all()}
+    assert [s["text"] for s in rows["d1"]] == ["HELLO", "", "WORLD"]
+    assert [s["kind"] for s in rows["d1"]] == ["text", "image", "text"]
+    assert [s["offset"] for s in rows["d1"]] == [0, 1, 2]
+    assert rows["d2"][0]["media_ref"] == "img#1".replace("1", "2")
+    assert rows["d3"] == []
+    # identity transform -> span_diff all-match (schema truly identical)
+    ident = transform_text_spans(a, lambda t: t)
+    d = span_diff(a, ident).to_pandas()
+    assert (d["status"] == "match").all() and len(d) == 3
+    # non-identity -> only the docs WITH text spans mismatch
+    d2 = span_diff(a, up).to_pandas()
+    assert dict(zip(d2["doc_id"], d2["status"])) == {
+        "d1": "mismatch", "d2": "match", "d3": "match"}
+
+
+def test_redact_pii_interleaved_matches_flat_operator(ray_session):
+    """Span-for-span parity with text.RedactPII on the same strings —
+    the RE2 kernels and the Python-re rules agree on the shared
+    pattern subset, applied in the same order."""
+    import pandas as pd
+
+    from olx_ray.pipelines.spans import redact_pii_interleaved
+    from olx_ray.pipelines.text import RedactPII
+
+    texts = ["mail me at bob@example.com or +38 067 123 4567",
+             "see https://olx.ua/ad?ref=a@b.cc now",
+             "plain text, no pii 12",
+             "numbers 123456 7 (044) 555-1234 end"]
+    docs = _interleaved([
+        (f"d{i}", [("text", t, ""), ("image", "", f"img#{i}")])
+        for i, t in enumerate(texts)])
+    got = redact_pii_interleaved(docs).to_pandas().sort_values("doc_id")
+    got_texts = [r["spans"][0]["text"] for _, r in got.iterrows()]
+    want = RedactPII()(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))["redacted"].tolist()
+    assert got_texts == want
+    # media spans untouched
+    assert all(r["spans"][1]["media_ref"] == f"img#{i}"
+               for i, (_, r) in enumerate(got.iterrows()))
+
+
+def test_span_stats(ray_session):
+    from olx_ray.pipelines.spans import span_stats
+
+    docs = _interleaved([
+        ("a", [("text", "four", ""), ("image", "", "m#1"),
+               ("text", "chars!", "")]),
+        ("b", [("image", "", "m#2"), ("image", "", "m#3")]),
+        ("c", []),
+    ])
+    got = span_stats(docs).to_pandas().set_index("doc_id")
+    assert got.loc["a"].tolist() == [3, 2, 1, 10]
+    assert got.loc["b"].tolist() == [2, 0, 2, 0]
+    assert got.loc["c"].tolist() == [0, 0, 0, 0]
