@@ -165,3 +165,51 @@ def span_stats(ds):
             "text_chars": pa.array(tchars, pa.int64())})
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def dedup_interleaved(ds, n_buckets: int = 64):
+    """Exact dedup of INTERLEAVED documents: two docs are duplicates
+    iff their whole span sequences match (kind, text, media_ref,
+    order) — the multimodal analogue of text `dedup_exact`, catching
+    e.g. re-crawled ads whose title+description+images are identical
+    under a different doc_id. Keep = min doc_id per sequence
+    (deterministic, partition-invariant).
+
+    Shuffle discipline: each side reduces batch-locally to
+    `crawl.span_fingerprints` rows, so the ONLY exchange is a
+    fingerprint-hash bucket shuffle of (doc_id, n_spans, span_fp) —
+    document payloads never move. Dropped ids collect to the driver
+    (duplicate-rate-bounded, the `semantic_dedup_corpus` contract) and
+    broadcast once; survivors stream through one vectorized `is_in`
+    anti-filter. Equality is the 64-bit digest + span count — a false
+    merge is a ~2⁻⁶⁴ collision (acceptable for dedup; `span_diff` is
+    the exact comparator when it matters)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.blocks import collect_pandas
+    from .crawl import span_fingerprints
+
+    fps = span_fingerprints(ds)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        fp = b["span_fp"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return b.append_column("_bucket", pa.array(
+            (fp % np.uint64(n_buckets)).astype(np.int32), pa.int32()))
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby(["n_spans", "span_fp"])["doc_id"] \
+            .transform("min")
+        return g.loc[g["doc_id"] != keep, ["doc_id"]]
+
+    dropped = fps.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(drops, batch_format="pandas")
+    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
+    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
+
+    return ds.map_batches(anti, batch_format="pyarrow")

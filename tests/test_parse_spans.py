@@ -284,3 +284,28 @@ def test_span_stats(ray_session):
     assert got.loc["a"].tolist() == [3, 2, 1, 10]
     assert got.loc["b"].tolist() == [2, 0, 2, 0]
     assert got.loc["c"].tolist() == [0, 0, 0, 0]
+
+
+def test_dedup_interleaved(ray_session):
+    """Whole-sequence exact dedup: identical span sequences collapse to
+    the min doc_id; any difference (field, order, extra span) survives;
+    deterministic under repartitioning."""
+    from olx_ray.pipelines.spans import dedup_interleaved
+
+    tx = ("text", "hello", "")
+    im = ("image", "", "img#1")
+    docs = _interleaved([
+        ("a2", [tx, im]), ("a1", [tx, im]), ("a3", [tx, im]),  # dups
+        ("b1", [im, tx]),            # same multiset, different order
+        ("c1", [tx]),                # subsequence
+        ("e2", []), ("e1", []),      # empty docs are dups of each other
+    ])
+    got = sorted(dedup_interleaved(docs).to_pandas()["doc_id"])
+    assert got == ["a1", "b1", "c1", "e1"]
+    got2 = sorted(dedup_interleaved(
+        docs.repartition(5)).to_pandas()["doc_id"])
+    assert got2 == got
+    # no duplicates at all -> identity
+    uniq = _interleaved([("x", [tx]), ("y", [im])])
+    assert sorted(dedup_interleaved(uniq).to_pandas()["doc_id"]) \
+        == ["x", "y"]
