@@ -213,3 +213,39 @@ def dedup_interleaved(ds, n_buckets: int = 64):
         return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
 
     return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def text_view(ds, sep: str = "\n"):
+    """Flatten interleaved documents to the flat ``(doc_id, text)``
+    shape — text-bearing spans joined in order by ``sep``, media spans
+    contributing nothing — so EVERY flat-text operator in the engine
+    (MinHash/SimHash dedup, Gopher rules, perplexity, DSIR, BPE, …)
+    runs over crawled multimodal documents unchanged. Batch-local and
+    fully vectorized: one flatten, one mask, one ``binary_join`` per
+    batch; no shuffle, no per-row Python."""
+
+    def view(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        col, flat, counts = _flat_spans(b["spans"])
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = _text_bearing(flat).to_numpy(
+            zero_copy_only=False).astype(bool)
+        texts = pc.fill_null(pc.struct_field(flat, "text"), "")
+        # rebuild a list<string> of ONLY the text spans per doc, then
+        # one binary_join kernel call joins every doc at once
+        kept_parent = parent[keep]
+        kept_counts = np.bincount(kept_parent, minlength=n) \
+            .astype(np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts)))
+            .astype(np.int32), pa.int32())
+        kept_texts = texts.filter(pa.array(keep))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, kept_texts), sep)
+        return pa.table({"doc_id": b["doc_id"].cast(pa.string()),
+                         "text": joined})
+
+    return ds.map_batches(view, batch_format="pyarrow")

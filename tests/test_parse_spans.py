@@ -309,3 +309,30 @@ def test_dedup_interleaved(ray_session):
     uniq = _interleaved([("x", [tx]), ("y", [im])])
     assert sorted(dedup_interleaved(uniq).to_pandas()["doc_id"]) \
         == ["x", "y"]
+
+
+def test_text_view_feeds_flat_operators(ray_session):
+    """text_view flattens interleaved docs to (doc_id, text) in span
+    order, media contributing nothing — and the result plugs straight
+    into a flat-text operator (GopherRules) unchanged."""
+    from olx_ray.pipelines.spans import text_view
+
+    docs = _interleaved([
+        ("a", [("title", "Hello", ""), ("image", "", "m#1"),
+               ("description", "wide world", "")]),
+        ("b", [("image", "", "m#2")]),
+        ("c", []),
+    ])
+    got = text_view(docs).to_pandas().set_index("doc_id")["text"]
+    assert got["a"] == "Hello\nwide world"
+    assert got["b"] == "" and got["c"] == ""
+
+    # flat operator composes directly over the view
+    import pandas as pd
+
+    from olx_ray.pipelines.text import GopherRules
+    out = text_view(docs).map_batches(
+        GopherRules, batch_format="pandas",
+        concurrency=(1, 2)).to_pandas()
+    assert set(out["doc_id"]) == {"a", "b", "c"}
+    assert pd.api.types.is_integer_dtype(out["fail_mask"])
