@@ -336,3 +336,58 @@ def test_text_view_feeds_flat_operators(ray_session):
         concurrency=(1, 2)).to_pandas()
     assert set(out["doc_id"]) == {"a", "b", "c"}
     assert pd.api.types.is_integer_dtype(out["fail_mask"])
+
+
+def test_interleaved_curation_end_to_end(ray_session):
+    """The full multimodal curation path composes over REAL crawl
+    payloads: parse → composition stats → whole-sequence dedup (a
+    planted re-crawl twin drops) → PII pass (structure intact, proved
+    by span_diff against the dedup output) → text_view → quality rules
+    → pack_interleaved. Every stage is the library operator, chained
+    the way a user would."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from olx_ray.pipelines.corpus import pack_interleaved
+    from olx_ray.pipelines.crawl import span_diff
+    from olx_ray.pipelines.spans import (dedup_interleaved,
+                                         redact_pii_interleaved,
+                                         span_stats, text_view)
+    from olx_ray.pipelines.text import GopherRules
+    from olx_ray.sources.sitegen import write_site
+    from olx_ray.stages.parse import ParseAds
+
+    paths = write_site("t1", "/tmp/span_e2e_site")
+    docs = (rd.read_parquet(paths["pages"]).filter(expr="kind == 'ad'")
+            .map_batches(ParseAds(), batch_format="pyarrow")
+            .select_columns(["doc_id", "spans"]))
+
+    def retag(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("doc_id")
+        ids = pc.binary_join_element_wise(
+            pa.array(["zzz"] * b.num_rows),
+            b["doc_id"].cast(pa.string()), "-")
+        return b.set_column(i, "doc_id", ids)
+
+    both = docs.union(docs.limit(1).map_batches(
+        retag, batch_format="pyarrow"))
+
+    st = span_stats(both).to_pandas()
+    assert len(st) == 20 and (st["n_text"] > 0).all()
+
+    deduped = dedup_interleaved(both)
+    clean = redact_pii_interleaved(deduped)
+    d = span_diff(deduped, clean).to_pandas()
+    assert len(d) == 19                    # twin gone before the pass
+    assert set(d["status"]) <= {"match", "mismatch"}   # no doc lost
+
+    quality = text_view(clean).map_batches(
+        GopherRules, batch_format="pandas", concurrency=(1, 2)) \
+        .to_pandas()
+    assert len(quality) == 19 and "fail_mask" in quality
+
+    packs = pack_interleaved(clean, seq_len=256,
+                             media_tokens=8).to_pandas()
+    assert set(packs["doc_id"]) == set(d["doc_id"])    # all docs packed
+    assert (packs["n_tokens"] <= 256).all()
