@@ -177,11 +177,36 @@ def _extra_ops() -> dict:
             shutil.rmtree(out, ignore_errors=True)
         return None                      # consumed by the write
 
+    def _interleaved(sf):
+        # the interleaved family over the BENCH SITE's ~47k real ad
+        # payloads (not sf testdata — spans come from the crawl side):
+        # parse once (materialized — the family re-consumes the docs),
+        # then whole-sequence dedup -> PII pass -> flat text view
+        import ray.data as rd
+
+        from olx_ray.pipelines.spans import (dedup_interleaved,
+                                             redact_pii_interleaved,
+                                             text_view)
+        from olx_ray.sources.sitegen import ensure_site
+        from olx_ray.stages.parse import ParseAds
+
+        site_root = _site_root()
+        ensure_site("bench", site_root)
+        docs = (rd.read_parquet(os.path.join(site_root, "pages"),
+                                columns=["url", "html", "kind"])
+                .filter(expr="kind == 'ad'")
+                .map_batches(ParseAds(), batch_format="pyarrow")
+                .select_columns(["doc_id", "spans"])
+                .materialize())
+        return text_view(redact_pii_interleaved(
+            dedup_interleaved(docs)))
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
             "normalize_text": _normalize, "source_quota_sample": _quota,
             "dedup_lines_within_doc": _dedup_lines,
-            "hybrid_search_rrf": _hybrid, "training_shards": _shards}
+            "hybrid_search_rrf": _hybrid, "training_shards": _shards,
+            "interleaved_curation": _interleaved}
 
 
 def run_queries() -> dict:
