@@ -249,3 +249,33 @@ def text_view(ds, sep: str = "\n"):
                          "text": joined})
 
     return ds.map_batches(view, batch_format="pyarrow")
+
+
+def media_refs(ds):
+    """Flatten interleaved documents to the MEDIA worklist — one row
+    per media span, ``(doc_id, media_ref, offset)`` — the handoff from
+    crawl payloads to the media pipeline (fetch the refs, decode with
+    ``multimodal``'s actor-pool stages, join features back on
+    ``(doc_id, offset)``). Batch-local explode + mask; no shuffle; a
+    doc's media rows keep its span offsets so the interleaving
+    position survives the round-trip."""
+
+    def refs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "media_ref": pa.array([], pa.string()),
+                             "offset": pa.array([], pa.int32())})
+        col, flat, counts = _flat_spans(b["spans"])
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = pc.invert(_text_bearing(flat))
+        ids = b["doc_id"].cast(pa.string()).take(
+            pa.array(parent, pa.int64()))
+        t = pa.table({"doc_id": ids,
+                      "media_ref": pc.struct_field(flat, "media_ref")
+                      .cast(pa.string()),
+                      "offset": pc.struct_field(flat, "offset")
+                      .cast(pa.int32())})
+        return t.filter(keep)
+
+    return ds.map_batches(refs, batch_format="pyarrow")

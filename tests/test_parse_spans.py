@@ -453,3 +453,19 @@ def test_span_fingerprint_equality_iff_sequence_equality(ray_session):
     # this sweep; a real collision is ~2^-64)
     flat = [next(iter(v)) for v in by_seq.values()]
     assert len(flat) == len(set(flat))
+
+
+def test_media_refs_worklist(ray_session):
+    from olx_ray.pipelines.spans import media_refs
+
+    docs = _interleaved([
+        ("a", [("title", "t", ""), ("image", "", "m#1"),
+               ("description", "d", ""), ("image", "", "m#2")]),
+        ("b", [("title", "x", "")]),
+        ("c", []),
+    ])
+    got = media_refs(docs).to_pandas() \
+        .sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert got.to_dict("list") == {
+        "doc_id": ["a", "a"], "media_ref": ["m#1", "m#2"],
+        "offset": [1, 3]}
