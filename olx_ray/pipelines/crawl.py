@@ -635,6 +635,14 @@ def span_fingerprints(ds):
             return pa.table({"doc_id": pa.array([], pa.string()),
                              "n_spans": pa.array([], pa.int64()),
                              "span_fp": pa.array([], pa.uint64())})
+        if b["spans"].null_count:
+            # same loud refusal as spans._flat_spans: a null list would
+            # silently fingerprint as an EMPTY doc (explode skips it),
+            # making span_diff call null == [] a "match" and
+            # dedup_interleaved drop one as the other's duplicate
+            raise ValueError("spans column contains null lists — the "
+                             "interleaved schema uses empty lists, "
+                             "not null")
         parent, flat = explode_list_column(b["spans"])
         parent = np.asarray(parent, dtype=np.int64)
         counts = np.bincount(parent, minlength=n).astype(np.int64)

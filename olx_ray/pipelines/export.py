@@ -455,6 +455,19 @@ def fold_rounds(out_dir: str) -> dict:
             raise ValueError(f"{r0} export incomplete (shards "
                              f"{incomplete} uncommitted) — finish it "
                              f"before folding")
+        # validate the rename TARGETS before committing the promoting
+        # marker: a stray uncommitted shard= dir in out_dir (e.g. a
+        # crashed direct export) would otherwise wedge the layout —
+        # the marker is permanent, and _finish_promotion refuses to
+        # overwrite data, so every later fold call would re-raise
+        stray = [n for n in os.listdir(out_dir) if n.startswith("shard=")
+                 and os.path.isdir(os.path.join(out_dir, n))]
+        if stray:
+            raise ValueError(
+                f"{out_dir} holds shard directories with no committed "
+                f"manifests ({sorted(stray)}) — a crashed direct export? "
+                f"Remove or finish them before bootstrapping a base "
+                f"from {r0}")
         promoted_rows = sum(
             storage.read_manifest(_manifest_path(r0, s))["rows"]
             for s in range(m0["n_shards"]))
@@ -477,6 +490,7 @@ def fold_rounds(out_dir: str) -> dict:
                          f"{missing} uncommitted) — finish it before "
                          f"folding")
     round_ids: list[int] = []
+    rmans: dict[tuple[str, int], dict] = {}   # one read, reused below
     for d in rounds:
         rid = int(os.path.basename(d).split("=", 1)[1])
         round_ids.append(rid)
@@ -492,6 +506,7 @@ def fold_rounds(out_dir: str) -> dict:
                     f"{d} was exported with (n_shards, key, assign)="
                     f"{got}, base uses {(n_shards, key, assign)} — "
                     f"rows would land in the wrong shards; cannot fold")
+            rmans[(d, s)] = rman
 
     rows_added = 0
     for s in range(n_shards):
@@ -506,7 +521,7 @@ def fold_rounds(out_dir: str) -> dict:
         rows = base_man["rows"]
         parts = [(base_man["rows"], base_man.get("stats") or {})]
         for d, rid in zip(rounds, round_ids):
-            rman = storage.read_manifest(_manifest_path(d, s))
+            rman = rmans[(d, s)]
             for src in _live_files(_shard_dir(d, s), rman):
                 name = f"fold-r{rid}-{os.path.basename(src)}"
                 dst = os.path.join(sdir, name)
@@ -618,8 +633,16 @@ def _compact_one(sdir: str, man_path: str, target_bytes: int) -> dict:
             sorted(f for f in os.listdir(sdir)
                    if f.endswith(".parquet") and not f.startswith(".")))
     for f in os.listdir(sdir):
-        if f != "MANIFEST.json" and f not in live:
-            os.remove(os.path.join(sdir, f))
+        # MANIFEST_FOLD.json is never garbage: compact_shards finalizes
+        # COMMITTED folds before dispatching (see its preamble), so one
+        # here is either staging for an uncommitted fold (whose
+        # fold-r* links are disposable — fold_rounds re-stages
+        # idempotently from the round dirs — but whose manifest must
+        # not vanish mid-write of a concurrent fold) or a leftover the
+        # next fold run overwrites anyway.
+        if f in ("MANIFEST.json", "MANIFEST_FOLD.json") or f in live:
+            continue
+        os.remove(os.path.join(sdir, f))
     # gain check: a shard already at target density (e.g. eight 128 MB
     # files of a 1 GB shard) would re-emit the same file count — skip,
     # so periodic re-runs don't rewrite the whole export each time
@@ -695,6 +718,19 @@ def compact_shards(out_dir: str, target_bytes: int = 128 << 20) -> dict:
     every snapshot-then-delete store. Don't compact under long-lived
     open readers."""
     import ray
+
+    # catch the disk up to any COMMITTED fold first: compacting from
+    # the pre-fold base manifests while MANIFEST_FOLD is the readers'
+    # truth would treat the staged fold manifests and hardlinks as
+    # unlisted garbage — the folded rows (whose round ids are already
+    # retired in folded_ids) would be unrecoverably lost (review
+    # finding, reproduced live before this guard)
+    hist = _fold_history(out_dir)
+    if hist.get("promoting"):
+        _finish_promotion(out_dir, hist)
+        hist = _fold_history(out_dir)
+    if hist["pending"]:
+        _finalize_fold(out_dir, hist)
 
     task = ray.remote(num_cpus=1)(_compact_one)
     refs = []

@@ -183,7 +183,12 @@ def dedup_interleaved(ds, n_buckets: int = 64):
     broadcast once; survivors stream through one vectorized `is_in`
     anti-filter. Equality is the 64-bit digest + span count — a false
     merge is a ~2⁻⁶⁴ collision (acceptable for dedup; `span_diff` is
-    the exact comparator when it matters)."""
+    the exact comparator when it matters).
+
+    Precondition: doc_id uniquely identifies a row (the crawl's
+    seen-filter contract). Same-id duplicate rows are REFUSED loudly —
+    an id anti-join cannot drop one of two identical ids, so silence
+    would keep both copies."""
     import pandas as pd
     import ray
 
@@ -199,6 +204,19 @@ def dedup_interleaved(ds, n_buckets: int = 64):
             (fp % np.uint64(n_buckets)).astype(np.int32), pa.int32()))
 
     def drops(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated("doc_id")
+        if dup.any():
+            # an id appearing twice (identical content lands in the
+            # same fp bucket) cannot be deduped by an id anti-join —
+            # dropping "one of two identical ids" is inexpressible, so
+            # silence here would KEEP both copies (review finding).
+            # doc_id is the canonical URL and unique by the crawl's
+            # seen-filter contract; refuse violations loudly.
+            raise ValueError(
+                f"dedup_interleaved: doc_id "
+                f"{g.loc[dup, 'doc_id'].iloc[0]!r} appears in multiple "
+                f"rows — doc_id must uniquely identify a document; "
+                f"collapse same-id rows upstream")
         keep = g.groupby(["n_spans", "span_fp"])["doc_id"] \
             .transform("min")
         return g.loc[g["doc_id"] != keep, ["doc_id"]]

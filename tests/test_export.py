@@ -524,3 +524,62 @@ def test_fold_lifecycle_exhaustive_crash_points(ray_session, tmp_path):
             break
         k += 1
     assert k >= 15          # the sweep actually exercised many points
+
+
+def test_compact_during_committed_fold_preserves_rows(ray_session,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """compact_shards on a layout whose fold is committed but not yet
+    finalized must catch the disk up first — compacting from the
+    pre-fold manifests would delete the staged fold (manifests +
+    hardlinks) and silently lose every folded row, with the round ids
+    already retired (review finding, reproduced before the guard)."""
+    import olx_ray.pipelines.export as ex
+    from olx_ray.pipelines.export import (appended_round_dirs,
+                                          compact_shards, export_shards,
+                                          fold_rounds, read_shards)
+
+    out = str(tmp_path / "lay")
+    export_shards(_mk(tmp_path, "b", range(50), range(50)),
+                  out, key="doc_id", n_shards=4)
+    export_shards(_mk(tmp_path, "r1", range(100, 120), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+    # crash exactly at the committed-but-unfinalized point
+    monkeypatch.setattr(ex, "_finalize_fold",
+                        lambda *a: (_ for _ in ()).throw(
+                            RuntimeError("crash after commit")))
+    import pytest
+    with pytest.raises(RuntimeError, match="crash after commit"):
+        fold_rounds(out)
+    monkeypatch.undo()
+
+    res = compact_shards(out, target_bytes=1 << 20)   # would destroy
+    back = read_shards(out).to_pandas()
+    assert len(back) == 70 and back["doc_id"].is_unique
+    assert appended_round_dirs(out) == []
+    assert not os.path.exists(f"{out}/round=1")       # finalized by it
+    assert res["compacted"] or res["skipped"]         # and it still ran
+
+
+def test_fold_bootstrap_refuses_stray_shard_dirs(ray_session, tmp_path):
+    """A stray uncommitted shard= dir in a rounds-only layout must be
+    refused BEFORE the promoting marker is committed — after it, every
+    fold call would wedge on the rename-collision check forever."""
+    import pytest
+
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (export_shards, fold_rounds,
+                                          read_shards)
+
+    out = str(tmp_path / "lay")
+    os.makedirs(f"{out}/shard=2")          # crashed direct export relic
+    export_shards(_mk(tmp_path, "r1", range(20), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+    with pytest.raises(ValueError, match="no committed manifests"):
+        fold_rounds(out)
+    # the marker was NOT committed — the layout is not wedged
+    hist = storage.read_manifest(f"{out}/FOLD_HISTORY.json")
+    assert not (hist or {}).get("promoting")
+    os.rmdir(f"{out}/shard=2")
+    assert fold_rounds(out)["folded"] == [1]
+    assert len(read_shards(out).to_pandas()) == 20

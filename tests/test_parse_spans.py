@@ -469,3 +469,37 @@ def test_media_refs_worklist(ray_session):
     assert got.to_dict("list") == {
         "doc_id": ["a", "a"], "media_ref": ["m#1", "m#2"],
         "offset": [1, 3]}
+
+
+def test_dedup_interleaved_refuses_duplicate_ids(ray_session):
+    """Same-id duplicate rows cannot be deduped by an id anti-join
+    (dropping one of two identical ids is inexpressible) — silence
+    would keep both copies, so the operator refuses loudly."""
+    import pytest
+
+    from olx_ray.pipelines.spans import dedup_interleaved
+
+    tx = ("text", "hello", "")
+    dup = _interleaved([("a", [tx]), ("a", [tx]), ("b", [tx])])
+    with pytest.raises(Exception, match="uniquely identify"):
+        dedup_interleaved(dup).to_pandas()
+
+
+def test_span_fingerprints_refuse_null_lists(ray_session):
+    """A null spans LIST must not fingerprint as an empty doc — the
+    fingerprint side enforces the same schema contract as
+    spans._flat_spans, else span_diff would call null == [] a match."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from olx_ray.pipelines.crawl import span_fingerprints
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()),
+                        ("offset", pa.int32())])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["n", "e"], pa.string()),
+        "spans": pa.array([None, []], pa.list_(span_t))}))
+    with pytest.raises(Exception, match="null lists"):
+        span_fingerprints(ds).to_pandas()
