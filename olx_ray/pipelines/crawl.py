@@ -94,6 +94,16 @@ class CrawlResult:
 
 
 # --------------------------------------------------------------- helpers
+def _host_shard(host: str, url_hash: int, salt: int, n_gates: int) -> int:
+    """THE salted host-shard formula — one definition for both frontier
+    assembly sites (they hand-duplicated it once and diverged on numpy
+    uint64 wrap vs Python ints; Python ints are the spec). Spreads a
+    hot host over `salt` sub-shards while keeping same-host locality
+    within each."""
+    return int((hash64(host) * salt + int(url_hash) % salt)
+               % max(1, n_gates))
+
+
 def _frontier_row(url: str, depth: int, seq: int, round_: int,
                   search_id: int, salt: int, n_gates: int) -> dict:
     cu = canonicalize(url)
@@ -101,7 +111,7 @@ def _frontier_row(url: str, depth: int, seq: int, round_: int,
     uh = hash64(cu)
     return {
         "url": url, "url_hash": uh, "host": h,
-        "host_shard": int((hash64(h) * salt + uh % salt) % max(1, n_gates)),
+        "host_shard": _host_shard(h, uh, salt, n_gates),
         "depth": depth, "priority": depth, "discovered_seq": seq,
         "status": "pending", "round": round_, "search_id": search_id,
     }
@@ -133,19 +143,22 @@ class MakeCandidates:
         urls = batch["url"].to_pylist()
         pages = batch["page_url"].to_pylist()
         poss = batch["position"].to_pylist()
-        sids = batch["search_id"].to_pylist() if "search_id" in batch.column_names \
-            else [1] * len(urls)
+        if "search_id" not in batch.column_names:
+            # the frontier/parse carry contract guarantees search_id;
+            # fabricating one here would silently attribute every
+            # candidate to one search (wrong caps, wrong documents) —
+            # fail loud like the other carry-contract guards
+            raise ValueError(
+                "MakeCandidates: batch has no search_id column — the "
+                "carry contract was broken upstream")
+        sids = batch["search_id"].to_pylist()
         n = len(urls)
         if n == 0:
             return _frontier_table([])
         uh = np.array([hash64(canonicalize(u)) for u in urls], dtype=np.uint64)
         hosts = [host_of(u) for u in urls]
-        # shard math in PYTHON ints — exact match with _frontier_row's
-        # formula (a uint64-wrapping numpy product diverges from the
-        # arbitrary-precision spec whenever n_gates isn't a power of 2)
-        ng = max(1, self.n_gates)
         shard = np.fromiter(
-            ((hash64(h) * self.salt + int(u) % self.salt) % ng
+            (_host_shard(h, u, self.salt, self.n_gates)
              for h, u in zip(hosts, uh)), dtype=np.int64, count=n)
         rank = np.array([self.page_rank[p] for p in pages], dtype=np.int64)
         seqs = np.array([pack_seq(self.round, r, p)
@@ -220,11 +233,22 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
         if man.get("frontier_empty"):
             return _result(cfg, start_round, t0, resumed_fetch_total)
     else:
-        # round 0 frontier = the seeds; seed their hashes into the seen set
-        rows = []
+        # round 0 frontier = the seeds; seed their hashes into the seen
+        # set. Seeds deduplicate on CANONICAL url, first row wins: two
+        # seeds sharing a URL would fetch the same page twice, collapse
+        # to one page_rank entry, and hand their children byte-identical
+        # (url_hash, discovered_seq) differing only in search_id —
+        # dedup_min_seq's tie-break would then be arrival-order-
+        # dependent (nondeterministic search attribution, review
+        # finding). First-in-seed-order is the deterministic owner.
+        rows, seed_canon = [], set()
         for i in range(seeds.num_rows):
             sid = int(seeds["search_id"][i].as_py())
             url = seeds["url"][i].as_py()
+            cu = canonicalize(url)
+            if cu in seed_canon:
+                continue
+            seed_canon.add(cu)
             rows.append(_frontier_row(url, 0, pack_seq(0, i, 0), 0, sid,
                                       cfg.salt, cfg.n_gates))
         tbl = _frontier_table(rows)
@@ -409,7 +433,16 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
             n_ads_cand = n_cand - n_listing_cand
             total_remaining = sum(max(0, max_counts[sid] - ads_admitted[sid])
                                   for sid in max_counts)
-            if n_ads_cand <= total_remaining and len(max_counts) == 1:
+            if total_remaining == 0:
+                # every search's cap is exhausted and ads_admitted only
+                # grows: new listings could only discover ads that can
+                # never be admitted — stop admitting NEW rows entirely
+                # (carried rows below were admitted in earlier rounds
+                # and still fetch). Without this, pagination chains keep
+                # being fetched/parsed round after round for zero
+                # possible output (review finding).
+                nxt_frontier = None
+            elif n_ads_cand <= total_remaining and len(max_counts) == 1:
                 # fast path: every candidate ad fits under the cap
                 sid = next(iter(max_counts))
                 ads_admitted[sid] += n_ads_cand
@@ -448,8 +481,8 @@ def _crawl_native(cfg: CrawlConfig, seeds: pa.Table, gates: list,
                         ads_admitted[int(sid)] += int(n_picked)
                         n_survivors += int(n_picked)
                     nxt_frontier = listings_next.union(picked)
-                else:
-                    nxt_frontier = listings_next
+                else:       # unreachable: remaining empty ⟺ the
+                    nxt_frontier = listings_next   # exhausted branch
         else:
             nxt_frontier = None
         _mark("cap")
@@ -690,12 +723,17 @@ def span_diff(ds_a, ds_b, n_buckets: int = 64):
 
     def tag(side):
         def fn(b: pa.Table) -> pa.Table:
-            h = hash64_array(b["doc_id"])
+            # bucket via the shared bucket_of (fmix on the content
+            # hash) — raw `% n_buckets` is the one partitioning
+            # pattern the codebase bans (see dedup_min_seq)
+            from ..functions.hashing import bucket_of
+
+            h = hash64_array(b["doc_id"]).astype(np.int64)
             return b.append_column(
                 "side", pa.array([side] * b.num_rows, pa.string())) \
-                .append_column("_bucket", pa.array(
-                    (h % np.uint64(n_buckets)).astype(np.int32),
-                    pa.int32()))
+                .append_column("_bucket",
+                               pa.array(bucket_of(h, n_buckets),
+                                        pa.int32()))
         return fn
 
     both = span_fingerprints(ds_a) \
@@ -889,9 +927,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--latency-scale", type=float, default=0.0)
     ap.add_argument("--concurrency", type=int, default=4)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--trace", action="store_true",
+                    help="write per-visit trace tables and load the "
+                         "full visit history into the result (test/"
+                         "debug aid — O(total fetches) driver memory; "
+                         "off by default for production crawls)")
     args = ap.parse_args(argv)
 
-    if not _ray.is_initialized():
+    owns_session = not _ray.is_initialized()
+    if owns_session:
         _ray.init(address="local", include_dashboard=False,
                   logging_level="ERROR")
     from ..sources.sitegen import SiteSpec, ensure_site
@@ -903,7 +947,7 @@ def main(argv: list[str] | None = None) -> None:
                       mode=args.mode, budget_per_round=args.budget,
                       latency_scale=args.latency_scale,
                       fetcher_concurrency=args.concurrency,
-                      resume=args.resume)
+                      resume=args.resume, collect_trace=args.trace)
     site = SiteSpec(args.tier)
     if args.mode == "native":
         res = crawl_native(cfg, site.seed_rows())
@@ -911,7 +955,8 @@ def main(argv: list[str] | None = None) -> None:
         res = crawl_conformance(cfg, site.listing(0).url, site.max_count)
     print({"rounds": res.rounds, "documents": res.n_documents,
            "fetched": res.n_fetched, "wall_sec": round(res.wall_sec, 2)})
-    _ray.shutdown()
+    if owns_session:   # never tear down a session the caller owns
+        _ray.shutdown()
 
 
 if __name__ == "__main__":

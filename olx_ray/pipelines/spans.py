@@ -198,10 +198,12 @@ def dedup_interleaved(ds, n_buckets: int = 64):
     fps = span_fingerprints(ds)
 
     def bucketize(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import bucket_of
+
         fp = b["span_fp"].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        return b.append_column("_bucket", pa.array(
-            (fp % np.uint64(n_buckets)).astype(np.int32), pa.int32()))
+            .astype(np.int64)
+        return b.append_column(
+            "_bucket", pa.array(bucket_of(fp, n_buckets), pa.int32()))
 
     def drops(g: pd.DataFrame) -> pd.DataFrame:
         dup = g.duplicated("doc_id")

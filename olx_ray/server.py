@@ -212,8 +212,12 @@ def make_site_job_factory(pages_dir: str, out_root: str):
     from .schema import SEEDS
 
     def make_job(search: Search):
+        # no per-visit trace for server-launched crawls: the trace is a
+        # test/debug aid whose read-back is O(total fetches) on the
+        # driver; nothing in the route surface consumes it
         cfg = CrawlConfig(pages_dir=pages_dir,
-                          out_dir=os.path.join(out_root, search.name))
+                          out_dir=os.path.join(out_root, search.name),
+                          collect_trace=False)
         seeds = pa.table({
             "search_id": pa.array([1], pa.int64()),
             "name": pa.array([search.name]),

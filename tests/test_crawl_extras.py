@@ -183,3 +183,18 @@ def test_log_silencer_filters_only_cosmetic_records():
     assert not emits(hash_log,
                      "Failed to hash the schemas (for deduplication)")
     assert emits(hash_log, "some other warning")
+
+
+def test_make_candidates_requires_search_id():
+    """A batch without search_id means the carry contract broke
+    upstream — fabricating an id would silently misattribute every
+    candidate (wrong caps, wrong documents); the kernel fails loud."""
+    import pyarrow as pa
+    import pytest
+
+    from olx_ray.pipelines.crawl import MakeCandidates
+
+    batch = pa.table({"url": ["https://h/x"], "page_url": ["https://h/l"],
+                      "position": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError, match="search_id"):
+        MakeCandidates({"https://h/l": 0}, 1, 4, 4)(batch)

@@ -52,3 +52,59 @@ def test_per_search_caps_and_determinism(site, tmp_root):
     # cap reached: 30 admitted; one admitted URL is the planted dead
     # link (page-1 slot 5) → 29 or 30 documents depending on reach order
     assert by_sid.get(1, 0) >= 29
+
+
+def test_duplicate_seed_urls_dedupe_deterministically(site, tmp_root):
+    """Two seeds sharing a canonical URL: the first seed row owns it
+    (deduped at intake), so search attribution is deterministic at any
+    parallelism — without the intake dedup the same page fetched twice
+    gave children byte-identical (url_hash, discovered_seq) and
+    arrival-order tie-breaks (review finding)."""
+    s = SiteSpec("t2")
+    seeds = pa.table({
+        "search_id": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["first", "dupe"]),
+        "url": pa.array([s.listing(0).url, s.listing(0).url]),
+        "max_count": pa.array([8, 8], pa.int32()),
+        "started_at": pa.array([datetime.datetime(2024, 12, 20)] * 2,
+                               pa.timestamp("us")),
+    }, schema=SEEDS)
+    outs = []
+    for tag in ("a", "b"):
+        out = os.path.join(tmp_root, f"dupseed_{tag}")
+        crawl_native(CrawlConfig(pages_dir=site["pages"], out_dir=out,
+                                 fetch_batch_size=16 if tag == "a" else 256,
+                                 max_rounds=4),
+                     seeds)
+        docs = read_documents(out).sort(["round", "fetched_seq"]).take_all()
+        outs.append([(r["doc_id"], r["search_id"]) for r in docs])
+    assert outs[0] == outs[1]                       # deterministic
+    sids = {sid for _, sid in outs[0]}
+    assert sids == {1}                              # first seed owns it
+    ids = [d for d, _ in outs[0]]
+    assert len(ids) == len(set(ids))                # no double fetch
+
+
+def test_crawl_stops_admitting_after_caps_exhausted(site, tmp_root):
+    """Once every search's ad cap is filled, new listings admit nothing
+    — the crawl terminates instead of walking the remaining pagination
+    chain for zero possible output (t2 has 20 listing pages; a
+    max_count=1 crawl must finish in a handful of rounds)."""
+    s = SiteSpec("t2")
+    seeds = pa.table({
+        "search_id": pa.array([1], pa.int64()),
+        "name": pa.array(["tiny"]),
+        "url": pa.array([s.listing(0).url]),
+        "max_count": pa.array([1], pa.int32()),
+        "started_at": pa.array([datetime.datetime(2024, 12, 20)],
+                               pa.timestamp("us")),
+    }, schema=SEEDS)
+    out = os.path.join(tmp_root, "cap_exhaust")
+    res = crawl_native(CrawlConfig(pages_dir=site["pages"], out_dir=out),
+                       seeds)
+    assert res.n_documents == 1
+    # round 0: seed listing -> admits 1 ad + next listing (cap not yet
+    # known exhausted); round 1: fetches them, remaining==0 -> nothing
+    # new admitted; round 2: empty frontier -> stop. FAR below the
+    # 20-page chain the old behavior walked.
+    assert res.rounds <= 3
