@@ -51,10 +51,56 @@ def _fold_history(out_dir: str) -> dict:
 
 
 def folded_round_ids(out_dir: str) -> set[int]:
-    """Round ids already folded into the base layout by
-    ``fold_rounds`` — appenders must refuse these (re-appending a
-    folded round would duplicate every one of its rows)."""
-    return set(_fold_history(out_dir)["folded_ids"])
+    """Round ids retired — or MID-RETIREMENT — into the base layout:
+    the APPENDER-facing view. A round whose ``promoting`` marker is
+    committed counts as folded here even before ``folded_ids`` records
+    it: its shards are partly renamed into the base already, so a
+    re-append would both duplicate those rows and wedge the promotion
+    resume on the rename-collision check (review finding). Readers use
+    the raw ``folded_ids`` (via ``appended_round_dirs``), which keeps
+    serving a mid-promotion round's unmoved shards."""
+    hist = _fold_history(out_dir)
+    ids = set(hist["folded_ids"])
+    prom = hist.get("promoting")
+    if prom:
+        try:
+            ids.add(int(str(prom).split("=", 1)[1]))
+        except ValueError:
+            pass
+    return ids
+
+
+def refuse_folded_round(out_dir: str, round_id: int,
+                        appender: str) -> None:
+    """THE folded-round guard — every appender that exports under
+    ``round=<id>`` calls this first (one definition at the layer that
+    owns FOLD_HISTORY, instead of per-appender copies that drift)."""
+    if round_id in folded_round_ids(out_dir):
+        raise ValueError(
+            f"{appender}: round {round_id} was already folded into "
+            f"{out_dir}'s base shards (fold_rounds) — re-appending it "
+            f"would duplicate every one of its rows; use a fresh "
+            f"round id")
+
+
+def consistent_union_read(out_dir: str, read_fn):
+    """Run ``read_fn()`` (a base + append-rounds discovery) under a
+    fold-history stability check: the history is read before and after
+    and the discovery retried until both reads agree. A fold COMMIT
+    landing between a reader's base walk and its round walk would
+    otherwise silently drop (walked base first) or double-serve
+    (walked rounds first) every folded round's rows. After a
+    consistent discovery, a fold that finalizes before execution can
+    only fail LOUD (FileNotFoundError on the deleted round files —
+    the documented snapshot-then-delete contract), never silently."""
+    for _ in range(10):
+        h0 = _fold_history(out_dir)
+        res = read_fn()
+        if _fold_history(out_dir) == h0:
+            return res
+    raise RuntimeError(
+        f"{out_dir}: fold history kept changing during discovery — "
+        f"maintenance is running continuously; retry when it settles")
 
 
 def export_shards(ds, out_dir: str, key: str = "doc_id",
@@ -290,8 +336,11 @@ def appended_round_dirs(out_dir: str) -> list[str]:
     manifests). Round-aware readers union these with the base
     directory; non-integer ``round=`` names are ignored, as are rounds
     already folded into the base by ``fold_rounds`` (their rows live
-    in the base shards now; the directories are deletion-pending)."""
-    folded = folded_round_ids(out_dir)
+    in the base shards now; the directories are deletion-pending).
+    Uses the raw ``folded_ids`` — NOT ``folded_round_ids`` — so a
+    mid-promotion round's unmoved shards keep serving (the base∪rounds
+    union stays exact at every promotion crash instant)."""
+    folded = set(_fold_history(out_dir)["folded_ids"])
     out = []
     for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
         if not name.startswith("round="):
@@ -595,9 +644,14 @@ def read_layout(out_dir: str, columns: list[str] | None = None):
     correct at every lifecycle state: rounds-only (no base yet),
     base+rounds, mid-``fold_rounds`` at either crash point, and fully
     folded. Folded rounds never double-serve (``appended_round_dirs``
-    excludes their ids)."""
-    parts = [read_shards(d, columns=columns)
-             for d in [out_dir] + appended_round_dirs(out_dir)]
+    excludes their ids), and the base/round discovery runs under
+    ``consistent_union_read`` so a concurrent fold commit can't split
+    the view."""
+    def discover():
+        return [read_shards(d, columns=columns)
+                for d in [out_dir] + appended_round_dirs(out_dir)]
+
+    parts = consistent_union_read(out_dir, discover)
     # drop schema-less placeholders (a part with neither committed
     # shards nor a sidecar) — metadata-only, no execution triggered
     live = [p for p in parts

@@ -72,14 +72,9 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
 
     from ..functions.blocks import ensure_arrow_schema
     from .dedup import dedup_incremental, neardup_incremental
-    from .export import export_shards, folded_round_ids
+    from .export import export_shards, refuse_folded_round
 
-    if round_no in folded_round_ids(out_dir):
-        raise ValueError(
-            f"round {round_no} was already folded into {out_dir}'s "
-            f"base shards (export.fold_rounds) — re-running it would "
-            f"re-export and duplicate every one of its rows; use a "
-            f"fresh round_no")
+    refuse_folded_round(out_dir, round_no, "ingest_increment")
     if new.schema() is None:
         raise ValueError(
             "ingest_increment: the increment dataset carries no schema "

@@ -198,12 +198,19 @@ def semantic_dedup_indexed(index_dir: str, eps: float = 0.93,
     # base layout + every committed ivf_append round: appended rows
     # carry the SAME frozen-centroid cell assignment, so merging a
     # cell's files across rounds keeps the prune exactly cell-local
-    from .export import appended_round_dirs
+    from .export import appended_round_dirs, consistent_union_read
 
-    cell_files: dict[int, list[str]] = {}
-    for d in [index_dir] + appended_round_dirs(index_dir):
-        for c, files in committed_shard_files(d).items():
-            cell_files.setdefault(c, []).extend(files)
+    # one fold-history-consistent discovery over base + rounds: a fold
+    # committing mid-walk would double-serve the folded rows here
+    # (rounds walked after the base picked up the fold manifests)
+    def discover():
+        cf: dict[int, list[str]] = {}
+        for d in [index_dir] + appended_round_dirs(index_dir):
+            for c, files in committed_shard_files(d).items():
+                cf.setdefault(c, []).extend(files)
+        return cf
+
+    cell_files = consistent_union_read(index_dir, discover)
     cells = [{"cell": c, "files": files}
              for c, files in sorted(cell_files.items())]
     if not cells:

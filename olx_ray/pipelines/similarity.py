@@ -526,7 +526,7 @@ def ivf_append_dataset(ds, index_dir: str, round_id: int) -> dict:
     parquet round-trip). Same frozen-centroid assignment, same
     crash-safe round export."""
     from .. import storage
-    from .export import export_shards, folded_round_ids
+    from .export import export_shards, refuse_folded_round
 
     lman = storage.read_manifest(f"{index_dir}/IVF_MANIFEST.json")
     if lman is None:
@@ -535,11 +535,7 @@ def ivf_append_dataset(ds, index_dir: str, round_id: int) -> dict:
             f"build_ivf_layout before appending rounds")
     if round_id < 0:
         raise ValueError(f"round_id must be >= 0, got {round_id}")
-    if round_id in folded_round_ids(index_dir):
-        raise ValueError(
-            f"round {round_id} was already folded into {index_dir}'s "
-            f"base shards (fold_rounds) — re-appending it would "
-            f"duplicate every one of its rows; use a fresh round_id")
+    refuse_folded_round(index_dir, round_id, "ivf_append")
     n_cells = int(lman["n_cells"])
     cents = np.load(f"{index_dir}/centroids.npy")
     cref = ray.put(cents)
@@ -556,10 +552,26 @@ def ivf_compact(index_dir: str, target_bytes: int = 128 << 20) -> dict:
     ``target_bytes`` (``export.compact_shards``). After this the
     round-aware readers (``knn_ivf_indexed``, ``semantic_dedup_indexed``)
     open exactly one well-packed layout again — append rounds are a
-    read-amplification debt this call retires. Both halves are
-    crash-safe and idempotent; safe to run on any schedule."""
+    read-amplification debt this call retires.
+
+    Both halves are crash-safe and idempotent — re-run after a kill at
+    any point — but NOT schedule-blind: an in-flight/crashed
+    ``ivf_append`` (uncommitted round shards) makes the fold refuse
+    (finish or remove the round first), and like ``compact_shards``,
+    don't run it under long-lived open readers (a lazy Dataset whose
+    file list predates the commit fails loud on the deleted originals
+    — snapshot-then-delete semantics, never silent wrongness)."""
+    from .. import storage
     from .export import compact_shards, fold_rounds
 
+    if storage.read_manifest(f"{index_dir}/IVF_MANIFEST.json") is None:
+        # same refusal as ivf_append: a wrong-but-existing directory
+        # would otherwise report a success-shaped no-op forever while
+        # the real index keeps accumulating round fan-out
+        raise ValueError(
+            f"{index_dir} has no IVF_MANIFEST.json — not a completed "
+            f"IVF layout (generic layouts: use export.fold_rounds / "
+            f"export.compact_shards directly)")
     fold = fold_rounds(index_dir)
     comp = compact_shards(index_dir, target_bytes=target_bytes)
     return {"folded": fold["folded"], "rows_added": fold["rows_added"],
@@ -702,17 +714,26 @@ def knn_ivf_indexed(sf_dir: str, index_dir: str, n_queries: int = 10,
             return _score_cells(self.q_ids, self.q, self.cells, self.k,
                                 vids, m, b["cell"].to_numpy())
 
-    from .export import appended_round_dirs
+    from .export import appended_round_dirs, consistent_union_read
 
     # base layout + every committed append round (ivf_append), probed
-    # cells only in each — the union is still partition-pruned I/O
+    # cells only in each — the union is still partition-pruned I/O.
+    # Discovery runs under the fold-history stability check: a fold
+    # committing between the base walk and the round walk would
+    # silently drop the folded rows from the answer.
     probe_cells = sorted(cell_queries)
-    ds = read_shards(index_dir, columns=["vec_id", "embedding", "cell"],
-                     shards=probe_cells)
-    for d in appended_round_dirs(index_dir):
-        ds = ds.union(read_shards(
-            d, columns=["vec_id", "embedding", "cell"],
-            shards=probe_cells))
+
+    def discover():
+        d0 = read_shards(index_dir,
+                         columns=["vec_id", "embedding", "cell"],
+                         shards=probe_cells)
+        for d in appended_round_dirs(index_dir):
+            d0 = d0.union(read_shards(
+                d, columns=["vec_id", "embedding", "cell"],
+                shards=probe_cells))
+        return d0
+
+    ds = consistent_union_read(index_dir, discover)
     local = ds.map_batches(ShardScan, batch_format="pyarrow",
                            batch_size=4096, concurrency=(1, 4),
                            num_cpus=1)

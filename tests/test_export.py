@@ -583,3 +583,69 @@ def test_fold_bootstrap_refuses_stray_shard_dirs(ray_session, tmp_path):
     os.rmdir(f"{out}/shard=2")
     assert fold_rounds(out)["folded"] == [1]
     assert len(read_shards(out).to_pandas()) == 20
+
+
+def test_promoting_round_refused_to_appenders_but_served_to_readers(
+        ray_session, tmp_path):
+    """Mid-promotion (marker committed, renames incomplete) the round
+    id must already count as folded for APPENDERS — its rows are
+    partly in the base, so a re-append would duplicate them and wedge
+    the promotion resume — while READERS keep serving the unmoved
+    shards (the union stays exact)."""
+    import pytest
+
+    from olx_ray import storage
+    from olx_ray.pipelines.export import (appended_round_dirs,
+                                          export_shards,
+                                          folded_round_ids, read_layout,
+                                          refuse_folded_round)
+
+    out = str(tmp_path / "lay")
+    os.makedirs(out)
+    export_shards(_mk(tmp_path, "r1", range(20), range(20)),
+                  f"{out}/round=1", key="doc_id", n_shards=4)
+    storage.write_manifest(f"{out}/FOLD_HISTORY.json",
+                           {"pending": [], "folded_ids": [],
+                            "promoting": "round=1"})
+    os.rename(f"{out}/round=1/shard=0", f"{out}/shard=0")
+    assert folded_round_ids(out) == {1}          # appender view
+    with pytest.raises(ValueError, match="already folded"):
+        refuse_folded_round(out, 1, "test_appender")
+    assert len(appended_round_dirs(out)) == 1    # reader view
+    mid = read_layout(out).to_pandas()
+    assert len(mid) == 20 and mid["doc_id"].is_unique
+
+
+def test_consistent_union_read_retries_on_history_change(
+        ray_session, tmp_path, monkeypatch):
+    """A fold commit landing mid-discovery forces a re-walk; a history
+    that never settles raises instead of returning a split view."""
+    import pytest
+
+    import olx_ray.pipelines.export as ex
+
+    out = str(tmp_path / "lay")
+    os.makedirs(out)
+    states = [{"pending": [], "folded_ids": []},        # pre-walk
+              {"pending": [], "folded_ids": [1]},       # post-walk: changed!
+              {"pending": [], "folded_ids": [1]},       # retry pre
+              {"pending": [], "folded_ids": [1]}]       # retry post: stable
+    calls = {"n": 0, "walks": 0}
+
+    def fake_hist(d):
+        s = states[min(calls["n"], len(states) - 1)]
+        calls["n"] += 1
+        return s
+
+    monkeypatch.setattr(ex, "_fold_history", fake_hist)
+    got = ex.consistent_union_read(out, lambda: (calls.__setitem__(
+        "walks", calls["walks"] + 1) or "view"))
+    assert got == "view" and calls["walks"] == 2     # one retry
+
+    calls["n"] = 0
+    monkeypatch.setattr(
+        ex, "_fold_history",
+        lambda d: {"pending": [], "folded_ids": [calls.__setitem__(
+            "n", calls["n"] + 1) or calls["n"]]})
+    with pytest.raises(RuntimeError, match="kept changing"):
+        ex.consistent_union_read(out, lambda: "view")
