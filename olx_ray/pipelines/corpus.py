@@ -183,7 +183,12 @@ def token_quantiles(sf_dir: str, qs=(25, 50, 75, 95)):
             .map_batches(partial, batch_format="pandas", batch_size=8192)
             .groupby("n_tokens").aggregate(Sum("cnt", alias_name="cnt"))
             .sort("n_tokens").to_pandas())
-    total = int(hist["cnt"].sum())
+    total = int(hist["cnt"].sum()) if len(hist) else 0
+    if total == 0:
+        # zero-row corpus: no quantiles exist — typed empty result
+        # (the repo's standard zero-row contract), not an IndexError
+        return pd.DataFrame({"q": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64")})
     cum = hist["cnt"].cumsum()
     out_q, out_v = [], []
     for q in qs:
@@ -297,7 +302,13 @@ def contamination_semantic(sf_dir: str, threshold: float = 0.95,
     if len(bench) == 0:
         raise ValueError(
             f"no benchmark rows under vec_id < {benchmark_max_id}")
-    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    # zero vectors normalize to 0 (cos 0 against everything), not NaN —
+    # an unguarded 0/0 would make the row silently NEVER contaminated
+    # (NaN > threshold is False), the exact false-negative a
+    # decontamination gate must not have
+    nb = np.linalg.norm(bench, axis=1, keepdims=True)
+    nb[nb == 0] = 1.0
+    bench /= nb
     ref = ray.put(bench)
 
     class Probe:
@@ -312,7 +323,9 @@ def contamination_semantic(sf_dir: str, threshold: float = 0.95,
                     "max_cos": pa.array([], pa.float64()),
                     "is_contaminated": pa.array([], pa.bool_())})
             m = list_matrix(b["embedding"])
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            nm[nm == 0] = 1.0                   # see the bench guard
+            m /= nm
             cos = m @ self.bench.T              # (batch, |bench|)
             n = (cos > threshold).sum(axis=1).astype(np.int64)
             return pa.table({
@@ -566,14 +579,16 @@ def pack_sequences(sf_dir: str, seq_len: int = 512, n_buckets: int = 64):
     Output: one row per packed doc — (pack_id, doc_id, start_tok,
     n_tokens, truncated); pack_id = doc_id of the pack's first doc
     (globally unique, deterministic)."""
-    from ..functions.hashing import bucket_of
-
     def featurize(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy().astype(np.int64)
         counts = b["text"].str.split().str.len().fillna(0) \
             .astype("int64").to_numpy()
+        # the SAME bucket hash as training_corpus/write_training_shards
+        # (_pack_bucket): pack composition depends on the assignment,
+        # so all three packers must agree or their pack_id sets can't
+        # be cross-checked / joined (review finding)
         return pd.DataFrame({"doc_id": ids, "_cnt": counts,
-                             "_pb": bucket_of(ids, n_buckets)})
+                             "_pb": _pack_bucket(ids, n_buckets)})
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("doc_id")
@@ -790,15 +805,22 @@ def corpus_report(sf_dir: str, top_words: int = 20,
     from ..functions.hashing import hash64_array
     from ..functions.summaries import mg_reduce, summary_tree
 
+    _gopher_rules = None
+    if gopher:
+        # once per task closure (module contract), not once per batch:
+        # GopherRules compiles its patterns in __init__
+        from .text import GopherRules
+
+        _gopher_rules = GopherRules()
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].fillna("").str.split()
         lens = toks.str.len().fillna(0).astype("int64")
         rows = [("n_docs", "", float(len(b))),
                 ("tokens", "", float(lens.sum())),
                 ("chars", "", float(b["text"].fillna("").str.len().sum()))]
-        if "lang" in b.columns:
-            for lang, c in b["lang"].value_counts().items():
-                rows.append(("lang", str(lang), float(c)))
+        for lang, c in b["lang"].value_counts().items():
+            rows.append(("lang", str(lang), float(c)))
         norm = toks.str.join(" ")     # reuse the one tokenize pass
         h = np.unique(hash64_array(norm.tolist()))[:kmv_k]
         kmv = pd.DataFrame({"metric": "kmv", "key": "",
@@ -809,9 +831,7 @@ def corpus_report(sf_dir: str, top_words: int = 20,
         words = pd.DataFrame({"metric": "word", "key": wc["key"],
                               "val": wc["n"].astype(np.float64)})
         if gopher:
-            from .text import GopherRules
-
-            gm = GopherRules()(b)
+            gm = _gopher_rules(b)
             rows.append(("gopher_pass", "", float(gm["keep"].sum())))
             fm = gm["fail_mask"].to_numpy()
             for bit in range(7):
@@ -898,9 +918,13 @@ def corpus_drift(sf_dir_a: str, sf_dir_b: str, *, capacity: int = 4096,
     - ``mean_tokens_delta``: EXACT mean-length shift (from the same
       exact token totals, not the quantized histogram).
 
-    Each side costs one streaming pass (bounded summaries only — the
-    ``word_freq_topk_approx`` tree + the histogram small-agg); the
-    comparison is driver-side over capacity-bounded frames.
+    Each side costs THREE streaming passes (the
+    ``word_freq_topk_approx`` tree, the histogram small-agg, and the
+    token-total/KMV tree) — bounded summaries only, zero shuffles; the
+    passes stay separate because fusing them into one tagged tree
+    changes the Misra-Gries merge order (different surfaced sets
+    within the error bound) and drift deltas are pinned in tests.
+    The comparison is driver-side over capacity-bounded frames.
     Symmetric in its arguments by construction (JS is symmetric, L1
     is, delta is absolute)."""
     from .text import word_freq_topk_approx

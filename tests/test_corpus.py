@@ -797,3 +797,86 @@ def test_contamination_semantic_vs_duckdb(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no benchmark rows"):
         contamination_semantic(SF, benchmark_max_id=0)
+
+
+def test_token_quantiles_empty_corpus(ray_session, tmp_path):
+    """Zero-row corpus: typed empty result, not an IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import token_quantiles
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string())}), f"{d}/documents.parquet")
+    got = token_quantiles(str(d))
+    assert len(got) == 0 and list(got.columns) == ["q", "n_tokens"]
+
+
+def test_contamination_semantic_zero_vectors(ray_session, tmp_path):
+    """An all-zero embedding must score cos 0 against everything (NOT
+    NaN): an unguarded 0/0 made the row silently never-contaminated —
+    the one false negative a decontamination gate cannot have."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import contamination_semantic
+
+    d = tmp_path / "sf_zero"
+    d.mkdir()
+    vecs = [[1.0, 0.0], [0.0, 0.0], [1.0, 0.0], [0.0, 0.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 100, 101], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64()))}),
+        f"{d}/embeddings.parquet")
+    got = contamination_semantic(str(d), threshold=0.95,
+                                 benchmark_max_id=50).to_pandas() \
+        .set_index("vec_id")
+    assert np.isfinite(got["max_cos"]).all()          # no NaN anywhere
+    assert bool(got.loc[100, "is_contaminated"])      # real dup caught
+    assert not bool(got.loc[101, "is_contaminated"])  # zero vec: cos 0
+    assert got.loc[101, "max_cos"] == 0.0
+
+
+def test_pack_sequences_bucket_matches_training_corpus(ray_session,
+                                                       tmp_path):
+    """All three packers share ONE bucket hash (_pack_bucket): pack
+    composition depends on the assignment, so pack_sequences drifting
+    to a different hash would make its pack_id sets un-joinable with
+    training_corpus / write_training_shards output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olx_ray.pipelines.corpus import (_greedy_pack, _pack_bucket,
+                                          pack_sequences)
+
+    ids = np.arange(1, 251, dtype=np.int64)
+    d = tmp_path / "sf_pack"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(["w " * 10] * len(ids), pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string())}),
+        f"{d}/documents.parquet")
+    got = pack_sequences(str(d), seq_len=64, n_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # reference: same bucket hash + same greedy packer, in doc order
+    rows = []
+    pb = _pack_bucket(ids, 8)
+    for b in sorted(set(pb)):
+        bids = np.sort(ids[pb == b])
+        counts = np.full(len(bids), 10, dtype=np.int64)
+        pid, st, nt, tr = _greedy_pack(bids, counts, 64)
+        rows += list(zip(pid, bids, st, nt, tr))
+    want = pd.DataFrame(rows, columns=["pack_id", "doc_id", "start_tok",
+                                       "n_tokens", "truncated"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ["pack_id", "doc_id", "start_tok", "n_tokens"]:
+        assert got[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
