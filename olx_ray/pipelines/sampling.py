@@ -28,7 +28,8 @@ input size.
   ``group_quantiles`` (exact per-group order statistics),
   ``source_quota_sample`` (per-source cap), ``score_band_filter`` /
   ``group_score_band_filter`` (global / per-group CCNet quantile
-  bands).
+  bands), ``cluster_balanced_sample`` (per-k-means-cluster quota via
+  the shared centroid assigner + ``group_topk``).
 """
 
 from __future__ import annotations
@@ -353,48 +354,42 @@ def cluster_balanced_sample(sf_dir: str, k_per_cluster: int,
 
     Composition of verified pieces, nothing new moves: centroids come
     from ``similarity.kmeans_train``/``_train_centroids`` (or are
-    passed in), assignment is the shared shape-independent
-    ``cell_similarities`` kernel (broadcast centroids, no shuffle),
-    within-cluster pick is the deterministic ``mix64(vec_id, seed)``
-    priority through ``group_topk`` — exact per-group bottom-k with
-    only ``(vec_id, cluster, priority)`` ever shuffling. Deterministic
-    and partition-invariant end to end; returns ``(vec_id, cluster)``
+    passed in), assignment is ``similarity._cell_assigner`` — the ONE
+    centroid-assignment kernel, shared with layout builds and round
+    appends so this sample's cluster of a vector can never diverge
+    from the IVF layout's cell for the same vector (broadcast
+    centroids, no shuffle) — and the within-cluster pick is the
+    deterministic ``mix64(vec_id, seed)`` priority through
+    ``group_topk``: exact per-group bottom-k with only
+    ``(vec_id, cluster, priority)`` ever shuffling. Deterministic and
+    partition-invariant end to end; returns ``(vec_id, cluster)``
     sorted by vec_id."""
-    import pyarrow as pa
     import ray
 
-    from ..functions.blocks import list_matrix
-    from ..functions.hashing import mix64
-    from .similarity import _train_centroids, cell_similarities
+    from .similarity import _cell_assigner, _train_centroids
 
     if cents is None:
         cents = _train_centroids(sf_dir, n_clusters, train_rows)
     cref = ray.put(np.asarray(cents, dtype=np.float64))
+    assign_cell = _cell_assigner(cref)
 
-    class Assign:
-        def __init__(self):
-            self.cents = ray.get(cref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "cluster": pa.array([], pa.int32()),
-                                 "_pri": pa.array([], pa.uint64())})
-            ids = b["vec_id"].to_numpy().astype(np.int64)
-            m = list_matrix(b["embedding"])
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            cl = cell_similarities(m, self.cents).argmax(axis=1)
-            return pa.table({
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(cl.astype(np.int32), pa.int32()),
-                "_pri": pa.array(mix64(ids, seed), pa.uint64())})
+    def featurize(b: pa.Table) -> pa.Table:
+        # stages fuse: the shared assigner, then the narrow
+        # (vec_id, cluster, _pri) projection the shuffle carries
+        b = assign_cell(b)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if b.num_rows else np.empty(0, np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": b["cell"].cast(pa.int32()),
+            "_pri": pa.array(mix64(ids, seed), pa.uint64())})
 
     import ray.data as rd
 
     assigned = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"]) \
-        .map_batches(Assign, batch_format="pyarrow", batch_size=2048,
-                     concurrency=(1, 4), num_cpus=1)
+        .map_batches(featurize, batch_format="pyarrow",
+                     batch_size=2048, num_cpus=1)
     picked = group_topk(assigned, "cluster", "_pri", k_per_cluster,
                         descending=False, tiebreak_col="vec_id")
     return picked.select_columns(["vec_id", "cluster"]).sort("vec_id")

@@ -487,7 +487,12 @@ def _cell_assigner(cref):
         if b.num_rows == 0:      # guard BEFORE vstack (vstack([]) raises)
             return b.append_column("cell", pa.array([], pa.int64()))
         m = list_matrix(b["embedding"])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        # zero vectors assign by cos 0 against every centroid (argmax
+        # → cell 0, deterministic) — an unguarded 0/0 row is all-NaN
+        # and argmax's pick on it is unspecified
+        nm = np.linalg.norm(m, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        m /= nm
         cell = cell_similarities(m, ray.get(cref)).argmax(axis=1) \
             .astype(np.int64)
         return b.append_column("cell", pa.array(cell, pa.int64()))
