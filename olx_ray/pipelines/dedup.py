@@ -193,9 +193,18 @@ class MinHasher:
         if sh.size == 0:
             return np.zeros(self.n_perm, dtype=np.uint64)
         # fold 64-bit shingle hashes to 31 bits; (a*x+b) mod (2^31-1) is
-        # exact in int64 and fully vectorized: (n_perm × n_shingles) → min
-        x = (sh % np.uint64(self._P31)).astype(np.int64)[None, :]
-        return ((self.a * x + self.b) % self._P31).min(axis=1).astype(np.uint64)
+        # exact in int64 and fully vectorized. Running min over SHINGLE
+        # CHUNKS bounds the (n_perm × chunk) scratch at ~32 MB even for
+        # one pathological multi-million-shingle crawl artifact (an
+        # unchunked matrix would be ~2 KB per shingle → GBs per doc).
+        xs = (sh % np.uint64(self._P31)).astype(np.int64)
+        chunk = max(1, (4 << 20) // self.n_perm)
+        out = np.full(self.n_perm, self._P31, dtype=np.int64)
+        for s in range(0, xs.size, chunk):
+            x = xs[s:s + chunk][None, :]
+            np.minimum(out, ((self.a * x + self.b) % self._P31).min(axis=1),
+                       out=out)
+        return out.astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -629,7 +638,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
     pair is prefiltered away."""
     import functools
 
-    from ..functions.hashing import bucket_of, mix64
+    from ..functions.hashing import bucket_of
     from .substrings import _window_hashes
 
     t_eff = threshold - 5e-7        # round(J, 6) >= t  ⟺  J >= t − 5e-7
@@ -652,9 +661,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
             "gram_hash": pa.array(h_u, pa.uint64()),
             "doc_id": pa.array(ids[row_u], pa.int64()),
             "set_size": pa.array(sizes[row_u], pa.int64()),
-            "gbucket": pa.array(
-                (mix64(h_u) % np.uint64(n_buckets)).astype(np.int32),
-                pa.int32())})
+            "gbucket": pa.array(bucket_of(h_u, n_buckets), pa.int32())})
 
     from ..functions.blocks import df_arrow
 
@@ -674,8 +681,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n: int = 5,
         out = g.loc[rank < p, ["gram_hash", "doc_id", "set_size"]]
         out = out.assign(
             pos=rank[rank < p].astype(np.int64),
-            gbucket=(mix64(out["gram_hash"].to_numpy().astype(np.uint64))
-                     % np.uint64(n_buckets)).astype(np.int32))
+            gbucket=bucket_of(out["gram_hash"].to_numpy().astype(np.uint64),
+                              n_buckets))
         return df_arrow(out)
 
     def candidates(g: pd.DataFrame) -> pa.Table:
@@ -787,12 +794,32 @@ class SimHasher:
         return ((v > 0).astype(np.uint64)
                 << self._SHIFTS[None, :]).sum(axis=1)
 
+    def _sig_one(self, toks: list[str], chunk: int) -> np.uint64:
+        """Running bit-sum over token chunks for ONE oversized doc —
+        the batch kernel takes at least one doc per chunk, so a single
+        multi-million-token doc would otherwise build the whole
+        (tokens × 64) bit matrix in one piece."""
+        s = np.zeros(64, dtype=np.int64)
+        for i in range(0, len(toks), chunk):
+            part = toks[i:i + chunk]
+            hs = np.fromiter((_md5_token_hash(t) for t in part),
+                             dtype=np.uint64, count=len(part))
+            s += (((hs[:, None] >> self._SHIFTS[None, :]) & np.uint64(1))
+                  .astype(np.int64).sum(axis=0))
+        v = 2 * s - len(toks)
+        return ((v > 0).astype(np.uint64) << self._SHIFTS).sum()
+
     def __call__(self, batch: pa.Table, chunk_tokens: int = 65536) -> pa.Table:
         toks = [(t or "").split() for t in batch["text"].to_pylist()]
         out = np.zeros(batch.num_rows, dtype=np.uint64)
         nz = [i for i, t in enumerate(toks) if t]  # reduceat needs len>0
         pos = 0
         while pos < len(nz):
+            if len(toks[nz[pos]]) > chunk_tokens:  # doc alone busts the
+                out[nz[pos]] = self._sig_one(      # budget: chunk inside it
+                    toks[nz[pos]], chunk_tokens)
+                pos += 1
+                continue
             end, budget = pos, chunk_tokens
             while end < len(nz) and budget > 0:
                 budget -= len(toks[nz[end]])
@@ -860,6 +887,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Hamming-≤k candidate pairs via 4-way band buckets (any pair with
     ≤3 differing bits shares at least one of 4 16-bit bands) + exact
     hamming verify inside the bucket."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the fixed 4×16-bit banding is "
+            f"pigeonhole-complete only for hamming ≤ 3; a larger radius "
+            f"needs ≥ max_hamming+1 bands or pairs are silently lost")
     sigs = _simhash_sigs(sf_dir)
 
     def explode(b: pa.Table) -> pa.Table:
@@ -879,11 +911,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return _simhash_verify_frame(g, max_hamming)
 
     def bucketize(b: pa.Table) -> pa.Table:
-        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        band = b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((key * np.uint64(0x9E3779B97F4A7C15)) ^ band) % np.uint64(64)
-        return b.append_column("bucket", pa.array(bucket.astype(np.int32),
-                                                  pa.int32()))
+        bucket = _band_bucket(b["key"].to_numpy(zero_copy_only=False),
+                              b["band"].to_numpy(zero_copy_only=False))
+        return b.append_column("bucket", pa.array(bucket, pa.int32()))
 
     # map_groups parallelism == input block count; at corpus scale the
     # signature stream arrives in many blocks so the 64 hash buckets
@@ -945,6 +975,28 @@ ORDER BY doc_a, doc_b
 
 
 # ----------------------------------------------------- embedding near-dup
+def _safe_norm(m: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros mapped to 1 — an all-zero embedding stays
+    the zero vector (cosine 0 with everything, correctly below any
+    positive threshold) instead of becoming a NaN row that silently
+    pairs with nothing for the wrong reason. Same guard as
+    ``corpus.py``'s zero-vector gate."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return n
+
+
+def _band_bucket(key: np.ndarray, band: np.ndarray,
+                 n_buckets: int = 64) -> np.ndarray:
+    """(band, key) → verify-bucket id: golden-ratio multiply avalanches
+    the key before the band folds in. Shared by the simhash and
+    embedding-LSH verify partitioners — bucket assignment is pure
+    partitioning, results never depend on it."""
+    return (((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ band.astype(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int32)
+
+
 def _emb_chunk_specs(path: str, chunk_rows: int):
     """Chunk specs ``(file, row_group, offset, length)`` straight from
     parquet metadata — no vector data flows through the driver."""
@@ -969,7 +1021,7 @@ def _load_emb_chunk(file: str, rg: int, off: int, length: int):
         rg, columns=["vec_id", "embedding"]).slice(off, length)
     ids = t["vec_id"].to_numpy().astype(np.int64)
     m = list_matrix(t["embedding"])
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m /= _safe_norm(m)
     return (int(ids.min()), int(ids.max())), (ids, m)
 
 
@@ -1025,7 +1077,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45,
                 return pa.table({"vec_a": pa.array([], pa.int64()),
                                  "vec_b": pa.array([], pa.int64())})
             q = list_matrix(b["embedding"])
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            q /= _safe_norm(q)
             qmin = int(q_ids.min())
             out_a, out_b = [], []
             for (lo, hi), ref in zip(self.ranges, self.chunks):
@@ -1089,7 +1141,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
                              "key": pa.array([], pa.int64()),
                              "vec": pa.array([], pa.list_(pa.float64()))})
         m = list_matrix(b["embedding"])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m /= _safe_norm(m)
         if planes is None:
             planes = np.random.RandomState(7).standard_normal(
                 (n_tables, n_bits, m.shape[1]))
@@ -1126,11 +1178,9 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
                              "vec_b": pd.Series(c, dtype="int64")})
 
     def bucketize(b: pa.Table) -> pa.Table:
-        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        t = b["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((key * np.uint64(0x9E3779B97F4A7C15)) ^ t) % np.uint64(64)
-        return b.append_column("bucket", pa.array(bucket.astype(np.int32),
-                                                  pa.int32()))
+        bucket = _band_bucket(b["key"].to_numpy(zero_copy_only=False),
+                              b["tbl"].to_numpy(zero_copy_only=False))
+        return b.append_column("bucket", pa.array(bucket, pa.int32()))
 
     pairs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \
@@ -1348,6 +1398,11 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
 
     if keep not in ("min_id", "best_quality"):
         raise ValueError(f"keep={keep!r}: pass 'min_id' or 'best_quality'")
+    if strategy not in ("distributed", "driver"):
+        # fail loud: a typo must not silently pick the driver union-find
+        # path (an unbounded driver collect at corpus scale)
+        raise ValueError(f"unknown strategy {strategy!r}: "
+                         "pass 'distributed' or 'driver'")
     if strategy == "distributed":
         from ..functions.components import connected_components
 
@@ -1461,7 +1516,16 @@ def dedup_incremental(corpus, new, text_col: str = "text",
         strategy = "broadcast" if ch.count() <= broadcast_max_hashes \
             else "shuffle"
 
-    new_cols = list(new.schema().names)
+    # normalize the increment to Arrow blocks so its unified pa.Schema
+    # (captured ONCE, driver-side) types the corpus side's null padding;
+    # captured BEFORE any .names deref so a schema-less empty increment
+    # (e.g. from_items([])) takes the graceful empty-return path
+    new = new.map_batches(lambda b: b, batch_format="pyarrow")
+    schema = new.schema()
+    if schema is None:        # empty increment: nothing to dedup
+        return new
+    arrow_schema = schema.base_schema
+    new_cols = list(schema.names)
 
     def tag_new(b: pa.Table, drop_ref=None) -> pa.Table:
         h = hash64_array(b[text_col])
@@ -1475,13 +1539,25 @@ def dedup_incremental(corpus, new, text_col: str = "text",
                             pa.int32()))
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        if "_side" in g.columns:
-            cor = g.loc[g["_side"] == 0, "text_hash"].to_numpy(np.uint64)
-            g = g[g["_side"] == 1]
-            g = g[~np.isin(g["text_hash"].to_numpy(np.uint64), cor)]
+        # broadcast path only: groups are new-side rows, no null padding
         g = g.sort_values([id_col], kind="mergesort") \
             .drop_duplicates("text_hash")
         return g[new_cols]
+
+    def finish_shuffle(g: pa.Table) -> pa.Table:
+        # stays Arrow end-to-end: a pandas conversion of the MIXED group
+        # would float-widen int columns through the corpus side's null
+        # padding (silently corrupting ids above 2^53 and diverging in
+        # dtype from the broadcast strategy)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        th = g["text_hash"].to_numpy(zero_copy_only=False)
+        keep = (side == 1) & ~np.isin(th, th[side == 0])
+        g, th = g.filter(pa.array(keep)), th[keep]
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        # first index per hash in id order == the min-id winner per hash
+        _, first = np.unique(th[order], return_index=True)
+        return g.take(pa.array(order[first])).select(new_cols)
 
     if strategy == "broadcast":
         hs = np.sort(np.unique(np.concatenate(
@@ -1496,14 +1572,6 @@ def dedup_incremental(corpus, new, text_col: str = "text",
 
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
-
-    # normalize the increment to Arrow blocks so its unified pa.Schema
-    # (captured ONCE, driver-side) types the corpus side's null padding
-    new = new.map_batches(lambda b: b, batch_format="pyarrow")
-    schema = new.schema()
-    if schema is None:        # empty increment: nothing to dedup
-        return new
-    arrow_schema = schema.base_schema
 
     def tag_corpus(b: pa.Table) -> pa.Table:
         h = b["text_hash"].to_numpy(zero_copy_only=False)
@@ -1525,7 +1593,7 @@ def dedup_incremental(corpus, new, text_col: str = "text",
     unioned = ch.map_batches(tag_corpus, batch_format="pyarrow").union(
         new.map_batches(side_new, batch_format="pyarrow"))
     return unioned.groupby("_db") \
-        .map_groups(finish, batch_format="pandas").sort(id_col)
+        .map_groups(finish_shuffle, batch_format="pyarrow").sort(id_col)
 
 
 # ------------------------------------------------------ incremental (near)

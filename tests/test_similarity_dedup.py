@@ -2,6 +2,7 @@
 minhash candidate soundness, simhash banding completeness."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from olx_ray.pipelines.dedup import (MinHasher, ngram_jaccard, shingles,
@@ -331,6 +332,59 @@ def test_dedup_incremental_oracle_and_strategies(ray_session):
         assert dedup_incremental(
             rd.from_pandas(corpus_df), rd.from_pandas(empty),
             strategy=strat).count() == 0
+
+    # SCHEMA-LESS empty increment (from_items([]) has no schema at
+    # all): graceful empty return, no .names deref crash
+    assert dedup_incremental(
+        rd.from_pandas(corpus_df), rd.from_items([])).count() == 0
+
+    # ids above 2^53 survive the shuffle strategy bit-exact as int64:
+    # the mixed corpus∪new group must never round-trip through a
+    # pandas float widening (regression: null padding float64-ified
+    # the whole group)
+    big = 2 ** 53 + 1
+    out = dedup_incremental(
+        rd.from_pandas(corpus_df),
+        rd.from_items([{"doc_id": big, "text": "huge snowflake"},
+                       {"doc_id": 10, "text": "gamma"}]),
+        strategy="shuffle")
+    assert [t for t in out.schema().types][0] == pa.int64()
+    assert out.take_all() == [{"doc_id": big, "text": "huge snowflake"}]
+
+
+def test_hasher_chunking_is_invisible():
+    """The bounded-scratch chunked kernels (MinHasher running min over
+    shingle chunks, SimHasher per-doc bit-sum for docs over the token
+    budget) are bit-identical to the one-shot formulas."""
+    from olx_ray.pipelines.dedup import SimHasher
+
+    mh = MinHasher()
+    sh = np.random.RandomState(0).randint(
+        0, 2 ** 63, 40_000).astype(np.uint64)
+    x = (sh % np.uint64(mh._P31)).astype(np.int64)[None, :]
+    one_shot = ((mh.a * x + mh.b) % mh._P31).min(axis=1).astype(np.uint64)
+    assert np.array_equal(mh.signature(sh), one_shot)
+
+    words = " ".join(f"w{i % 311}" for i in range(5_000))
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": [words, "small doc"]})
+    # chunk budget far below the big doc's token count forces the
+    # per-doc running-sum path; a huge budget is the one-shot kernel
+    forced = SimHasher()(batch, chunk_tokens=256)["simhash"].to_pylist()
+    one = SimHasher()(batch, chunk_tokens=1 << 30)["simhash"].to_pylist()
+    assert forced == one
+
+
+def test_dedup_guard_rails(ray_session):
+    """Fail-loud guards: simhash banding radius and the
+    keep-representatives strategy typo trap."""
+    from olx_ray.pipelines.dedup import (dedup_keep_representatives,
+                                         simhash_pairs)
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs("/nonexistent", max_hamming=4)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        dedup_keep_representatives("/nonexistent", strategy="distrbuted")
 
 
 def test_ngram_jaccard_pairs_distinct_gram_semantics(ray_session, tmp_path):
