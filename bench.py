@@ -245,11 +245,23 @@ def main() -> None:
 
     crawl_only = "--crawl-only" in sys.argv
     queries_only = "--queries-only" in sys.argv
+    frontier_only = "--frontier-only" in sys.argv
     calib_pre = host_calibration()     # bracket the run: the sandbox
     # host's speed swings 1-15x on minute timescales, so a single probe
     # can miss a mid-run degradation
-    crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))
-    queries = {} if crawl_only else run_queries()
+    if frontier_only:
+        # frontier data path alone (dedup shuffle + seen-actor RPCs),
+        # decoupled from simulated fetch latency — the north metric's
+        # "frontier ops/sec" measured directly (pipelines/frontier_bench)
+        from olx_ray.pipelines.frontier_bench import run_frontier_rounds
+
+        # 4M-row rounds: big enough that per-round executor/barrier
+        # overhead (~1s) amortizes and the measure is the data path
+        crawl = run_frontier_rounds(4_000_000, n_rounds=3, n_shards=16)
+        queries = {}
+    else:
+        crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))
+        queries = {} if crawl_only else run_queries()
     calib_post = host_calibration()
     # pre/post probes bracketing the run: when they diverge >20% (or
     # either reads ≥2.5 s — healthy host ≈ 1.0-1.5 s) the host was
@@ -260,8 +272,11 @@ def main() -> None:
     div = round(max(calib_pre, calib_post)
                 / max(min(calib_pre, calib_post), 1e-9), 3)
     result = {
-        "metric": "native crawl pages/sec over bench site (2k listings, ~47k ads, simulated latency)",
-        "value": crawl["crawl_sec"],
+        "metric": ("frontier rows/sec (dedup + sharded seen check/seal, "
+                   "no fetch latency)" if frontier_only else
+                   "native crawl pages/sec over bench site (2k listings, "
+                   "~47k ads, simulated latency)"),
+        "value": crawl.get("crawl_sec", crawl.get("frontier_wall_sec")),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
@@ -278,11 +293,13 @@ def main() -> None:
 
 
 def run_scaling() -> None:
-    """Same crawl input at num_cpus=8 and 32 in fresh processes."""
-    def run(ncpu: int) -> dict:
+    """Same crawl input at num_cpus=8 and 32 in fresh processes; plus
+    the frontier-only microbench at both levels (the north metric's
+    frontier ops/sec, decoupled from simulated fetch latency)."""
+    def run(ncpu: int, mode: str = "--crawl-only") -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            [sys.executable, os.path.abspath(__file__), mode],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -290,8 +307,13 @@ def run_scaling() -> None:
     run(32)  # warm the page cache + site store (untimed, BASELINE.md)
     lo = run(8)
     hi = run(32)
+    flo = run(8, "--frontier-only")
+    fhi = run(32, "--frontier-only")
     eff = (lo["pages_per_sec"] and
            (hi["pages_per_sec"] / lo["pages_per_sec"]) / (32 / 8))
+    feff = (flo["frontier_rows_per_sec"] and
+            (fhi["frontier_rows_per_sec"] / flo["frontier_rows_per_sec"])
+            / (32 / 8))
     print(json.dumps({
         "pages_per_sec_8": lo["pages_per_sec"],
         "pages_per_sec_32": hi["pages_per_sec"],
@@ -299,6 +321,9 @@ def run_scaling() -> None:
         "crawl_sec_32": hi["crawl_sec"],
         "frontier_ops_per_sec_8": lo["frontier_ops_per_sec"],
         "frontier_ops_per_sec_32": hi["frontier_ops_per_sec"],
+        "frontier_rows_per_sec_8": flo["frontier_rows_per_sec"],
+        "frontier_rows_per_sec_32": fhi["frontier_rows_per_sec"],
+        "frontier_scaling_efficiency": round(feff, 3),
         "scaling_efficiency": round(eff, 3),
         # host parity across the two timed runs (see main()'s probes):
         # a throttle hitting ONE leg skews efficiency either way

@@ -139,3 +139,41 @@ def test_seen_fmt_mismatch_degraded_refuses_restore(ray_session):
     restored = SeenShard.remote(0, 1000)
     with _pytest.raises(Exception, match="seen_fmt"):
         _ray.get(restored.restore.remote(seg))
+
+
+def test_seen_exact_store_lazy_merge_and_degrade(ray_session):
+    """The vectorized exact store (sorted uint64 array + lazily-merged
+    pending chunks) must behave exactly like the old per-int set:
+    membership across many small unmerged adds, set-equal segments, and
+    a degrade to bloom-only once the UNIQUE count passes exact_cap —
+    duplicates must NOT count toward the cap."""
+    import ray as _ray
+
+    from olx_ray.stages.seen import SeenShard
+
+    shard = SeenShard.remote(0, 10_000, 1e-6, 60)
+    # 12 tiny adds (far below the merge threshold → all stay pending),
+    # heavily duplicated: 60 unique keys total, at the cap exactly
+    for i in range(12):
+        ks = (np.arange(10, dtype=np.uint64) + np.uint64(5 * i))
+        _ray.get(shard.add.remote(ks))
+    uniq = np.unique(np.concatenate(
+        [np.arange(10, dtype=np.uint64) + np.uint64(5 * i)
+         for i in range(12)]))
+    assert len(uniq) == 65
+    # 65 unique > cap 60 → degraded on the next probe/segment
+    seg = _ray.get(shard.segment.remote())
+    assert not seg["exact_alive"]
+    # bloom still answers with no false negatives
+    assert _ray.get(shard.contains.remote(uniq, "both")).all()
+
+    # under the cap: unmerged membership is exact and order-insensitive
+    shard2 = SeenShard.remote(1, 10_000, 1e-6, 60)
+    _ray.get(shard2.add.remote(np.array([9, 3, 9, 7], np.uint64)))
+    _ray.get(shard2.add.remote(np.array([3, 11], np.uint64)))
+    got = _ray.get(shard2.contains.remote(
+        np.array([3, 4, 7, 9, 11, 12], np.uint64), "exact"))
+    assert got.tolist() == [True, False, True, True, True, False]
+    seg2 = _ray.get(shard2.segment.remote())
+    assert set(np.frombuffer(seg2["exact_hashes"], np.uint64)) == \
+        {3, 7, 9, 11}

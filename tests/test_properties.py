@@ -1,7 +1,7 @@
 """Hypothesis property tests for the pure kernels (SURVEY.md §5.4)."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from olx_ray.functions.hashing import digest_u64, hash64, hash64_array
@@ -12,11 +12,20 @@ from olx_ray.state.bloom import Bloom
 
 
 @given(st.text())
+@example(":")
+@example("::")
 def test_java_split_colon_matches_java_semantics(s):
     parts = java_split_colon(s)
-    # never empty; reassembling with ':' is a prefix of the original
-    assert parts
-    assert s.startswith(":".join(parts)) or s.rstrip(":") == ":".join(parts)
+    if s and set(s) == {":"}:
+        # Java removes trailing empty strings, so an all-colon input's
+        # all-empty segments collapse to the LENGTH-0 array — the very
+        # case where the reference's parts(0) access throws AIOOBE
+        # (parse_brief docstring). Found by hypothesis in round 4.
+        assert parts == []
+    else:
+        # otherwise never empty; reassembling with ':' prefixes the input
+        assert parts
+        assert s.startswith(":".join(parts)) or s.rstrip(":") == ":".join(parts)
     # no trailing empty strings (unless the single-element empty case)
     if len(parts) > 1:
         assert parts[-1] != ""
