@@ -256,9 +256,20 @@ def _band_key_bucket(n_buckets: int):
 
 
 def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
-    """Band-bucket self-join candidate pairs, possibly duplicated across
-    bands (callers do the global pair-distinct — see
-    ``minhash_candidates`` / ``minhash_lsh_pairs``).
+    """Band-bucket self-join candidate pairs over the documents table —
+    see ``band_candidates`` for the machinery (and the star cap)."""
+    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4), num_cpus=1)
+    return band_candidates(bands, n_buckets)
+
+
+def band_candidates(bands, n_buckets: int = 32):
+    """Band-bucket self-join candidate pairs from a ``(doc_id, band_id,
+    band_hash)`` Dataset, possibly duplicated across bands (callers do
+    the global pair-distinct — see ``minhash_candidates`` /
+    ``minhash_lsh_pairs``). Dataset-shaped so non-table corpora (the
+    interleaved ``spans.text_view`` adapter) reuse it.
 
     Implemented as a hash-bucketed SELF-JOIN: band rows get
     ``bucket = band_key % n_buckets``; each bucket-group does ONE
@@ -273,9 +284,6 @@ def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
     grouping consumers is preserved; direct pair ENUMERATION between
     two non-representative members of such a key is intentionally
     dropped."""
-    bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4), num_cpus=1)
     key_bucket = _band_key_bucket(n_buckets)
 
     def self_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:

@@ -299,3 +299,270 @@ def media_refs(ds):
         return t.filter(keep)
 
     return ds.map_batches(refs, batch_format="pyarrow")
+
+
+def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
+                              media_threshold: float = 0.5,
+                              n_buckets: int = 32, hot_ref_cap: int = 256,
+                              broadcast_max_candidates: int = 50_000):
+    """Mixed-modal near-duplicate pairs over INTERLEAVED documents —
+    the curation shape flat-text dedup misses: a re-posted ad keeps its
+    photos but rewrites the description (media evidence), or keeps the
+    text but re-uploads photos under new refs (text evidence).
+
+    Two independent legs, each fully distributed, unioned per pair:
+
+    - TEXT: ``text_view`` flattens the text spans, then the engine's
+      MinHash machinery runs unchanged (``dedup.band_candidates`` band
+      self-join → global pair distinct → exact-Jaccard verify with the
+      broadcast-vs-shuffle strategy gate). Reports pairs with word
+      3-gram Jaccard ≥ ``text_threshold``.
+    - MEDIA: ``media_refs`` explodes the media worklist; ONE ref-hash
+      bucket groupby both counts each doc's refs and self-joins each
+      ref's docs into co-occurrence pairs; per-pair intersection sums +
+      two bucket joins of the doc sizes give EXACT media-set Jaccard ≥
+      ``media_threshold``. A ref shared by more than ``hot_ref_cap``
+      docs (stock/placeholder imagery) is EXCLUDED from both the
+      intersection and the set sizes — partial enumeration would
+      corrupt exact Jaccard, and boilerplate media carries no
+      duplication signal (the media analogue of AllPairs' hot-gram
+      prefix exclusion, ``dedup.ngram_jaccard_pairs``).
+
+    Output: ``(doc_a, doc_b, text_jaccard, media_jaccard, evidence)``
+    with string doc ids (``doc_a < doc_b``), ``evidence`` ∈
+    {"text", "media", "both"}; a leg that did not flag the pair leaves
+    its score null (it is UNMEASURED there, not zero). Internally docs
+    are keyed by the int64 view of ``hash64(doc_id)`` — a ~2⁻⁶⁴
+    collision risk, same acceptance as ``dedup_interleaved``'s span
+    fingerprint — and mapped back via two pair-bounded bucket joins.
+
+    The input Dataset is traversed by both legs plus the id mapping;
+    pass a re-executable (source-backed) Dataset, as with
+    ``dedup_interleaved``.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of, hash64_array
+    from ..functions.joins import bucket_hash_join
+    from .dedup import (MinHasher, _pair_bucket, _pair_ids,
+                        _semi_filter_ids, _verify_strategy,
+                        band_candidates, pair_distinct)
+
+    def _uid(col) -> np.ndarray:
+        return hash64_array(col).astype(np.int64)
+
+    # ---- id mapping (doc_uid -> doc_id), corpus-sized, streams -------
+    def to_map(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return pa.table({"doc_uid": pa.array(_uid(ids), pa.int64()),
+                         "doc_id": ids})
+
+    id_map = ds.map_batches(to_map, batch_format="pyarrow")
+
+    # ---- TEXT leg -----------------------------------------------------
+    tv = text_view(ds)
+
+    def uid_text(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.array(_uid(b["doc_id"]), pa.int64()),
+                         "text": b["text"]})
+
+    tvu = tv.map_batches(uid_text, batch_format="pyarrow")
+    bands = tvu.map_batches(MinHasher, batch_format="pyarrow",
+                            batch_size=1024, concurrency=(1, 4), num_cpus=1)
+    cand = pair_distinct(band_candidates(bands, n_buckets),
+                         "doc_a", "doc_b", n_buckets).materialize()
+    cand_ids = _pair_ids(cand)
+    text_pairs = _verify_strategy(
+        cand, _semi_filter_ids(tvu, cand_ids), len(cand_ids),
+        text_threshold, n_buckets, broadcast_max_candidates)
+
+    # ---- MEDIA leg ----------------------------------------------------
+    def ref_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_uid": pa.array([], pa.int64()),
+                             "ref_hash": pa.array([], pa.int64()),
+                             "_rb": pa.array([], pa.int32())})
+        df = pd.DataFrame({
+            "doc_uid": _uid(b["doc_id"]),
+            "ref_hash": hash64_array(b["media_ref"]).astype(np.int64),
+        }).drop_duplicates()            # same ref repeated inside a doc
+        rb = bucket_of(df["ref_hash"].to_numpy().astype(np.uint64),
+                       n_buckets)
+        return pa.table({"doc_uid": pa.array(df["doc_uid"].to_numpy(),
+                                             pa.int64()),
+                         "ref_hash": pa.array(df["ref_hash"].to_numpy(),
+                                              pa.int64()),
+                         "_rb": pa.array(rb, pa.int32())})
+
+    def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one pass per ref bucket: doc-size contributions AND pair
+        # co-occurrence counts ride out in one tagged frame (kind=1:
+        # a=doc_uid, n=surviving refs here; kind=0: (a, b) pair, n=
+        # shared refs here) — a second shuffle saved
+        g = g.drop_duplicates(["doc_uid", "ref_hash"])
+        sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
+        ok = g[sizes <= hot_ref_cap]
+        contrib = ok.groupby("doc_uid", as_index=False).size()
+        out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
+                             "b": np.int64(0), "n": contrib["size"]})]
+        m = ok.merge(ok, on="ref_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_uid_a"] < m["doc_uid_b"]]
+        if len(m):
+            pc_ = m.groupby(["doc_uid_a", "doc_uid_b"], as_index=False) \
+                .size()
+            out.append(pd.DataFrame({"kind": np.int8(0),
+                                     "a": pc_["doc_uid_a"],
+                                     "b": pc_["doc_uid_b"],
+                                     "n": pc_["size"]}))
+        return pd.concat(out, ignore_index=True)
+
+    tagged = media_refs(ds).map_batches(ref_rows, batch_format="pyarrow") \
+        .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
+        .materialize()                 # pair+doc bounded; read twice below
+    # zero co-occurring refs → the joins below would see a schema-less
+    # empty Dataset (map_groups over nothing emits no blocks); short-
+    # circuit to the typed empty leg instead
+    n_pair_rows = tagged.filter(expr="kind == 0").count()
+
+    def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("a", as_index=False)["n"].sum()
+
+    sizes_ds = tagged.filter(expr="kind == 1") \
+        .map_batches(lambda b: b.assign(
+            _db=bucket_of(b["a"].to_numpy().astype(np.uint64), n_buckets)),
+            batch_format="pandas") \
+        .groupby("_db").map_groups(doc_sizes_fold, batch_format="pandas")
+
+    def inter_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum() \
+            .rename(columns={"a": "doc_a", "b": "doc_b", "n": "inter"})
+
+    inter_ds = tagged.filter(expr="kind == 0") \
+        .map_batches(lambda b: b.assign(
+            _pb=_pair_bucket(b["a"].to_numpy(), b["b"].to_numpy(),
+                             n_buckets)), batch_format="pandas") \
+        .groupby("_pb").map_groups(inter_fold, batch_format="pandas")
+
+    def size_side(key: str):
+        def rn(b: pd.DataFrame) -> pa.Table:
+            return pa.table({key: pa.array(b["a"].to_numpy(), pa.int64()),
+                             f"n_{key[-1]}": pa.array(
+                                 b["n"].to_numpy(), pa.int64())})
+        return sizes_ds.map_batches(rn, batch_format="pandas")
+
+    def media_jac(b: pd.DataFrame) -> pa.Table:
+        inter = b["inter"].to_numpy(np.float64)
+        union = (b["n_a"].to_numpy(np.int64)
+                 + b["n_b"].to_numpy(np.int64)) - b["inter"].to_numpy()
+        mj = np.round(inter / np.maximum(union, 1), 6)
+        keep = mj >= media_threshold
+        return pa.table({
+            "doc_a": pa.array(b["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy()[keep], pa.int64()),
+            "media_jaccard": pa.array(mj[keep], pa.float64())})
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table({c: pa.array(b[c].to_numpy(), pa.int64())
+                         for c in b.columns})
+
+    if n_pair_rows:
+        j = bucket_hash_join(inter_ds, size_side("doc_a"), on="doc_a",
+                             n_buckets=n_buckets,
+                             columns_left=["doc_a", "doc_b", "inter"],
+                             columns_right=["doc_a", "n_a"])
+        j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
+                             size_side("doc_b"), on="doc_b",
+                             n_buckets=n_buckets,
+                             columns_left=["doc_a", "doc_b", "inter", "n_a"],
+                             columns_right=["doc_b", "n_b"])
+        media_pairs = j.map_batches(media_jac, batch_format="pandas")
+    else:
+        media_pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "media_jaccard": pa.array([], pa.float64())}))
+
+    # ---- union the legs per pair, map uids back to string ids --------
+    def tag_text(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                         "text_jaccard": b["jaccard"],
+                         "media_jaccard": pa.array(
+                             [None] * b.num_rows, pa.float64())})
+
+    def tag_media(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                         "text_jaccard": pa.array(
+                             [None] * b.num_rows, pa.float64()),
+                         "media_jaccard": b["media_jaccard"]})
+
+    both = text_pairs.map_batches(tag_text, batch_format="pyarrow") \
+        .union(media_pairs.map_batches(tag_media, batch_format="pyarrow")) \
+        .materialize()                     # pair-bounded; counted + fused
+    if both.count() == 0:
+        # fuse/join over zero rows would strip the schema (same
+        # map_groups-over-nothing hazard as the media leg)
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.string()),
+            "doc_b": pa.array([], pa.string()),
+            "text_jaccard": pa.array([], pa.float64()),
+            "media_jaccard": pa.array([], pa.float64()),
+            "evidence": pa.array([], pa.string())}))
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["doc_a", "doc_b"], as_index=False) \
+            .agg(text_jaccard=("text_jaccard", "max"),
+                 media_jaccard=("media_jaccard", "max"))
+        t = f["text_jaccard"].notna()
+        m = f["media_jaccard"].notna()
+        f["evidence"] = np.where(t & m, "both",
+                                 np.where(t, "text", "media"))
+        return f
+
+    fused = both.map_batches(
+        lambda b: b.assign(_pb=_pair_bucket(
+            b["doc_a"].to_numpy(), b["doc_b"].to_numpy(), n_buckets)),
+        batch_format="pandas") \
+        .groupby("_pb").map_groups(fuse, batch_format="pandas")
+
+    def map_side(key: str):
+        def rn(b: pa.Table) -> pa.Table:
+            return pa.table({key: b["doc_uid"],
+                             f"id_{key[-1]}": b["doc_id"]})
+        return id_map.map_batches(rn, batch_format="pyarrow")
+
+    out = bucket_hash_join(fused, map_side("doc_a"), on="doc_a",
+                           n_buckets=n_buckets,
+                           columns_left=["doc_a", "doc_b", "text_jaccard",
+                                         "media_jaccard", "evidence"],
+                           columns_right=["doc_a", "id_a"])
+
+    def mid_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_b": pa.array(b["doc_b"].to_numpy(), pa.int64()),
+            "text_jaccard": pa.array(b["text_jaccard"], pa.float64()),
+            "media_jaccard": pa.array(b["media_jaccard"], pa.float64()),
+            "evidence": pa.array(b["evidence"], pa.string()),
+            "id_a": pa.array(b["id_a"], pa.string())})
+
+    out = bucket_hash_join(out.map_batches(mid_arrow, batch_format="pandas"),
+                           map_side("doc_b"), on="doc_b",
+                           n_buckets=n_buckets,
+                           columns_left=["doc_b", "text_jaccard",
+                                         "media_jaccard", "evidence",
+                                         "id_a"],
+                           columns_right=["doc_b", "id_b"])
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        a = b["id_a"].astype(str).to_numpy()
+        c = b["id_b"].astype(str).to_numpy()
+        lo, hi = np.minimum(a, c), np.maximum(a, c)   # string order out
+        return pa.table({
+            "doc_a": pa.array(lo, pa.string()),
+            "doc_b": pa.array(hi, pa.string()),
+            "text_jaccard": pa.array(b["text_jaccard"], pa.float64()),
+            "media_jaccard": pa.array(b["media_jaccard"], pa.float64()),
+            "evidence": pa.array(b["evidence"], pa.string())})
+
+    return out.map_batches(final, batch_format="pandas") \
+        .sort(["doc_a", "doc_b"])

@@ -1,0 +1,172 @@
+"""Mixed-modal near-dup over interleaved documents, pinned against an
+independent in-memory oracle: text Jaccard brute-forced with the same
+word-3-gram shingle definition, media Jaccard from Python sets with the
+hot-ref exclusion applied by hand."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from olx_ray.pipelines.dedup import shingles
+from olx_ray.pipelines.spans import interleaved_neardup_pairs
+
+SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                    ("media_ref", pa.string()), ("offset", pa.int32())])
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "spans": pa.array(
+            [[{"kind": k, "text": t, "media_ref": m, "offset": i}
+              for i, (k, t, m) in enumerate(r[1])] for r in rows],
+            pa.list_(SPAN_T))}))
+
+
+BASE = ("sunny two bedroom flat near the park with balcony and fresh "
+        "renovation quiet street close to metro schools and shops "
+        "available from next month no agency fees")
+ALT = BASE.replace("quiet street", "calm street")     # near-dup text
+OTHER = ("selling winter tires in good condition used one season size "
+         "seventeen inch fits most crossovers price negotiable pickup "
+         "only from the north district call evenings")
+
+ROWS = [
+    # A and B: near-identical text, disjoint media  -> text evidence
+    ("ad/a", [("title", "flat", None), ("description", BASE, None),
+              ("image", None, "m1"), ("image", None, "m2"),
+              ("image", None, "m3")]),
+    ("ad/b", [("title", "flat", None), ("description", ALT, None),
+              ("image", None, "m4"), ("image", None, "m5")]),
+    # C: unrelated text, shares {m1,m2,m3} with A    -> media evidence
+    ("ad/c", [("title", "tires", None), ("description", OTHER, None),
+              ("image", None, "m1"), ("image", None, "m2"),
+              ("image", None, "m3"), ("image", None, "m6")]),
+    # D: identical text to A AND media overlap       -> both
+    ("ad/d", [("title", "flat", None), ("description", BASE, None),
+              ("image", None, "m1"), ("image", None, "m2")]),
+    # E: unrelated on both axes
+    ("ad/e", [("title", "lamp", None), ("description",
+              "vintage desk lamp works fine warm light bulb included "
+              "minor scratches on the base collect in person", None),
+              ("image", None, "m7")]),
+]
+
+
+def _oracle(rows, text_t, media_t, hot_cap):
+    """Brute-force both legs from the row specs alone."""
+    texts = {}
+    media = {}
+    for d, spans in rows:
+        texts[d] = "\n".join(t for _, t, m in spans
+                             if (m is None or m == "") and t is not None)
+        media[d] = {m for _, _, m in spans if m}
+    # hot-ref exclusion
+    from collections import Counter
+    freq = Counter(m for s in media.values() for m in s)
+    hot = {m for m, c in freq.items() if c > hot_cap}
+    media = {d: s - hot for d, s in media.items()}
+    out = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            tj = (1.0 if not sa and not sb
+                  else len(sa & sb) / max(len(sa | sb), 1))
+            ma, mb = media[a], media[b]
+            mj = len(ma & mb) / max(len(ma | mb), 1) if (ma or mb) else 0.0
+            ev = None
+            if tj >= text_t and mj >= media_t:
+                ev = "both"
+            elif tj >= text_t:
+                ev = "text"
+            elif mj >= media_t:
+                ev = "media"
+            if ev:
+                out[(a, b)] = (round(tj, 6) if tj >= text_t else None,
+                               round(mj, 6) if mj >= media_t else None, ev)
+    return out
+
+
+def test_interleaved_neardup_pairs_matches_oracle(ray_session):
+    got = interleaved_neardup_pairs(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5).to_pandas()
+    want = _oracle(ROWS, 0.6, 0.5, hot_cap=256)
+    assert {(r.doc_a, r.doc_b) for r in got.itertuples()} == set(want)
+    for r in got.itertuples():
+        wt, wm, we = want[(r.doc_a, r.doc_b)]
+        assert r.evidence == we, (r.doc_a, r.doc_b)
+        if wt is None:
+            assert np.isnan(r.text_jaccard)
+        else:
+            assert abs(r.text_jaccard - wt) < 1e-9
+        if wm is None:
+            assert np.isnan(r.media_jaccard)
+        else:
+            assert abs(r.media_jaccard - wm) < 1e-9
+    # the expected shapes actually occur (the fixture is not degenerate)
+    evs = dict(zip(zip(got["doc_a"], got["doc_b"]), got["evidence"]))
+    assert evs[("ad/a", "ad/b")] == "text"
+    assert evs[("ad/a", "ad/c")] == "media"
+    assert evs[("ad/a", "ad/d")] == "both"
+    assert not any("ad/e" in p for p in evs)
+
+
+def test_hot_ref_exclusion_drops_boilerplate_media(ray_session):
+    """A watermark/placeholder image shared by every doc must not
+    connect them: with hot_ref_cap below the sharing count the ref is
+    excluded from intersections AND set sizes (exact Jaccard over the
+    surviving refs — compare the hand-computed value)."""
+    rows = [
+        ("w/1", [("description", "alpha beta gamma delta epsilon zeta "
+                  "eta theta", None),
+                 ("image", None, "hot"), ("image", None, "x1"),
+                 ("image", None, "x2")]),
+        ("w/2", [("description", "one two three four five six seven "
+                  "eight nine", None),
+                 ("image", None, "hot"), ("image", None, "x1"),
+                 ("image", None, "x2")]),
+        ("w/3", [("description", "red orange yellow green blue indigo "
+                  "violet colors", None),
+                 ("image", None, "hot"), ("image", None, "y1")]),
+    ]
+    got = interleaved_neardup_pairs(
+        _docs(rows), text_threshold=0.9, media_threshold=0.5,
+        hot_ref_cap=2).to_pandas()
+    # with "hot" excluded: 1-2 share {x1,x2} fully (jac 1.0); 3 shares
+    # nothing with either (its only surviving ref is y1)
+    assert [(r.doc_a, r.doc_b, r.media_jaccard, r.evidence)
+            for r in got.itertuples()] == [("w/1", "w/2", 1.0, "media")]
+    # sanity: withOUT the cap the hot ref connects w/3 too
+    # ({hot,x1,x2} vs {hot,y1}: 1/4 = 0.25)
+    got2 = interleaved_neardup_pairs(
+        _docs(rows), text_threshold=0.9, media_threshold=0.2,
+        hot_ref_cap=256).to_pandas()
+    pairs2 = {(r.doc_a, r.doc_b): r.media_jaccard
+              for r in got2.itertuples()}
+    assert pairs2[("w/1", "w/3")] == 0.25
+    assert pairs2[("w/2", "w/3")] == 0.25
+
+
+def test_no_pairs_and_mediafree_inputs_yield_typed_empty(ray_session):
+    """Disjoint docs (no LSH candidates, no shared refs) and media-free
+    docs must come back as a TYPED empty frame — the map_groups-over-
+    nothing schema-strip guard (found live driving the t1 crawl output,
+    where 15 distinct ads share nothing)."""
+    rows = [
+        ("z/1", [("description", "alpha beta gamma delta epsilon zeta "
+                  "eta theta iota kappa", None), ("image", None, "a1")]),
+        ("z/2", [("description", "one two three four five six seven "
+                  "eight nine ten", None), ("image", None, "b1")]),
+    ]
+    got = interleaved_neardup_pairs(_docs(rows))
+    # schema asserted on the DATASET: a zero-row to_pandas() drops
+    # columns in Ray 2.49 (the collect_pandas bug class)
+    assert got.count() == 0
+    assert got.schema().names == ["doc_a", "doc_b", "text_jaccard",
+                                  "media_jaccard", "evidence"]
+    # media-free corpus: text leg still works, media leg short-circuits
+    rows2 = [("m/1", [("description", BASE, None)]),
+             ("m/2", [("description", ALT, None)])]
+    got2 = interleaved_neardup_pairs(_docs(rows2)).to_pandas()
+    assert list(got2["evidence"]) == ["text"]
