@@ -566,3 +566,101 @@ def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
 
     return out.map_batches(final, batch_format="pandas") \
         .sort(["doc_a", "doc_b"])
+
+
+def interleaved_neardup_groups(ds, text_threshold: float = 0.6,
+                               media_threshold: float = 0.5,
+                               n_buckets: int = 32, **pair_kwargs):
+    """Connected components over ``interleaved_neardup_pairs`` →
+    per-document ``(doc_id, group_id, group_size, is_representative)``
+    with STRING ids — the multimodal analogue of ``dedup.neardup_groups``
+    and the input ``corpus.leakage_safe_split`` needs so a re-posted ad
+    and its original never straddle train/val.
+
+    Grouping runs in the same int64 uid space as the pair operator
+    (``hash64(doc_id)``; distributed min-label propagation, nothing
+    pair-bounded on the driver), then two pair-bounded bucket joins
+    restore strings: a group's id is the DOC_ID of its min-uid member —
+    a real member, deterministic, resolvable. Docs in no pair are their
+    own singleton groups (``label_table`` contract)."""
+    import pandas as pd
+
+    from ..functions.components import connected_components, label_table
+    from ..functions.hashing import hash64_array
+    from ..functions.joins import bucket_hash_join
+
+    def _uid(col) -> np.ndarray:
+        return hash64_array(col).astype(np.int64)
+
+    def to_uid(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_uid": pa.array(_uid(b["doc_id"]), pa.int64())})
+
+    def to_map(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return pa.table({"doc_uid": pa.array(_uid(ids), pa.int64()),
+                         "doc_id": ids})
+
+    pairs = interleaved_neardup_pairs(
+        ds, text_threshold, media_threshold, n_buckets,
+        **pair_kwargs).materialize()
+
+    def pair_uids(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": pa.array(_uid(b["doc_a"]), pa.int64()),
+                         "doc_b": pa.array(_uid(b["doc_b"]), pa.int64())})
+
+    if pairs.count():
+        comp = connected_components(
+            pairs.map_batches(pair_uids, batch_format="pyarrow"),
+            "doc_a", "doc_b", n_buckets=n_buckets)
+        labeled = label_table(ds.map_batches(to_uid, batch_format="pyarrow"),
+                              "doc_uid", comp, n_buckets=n_buckets)
+    else:
+        # no pairs → all singletons; label_table's member leg would be
+        # a schema-less empty Dataset (map_groups over nothing)
+        def singleton(b: pa.Table) -> pa.Table:
+            u = pa.array(_uid(b["doc_id"]), pa.int64())
+            n = b.num_rows
+            return pa.table({
+                "doc_uid": u, "group_id": u,
+                "group_size": pa.array(np.ones(n, np.int64), pa.int64()),
+                "is_representative": pa.array([True] * n, pa.bool_())})
+
+        labeled = ds.map_batches(singleton, batch_format="pyarrow")
+
+    id_map = ds.map_batches(to_map, batch_format="pyarrow")
+
+    j = bucket_hash_join(
+        labeled, id_map, on="doc_uid", n_buckets=n_buckets,
+        columns_left=["doc_uid", "group_id", "group_size",
+                      "is_representative"],
+        columns_right=["doc_uid", "doc_id"])
+
+    def mid(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"], pa.string()),
+            "group_id": pa.array(b["group_id"].to_numpy(), pa.int64()),
+            "group_size": pa.array(b["group_size"].to_numpy(), pa.int64()),
+            "is_representative": pa.array(
+                b["is_representative"].to_numpy(), pa.bool_())})
+
+    def rep_side(b: pa.Table) -> pa.Table:
+        return pa.table({"group_id": b["doc_uid"],
+                         "group_rep": b["doc_id"]})
+
+    j = bucket_hash_join(
+        j.map_batches(mid, batch_format="pandas"),
+        id_map.map_batches(rep_side, batch_format="pyarrow"),
+        on="group_id", n_buckets=n_buckets,
+        columns_left=["doc_id", "group_id", "group_size",
+                      "is_representative"],
+        columns_right=["group_id", "group_rep"])
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(b["doc_id"], pa.string()),
+            "group_id": pa.array(b["group_rep"], pa.string()),
+            "group_size": pa.array(b["group_size"].to_numpy(), pa.int64()),
+            "is_representative": pa.array(
+                b["is_representative"].to_numpy(), pa.bool_())})
+
+    return j.map_batches(final, batch_format="pandas").sort("doc_id")

@@ -170,3 +170,35 @@ def test_no_pairs_and_mediafree_inputs_yield_typed_empty(ray_session):
              ("m/2", [("description", ALT, None)])]
     got2 = interleaved_neardup_pairs(_docs(rows2)).to_pandas()
     assert list(got2["evidence"]) == ["text"]
+
+
+def test_interleaved_neardup_groups(ray_session):
+    """Components over the mixed-modal pairs: a-b (text), a-c (media),
+    a-d (both) chain into one group represented by a REAL member's
+    string id; e stays a singleton. No-pair corpora come back all
+    singleton (the empty-member-leg guard)."""
+    from olx_ray.pipelines.spans import interleaved_neardup_groups
+
+    got = interleaved_neardup_groups(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5).to_pandas()
+    by_id = got.set_index("doc_id")
+    grp = {d: by_id.loc[d, "group_id"] for d in
+           ["ad/a", "ad/b", "ad/c", "ad/d", "ad/e"]}
+    assert len({grp["ad/a"], grp["ad/b"], grp["ad/c"], grp["ad/d"]}) == 1
+    assert grp["ad/a"] in {"ad/a", "ad/b", "ad/c", "ad/d"}  # real member
+    assert grp["ad/e"] == "ad/e"
+    assert by_id.loc["ad/e", "group_size"] == 1
+    assert set(by_id[by_id["group_size"] == 4].index) == \
+        {"ad/a", "ad/b", "ad/c", "ad/d"}
+    # exactly one representative per group, and it IS the group_id row
+    reps = got[got["is_representative"]]
+    assert len(reps) == 2
+    assert set(reps["doc_id"]) == set(got["group_id"])
+
+    # disjoint corpus → every doc its own group
+    rows = [("s/1", [("description", BASE, None)]),
+            ("s/2", [("description", OTHER, None)])]
+    got2 = interleaved_neardup_groups(_docs(rows)).to_pandas()
+    assert list(got2["group_id"]) == list(got2["doc_id"])
+    assert got2["is_representative"].all()
+    assert (got2["group_size"] == 1).all()
