@@ -664,3 +664,43 @@ def interleaved_neardup_groups(ds, text_threshold: float = 0.6,
                 b["is_representative"].to_numpy(), pa.bool_())})
 
     return j.map_batches(final, batch_format="pandas").sort("doc_id")
+
+
+def leakage_safe_split_interleaved(ds, val_pct: int = 10,
+                                   text_threshold: float = 0.6,
+                                   media_threshold: float = 0.5,
+                                   n_buckets: int = 32, **pair_kwargs):
+    """Train/val split of INTERLEAVED documents where mixed-modal
+    near-duplicates never straddle the boundary — the multimodal
+    analogue of ``corpus.leakage_safe_split``: a re-posted ad that kept
+    its photos (or its text) must land on the same side as the
+    original, or the val set leaks into train through either modality.
+
+    Composition: ``interleaved_neardup_groups`` (text MinHash ∪ media
+    Jaccard evidence) → the group id's 0..99 fingerprint picks the
+    side. String group ids are fingerprinted as
+    ``knuth_fingerprint32(hash64(group_id)) % 100`` — hash64 first
+    because the corpus key here is the canonical-URL doc_id, not an
+    integer (``corpus._split_fingerprint`` rationale otherwise
+    unchanged; deterministic, partition-invariant, whole groups move
+    together by construction).
+
+    Output: ``(doc_id, group_id, group_size, split)`` sorted by
+    doc_id."""
+    from ..functions.hashing import hash64_array, knuth_fingerprint32
+
+    groups = interleaved_neardup_groups(
+        ds, text_threshold, media_threshold, n_buckets, **pair_kwargs)
+
+    def assign(b: pa.Table) -> pa.Table:
+        gids = hash64_array(b["group_id"])
+        f = knuth_fingerprint32(gids) % np.uint64(100)
+        split = np.where(f < 100 - val_pct, "train", "val")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "group_id": b["group_id"],
+            "group_size": b["group_size"],
+            "split": pa.array(split.tolist(), pa.string())})
+
+    return groups.map_batches(assign, batch_format="pyarrow") \
+        .sort("doc_id")

@@ -202,3 +202,30 @@ def test_interleaved_neardup_groups(ray_session):
     assert list(got2["group_id"]) == list(got2["doc_id"])
     assert got2["is_representative"].all()
     assert (got2["group_size"] == 1).all()
+
+
+def test_leakage_safe_split_interleaved(ray_session):
+    """Mixed-modal near-dup groups never straddle train/val: every
+    member of the a-b-c-d component (text, media AND both evidence
+    chains) gets ONE side; the assignment is deterministic and whole
+    groups move together."""
+    from olx_ray.pipelines.spans import leakage_safe_split_interleaved
+
+    got = leakage_safe_split_interleaved(
+        _docs(ROWS), val_pct=30).to_pandas().set_index("doc_id")
+    comp = ["ad/a", "ad/b", "ad/c", "ad/d"]
+    assert len(set(got.loc[comp, "split"])) == 1        # no straddle
+    assert len(set(got.loc[comp, "group_id"])) == 1
+    # deterministic across runs
+    again = leakage_safe_split_interleaved(
+        _docs(ROWS), val_pct=30).to_pandas().set_index("doc_id")
+    assert (got["split"] == again["split"]).all()
+    # both sides actually occur over many singleton docs
+    many = [(f"s/{i}", [("description",
+                         f"unique doc number {i} " + " ".join(
+                             f"tok{i}x{j}" for j in range(12)), None)])
+            for i in range(60)]
+    sp = leakage_safe_split_interleaved(_docs(many), val_pct=30) \
+        .to_pandas()["split"]
+    assert {"train", "val"} == set(sp)
+    assert 0.5 < (sp == "train").mean() < 0.9           # ≈70% train
