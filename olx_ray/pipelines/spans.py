@@ -525,11 +525,31 @@ def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
         batch_format="pandas") \
         .groupby("_pb").map_groups(fuse, batch_format="pandas")
 
+    # the id-restore joins need only the PAIR-INVOLVED docs' map rows —
+    # semi-filter the corpus-sized map down to them first (pair-bounded
+    # id array on the driver, the _pair_ids acceptance), so the join
+    # shuffles candidate-bounded rows instead of every doc's key
+    from .dedup import _semi_filter_ids as _semi_uids
+
+    def uids_of(b: pa.Table) -> pa.Table:
+        u = np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
+                            b["doc_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(np.unique(u), pa.int64())})
+
+    involved = both.map_batches(uids_of, batch_format="pyarrow") \
+        .to_pandas()["doc_id"].to_numpy()
+    cand_map = _semi_uids(
+        id_map.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_uid"],
+                                "doc_str": b["doc_id"]}),
+            batch_format="pyarrow"),
+        involved).materialize()        # consumed by both restore joins
+
     def map_side(key: str):
         def rn(b: pa.Table) -> pa.Table:
-            return pa.table({key: b["doc_uid"],
-                             f"id_{key[-1]}": b["doc_id"]})
-        return id_map.map_batches(rn, batch_format="pyarrow")
+            return pa.table({key: b["doc_id"],
+                             f"id_{key[-1]}": b["doc_str"]})
+        return cand_map.map_batches(rn, batch_format="pyarrow")
 
     out = bucket_hash_join(fused, map_side("doc_a"), on="doc_a",
                            n_buckets=n_buckets,

@@ -25,8 +25,14 @@ def test_frontier_rounds_survivors_match_spec(ray_session):
 
 
 def test_frontier_generator_is_deterministic(ray_session):
-    a = synth_candidates(1_000, 1).to_pandas()
-    b = synth_candidates(1_000, 1).to_pandas()
+    # sort by seq: the CONTENT is deterministic; block arrival order is
+    # not (preserve_order defaults off and a busy cluster reorders)
+    def rows(ds):
+        return ds.to_pandas().sort_values("discovered_seq") \
+            .reset_index(drop=True)
+
+    a = rows(synth_candidates(1_000, 1))
+    b = rows(synth_candidates(1_000, 1))
     assert a.equals(b)
     # revisit overlap: round 1 shares exactly the expected keys with
     # round 0 (cross-round seen hits are real, not hash accidents)
