@@ -724,3 +724,35 @@ def leakage_safe_split_interleaved(ds, val_pct: int = 10,
 
     return groups.map_batches(assign, batch_format="pyarrow") \
         .sort("doc_id")
+
+
+def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
+                                     media_threshold: float = 0.5,
+                                     n_buckets: int = 32, **pair_kwargs):
+    """THE corpus-dedup action for interleaved documents: drop every
+    non-representative member of each mixed-modal near-dup group
+    (``interleaved_neardup_groups``); survivors keep their spans
+    untouched. The multimodal sibling of
+    ``dedup.dedup_keep_representatives``.
+
+    Only the NON-representative id set (duplicate-rate-bounded — the
+    ``dedup_interleaved`` broadcast contract) touches the driver; the
+    corpus streams once through a vectorized ``is_in`` anti-filter."""
+    import pyarrow.compute as _pc
+    import ray
+
+    from ..functions.blocks import collect_pandas
+
+    groups = interleaved_neardup_groups(
+        ds, text_threshold, media_threshold, n_buckets, **pair_kwargs)
+    dropped = groups.filter(expr="is_representative == False") \
+        .map_batches(lambda b: b.select(["doc_id"]),
+                     batch_format="pyarrow")
+    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
+    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return b.filter(_pc.invert(_pc.is_in(ids, value_set=ray.get(ref))))
+
+    return ds.map_batches(anti, batch_format="pyarrow")

@@ -229,3 +229,74 @@ def test_leakage_safe_split_interleaved(ray_session):
         .to_pandas()["split"]
     assert {"train", "val"} == set(sp)
     assert 0.5 < (sp == "train").mean() < 0.9           # ≈70% train
+
+
+def test_interleaved_keep_representatives(ray_session):
+    """One survivor per mixed-modal group, spans byte-identical to the
+    input (the anti-filter must not touch payloads)."""
+    from olx_ray.pipelines.spans import (interleaved_keep_representatives,
+                                         interleaved_neardup_groups)
+
+    kept = interleaved_keep_representatives(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5).to_pandas()
+    groups = interleaved_neardup_groups(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5).to_pandas()
+    reps = set(groups.loc[groups["is_representative"], "doc_id"])
+    assert set(kept["doc_id"]) == reps == set(groups["group_id"])
+    assert len(kept) == 2                      # {a,b,c,d} rep + ad/e
+    # survivor spans identical to source
+    src = _docs(ROWS).to_pandas().set_index("doc_id")
+    for _, r in kept.iterrows():
+        assert [dict(s) for s in r["spans"]] == \
+            [dict(s) for s in src.loc[r["doc_id"], "spans"]]
+
+
+def test_curation_with_neardup_over_real_payloads(ray_session):
+    """Curation v2 over REAL parsed crawl payloads: plant a NEAR twin
+    (one word edited, same images — exact whole-sequence dedup misses
+    it) → interleaved_keep_representatives drops it via the mixed-modal
+    evidence → leakage split over survivors stays straddle-free."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from olx_ray.pipelines.spans import (dedup_interleaved,
+                                         interleaved_keep_representatives,
+                                         leakage_safe_split_interleaved)
+    from olx_ray.sources.sitegen import write_site
+    from olx_ray.stages.parse import ParseAds
+
+    paths = write_site("t1", "/tmp/neardup_e2e_site")
+    docs = (rd.read_parquet(paths["pages"]).filter(expr="kind == 'ad'")
+            .map_batches(ParseAds(), batch_format="pyarrow")
+            .select_columns(["doc_id", "spans"]).materialize())
+    n = docs.count()
+
+    def near_twin(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("doc_id")
+        ids = pc.binary_join_element_wise(
+            pa.array(["zzz"] * b.num_rows),
+            b["doc_id"].cast(pa.string()), "-")
+        return b.set_column(i, "doc_id", ids)
+
+    twin = docs.limit(1).map_batches(near_twin, batch_format="pyarrow")
+    # edit ONE text span so the exact span fingerprint changes
+    from olx_ray.pipelines.spans import transform_text_spans
+    twin = transform_text_spans(
+        twin, lambda t: pc.replace_substring_regex(
+            t, pattern=r"^", replacement="edited "))
+    both = docs.union(twin).materialize()
+
+    # exact dedup does NOT catch the near twin
+    assert dedup_interleaved(both).count() == n + 1
+    # mixed-modal keep-representatives DOES
+    kept = interleaved_keep_representatives(
+        both, text_threshold=0.5, media_threshold=0.5)
+    assert kept.count() == n
+
+    split = leakage_safe_split_interleaved(
+        both, val_pct=30, text_threshold=0.5,
+        media_threshold=0.5).to_pandas().set_index("doc_id")
+    twin_id = [d for d in split.index if d.startswith("zzz-")][0]
+    orig_id = twin_id[len("zzz-"):]
+    assert split.loc[twin_id, "split"] == split.loc[orig_id, "split"]
+    assert split.loc[twin_id, "group_id"] == split.loc[orig_id, "group_id"]
