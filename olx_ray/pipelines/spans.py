@@ -5,12 +5,18 @@ native multimodal document shape (produced by ``stages/parse.py``,
 packed by ``corpus.pack_interleaved``, QA-diffed by
 ``crawl.span_diff``).
 
-Everything here is BATCH-LOCAL (a document's spans live inside its
-row, so no operator needs a shuffle): flatten the list column once,
+The per-document operators are BATCH-LOCAL (a document's spans live
+inside its row, so no shuffle): flatten the list column once,
 transform the flat child arrays vectorized, rebuild the list structure
 around them. The adapters let every flat-text operator in the engine
 run over interleaved documents without unpacking them into a separate
 table and re-joining.
+
+The CROSS-document family (``dedup_interleaved``,
+``interleaved_neardup_pairs``/``_groups``/``_keep_representatives``,
+``leakage_safe_split_interleaved``) exchanges only narrow derived rows
+— fingerprints, band keys, ref hashes, pair rows — between workers;
+document payloads never enter a shuffle.
 """
 
 from __future__ import annotations
