@@ -762,3 +762,74 @@ def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
         return b.filter(_pc.invert(_pc.is_in(ids, value_set=ray.get(ref))))
 
     return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
+    """Ingestion-gate dedup for INTERLEAVED documents: rows of ``new``
+    whose WHOLE span sequence (kind, text, media_ref, order) is not
+    already in ``corpus``, first-wins (min doc_id) within the
+    increment — the "don't re-ingest a re-crawled ad" step a
+    continuously-fed multimodal pipeline runs per crawl round. The
+    interleaved sibling of ``dedup.dedup_incremental`` (which gates on
+    flat text).
+
+    Scale shape — PAYLOADS NEVER SHUFFLE: both sides reduce to the
+    16-byte ``crawl.span_fingerprints`` key rows; one key-hash bucket
+    groupby computes the dropped ids (corpus hits ∪ within-increment
+    non-min duplicates); the duplicate-rate-bounded dropped-id set
+    broadcasts once and the increment streams through a vectorized
+    anti-filter (the ``dedup_interleaved`` contract). Equality is the
+    64-bit sequence digest + span count folded into one key — a false
+    drop is a ~2⁻⁶⁴ collision, same acceptance as
+    ``dedup_interleaved``."""
+    import pandas as pd
+    import ray
+
+    from ..functions.blocks import collect_pandas
+    from ..functions.hashing import bucket_of
+    from .crawl import span_fingerprints
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def keyed(side: int):
+        def k(b: pa.Table) -> pa.Table:
+            fp = b["span_fp"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            ns = b["n_spans"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            key = (fp * GOLD) ^ ns       # one key for the (fp, n) tuple
+            if side == 0:                # corpus: distinct keys only
+                key = np.unique(key)
+                ids = pa.array([""] * len(key), pa.string())
+            else:
+                ids = b["doc_id"].cast(pa.string())
+            return pa.table({
+                "doc_id": ids,
+                "key": pa.array(key, pa.uint64()),
+                "_side": pa.array(np.full(len(key), side, np.int8),
+                                  pa.int8()),
+                "_kb": pa.array(bucket_of(key, n_buckets), pa.int32())})
+        return k
+
+    ck = span_fingerprints(corpus).map_batches(keyed(0),
+                                               batch_format="pyarrow")
+    nk = span_fingerprints(new).map_batches(keyed(1),
+                                            batch_format="pyarrow")
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        corp = g.loc[g["_side"] == 0, "key"].unique()
+        ng = g[g["_side"] == 1].sort_values("doc_id", kind="mergesort")
+        in_corp = np.isin(ng["key"].to_numpy(), corp)
+        dup_within = ng.duplicated("key").to_numpy()
+        return ng.loc[in_corp | dup_within, ["doc_id"]]
+
+    dropped = ck.union(nk).groupby("_kb") \
+        .map_groups(drops, batch_format="pandas")
+    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
+    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
+
+    return new.map_batches(anti, batch_format="pyarrow")

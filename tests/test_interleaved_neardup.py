@@ -300,3 +300,38 @@ def test_curation_with_neardup_over_real_payloads(ray_session):
     orig_id = twin_id[len("zzz-"):]
     assert split.loc[twin_id, "split"] == split.loc[orig_id, "split"]
     assert split.loc[twin_id, "group_id"] == split.loc[orig_id, "group_id"]
+
+
+def test_dedup_interleaved_incremental(ray_session):
+    """Ingestion gate: an increment row whose whole span sequence is
+    already in the corpus drops; within-increment twins keep the min
+    doc_id; novel docs pass with spans untouched."""
+    from olx_ray.pipelines.spans import dedup_interleaved_incremental
+
+    corpus = _docs(ROWS)
+    novel = [("description", "completely new listing about a bicycle "
+              "in great shape with new tires and lights", None),
+             ("image", None, "n1")]
+    new_rows = [
+        ("new/a2", ROWS[0][1]),        # exact re-crawl of ad/a -> drop
+        ("new/x", novel),              # novel -> keep
+        ("new/y2", [("description", "twin text body here with enough "
+                     "words to be a doc", None)]),
+        ("new/y1", [("description", "twin text body here with enough "
+                     "words to be a doc", None)]),   # min id wins
+        ("new/z", ROWS[4][1]),         # re-crawl of ad/e -> drop
+    ]
+    got = dedup_interleaved_incremental(corpus, _docs(new_rows)) \
+        .to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == ["new/x", "new/y1"]
+    src = {d: s for d, s in new_rows}
+    for _, r in got.iterrows():
+        assert [(s["kind"], s["text"], s["media_ref"])
+                for s in r["spans"]] == src[r["doc_id"]]
+
+    # empty corpus: everything except within-increment twins passes
+    empty = _docs([])
+    got2 = dedup_interleaved_incremental(empty, _docs(new_rows)) \
+        .to_pandas()
+    assert sorted(got2["doc_id"]) == ["new/a2", "new/x", "new/y1",
+                                      "new/z"]
