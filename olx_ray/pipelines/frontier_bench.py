@@ -46,7 +46,8 @@ def _round_keys(n_rows: int, round_idx: int, revisit_frac: float) -> int:
 
 
 def synth_candidates(n_rows: int, round_idx: int,
-                     revisit_frac: float = 0.3, n_blocks: int = 64):
+                     revisit_frac: float = 0.3, n_blocks: int = 64,
+                     key_offset: int = 0):
     """Deterministic candidate Dataset for one frontier round.
 
     Row ``i`` of the round maps to key ``base + i - (i % DUP_EVERY == 0
@@ -54,10 +55,18 @@ def synth_candidates(n_rows: int, round_idx: int,
     with a LARGER discovered_seq, so the dedup survivor set is exactly
     the distinct keys with their minimal seq. URL strings are realistic
     OLX ad paths (~70 bytes) so the shuffle moves honest payloads.
+    ``key_offset`` shifts the whole key range (the warmup round uses it
+    to stay disjoint from every timed round's keys).
     """
     import ray.data as rd
 
-    base = _round_keys(n_rows, round_idx, revisit_frac)
+    base = key_offset + _round_keys(n_rows, round_idx, revisit_frac)
+    # vectorized pack_seq(round_idx, 0, i): the per-row Python call
+    # would sit inside the TIMED window and charge ~12M interpreter
+    # frames per bench run to "frontier rows/sec" (review finding) —
+    # bounds asserted once per round instead of per row
+    assert 0 <= round_idx < (1 << 16) and n_rows < (1 << 24)
+    seq_base = np.int64(round_idx) << np.int64(48)
 
     def gen(batch: pa.Table) -> pa.Table:
         i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -69,8 +78,7 @@ def synth_candidates(n_rows: int, round_idx: int,
             "url_hash": pa.array(hash64_array(urls), pa.uint64()),
             "depth": pa.array(np.ones(len(i), np.int32)),
             "priority": pa.array(np.ones(len(i), np.int32)),
-            "discovered_seq": pa.array(
-                [pack_seq(round_idx, 0, int(x)) for x in i], pa.int64()),
+            "discovered_seq": pa.array(seq_base | i, pa.int64()),
         })
 
     # explicit block count: rd.range's default packs 500k int64 rows
@@ -102,10 +110,11 @@ def run_frontier_rounds(n_rows_per_round: int, n_rounds: int = 4,
     """Drive ``n_rounds`` frontier rounds; returns throughput metrics
     plus per-round survivor counts (deterministic — pinned in pytest).
 
-    ``warmup`` runs one small UNTIMED round first (throwaway actors,
-    disjoint keys) so Ray's worker-pool spin-up — a per-process cost a
-    steady-state crawl pays once, not per round — doesn't land inside
-    the timed window.
+    ``warmup`` runs one small UNTIMED round first so Ray's worker-pool
+    spin-up — a per-process cost a steady-state crawl pays once, not
+    per round — doesn't land inside the timed window. Isolation from
+    the timed rounds is double: throwaway actors AND a key_offset that
+    puts the warmup keys past any timed round's range.
 
     Owns its seen actors and ALWAYS kills them (CLAUDE.md: never leave
     CPU-reserving actors alive in a shared session)."""
@@ -118,8 +127,8 @@ def run_frontier_rounds(n_rows_per_round: int, n_rounds: int = 4,
     warm_actors = make_seen_actors(2, 65_536) if warmup else []
     try:
         if warmup:
-            w = synth_candidates(20_000, n_rounds + 7, revisit_frac,
-                                 n_blocks=64)
+            w = synth_candidates(20_000, 0, revisit_frac, n_blocks=64,
+                                 key_offset=1 << 40)
             w = dedup_min_seq(w)
             w.map_batches(SeenFilterClient(warm_actors, op="check"),
                           batch_format="pyarrow", batch_size=None) \

@@ -52,6 +52,39 @@ def _text_bearing(flat):
     return pc.or_kleene(pc.is_null(mref), pc.equal(mref, pa.scalar("")))
 
 
+def _doc_uid(col) -> np.ndarray:
+    """int64 VIEW of ``hash64(doc_id)`` — the uid space every
+    cross-document interleaved operator keys on (string doc ids are
+    canonical URLs; the pair/group/components machinery is int64). A
+    uid collision is ~2⁻⁶⁴ — the ``dedup_interleaved`` fingerprint
+    acceptance. One definition: pairs, groups and the id maps must
+    hash identically or joins silently go empty."""
+    from ..functions.hashing import hash64_array
+
+    return hash64_array(col).astype(np.int64)
+
+
+def _anti_drop_ids(ds, dropped):
+    """Shared tail of every interleaved dedup operator: collect the
+    ``(doc_id)`` rows of ``dropped`` (DUPLICATE-RATE-BOUNDED by the
+    caller's construction — never corpus-sized), broadcast them once,
+    and stream ``ds`` through a vectorized ``is_in`` anti-filter.
+    One copy on purpose: a guard added here (e.g. the duplicate-id
+    refusal) holds for every caller."""
+    import ray
+
+    from ..functions.blocks import collect_pandas
+
+    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
+    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
 def transform_text_spans(ds, fn, kinds: tuple | None = None):
     """Apply a VECTORIZED text transform to the ``text`` field of the
     selected spans, in place in the interleaved structure — span
@@ -196,9 +229,7 @@ def dedup_interleaved(ds, n_buckets: int = 64):
     an id anti-join cannot drop one of two identical ids, so silence
     would keep both copies."""
     import pandas as pd
-    import ray
 
-    from ..functions.blocks import collect_pandas
     from .crawl import span_fingerprints
 
     fps = span_fingerprints(ds)
@@ -231,14 +262,7 @@ def dedup_interleaved(ds, n_buckets: int = 64):
 
     dropped = fps.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(drops, batch_format="pandas")
-    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
-    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
-
-    def anti(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.string())
-        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
-
-    return ds.map_batches(anti, batch_format="pyarrow")
+    return _anti_drop_ids(ds, dropped)
 
 
 def text_view(ds, sep: str = "\n"):
@@ -307,11 +331,19 @@ def media_refs(ds):
     return ds.map_batches(refs, batch_format="pyarrow")
 
 
-def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
-                              media_threshold: float = 0.5,
-                              n_buckets: int = 32, hot_ref_cap: int = 256,
-                              broadcast_max_candidates: int = 50_000):
-    """Mixed-modal near-duplicate pairs over INTERLEAVED documents —
+def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
+                        n_buckets: int, hot_ref_cap: int,
+                        broadcast_max_candidates: int):
+    """Uid-space engine of ``interleaved_neardup_pairs`` (semantics
+    documented there): → ``(fused, id_map)`` where ``fused`` is the
+    evidence-tagged ``(doc_a, doc_b int64, text_jaccard,
+    media_jaccard, evidence)`` Dataset — or ``None`` when neither leg
+    produced a pair — and ``id_map`` streams ``(doc_uid, doc_id)``.
+    Kept uid-level so ``interleaved_neardup_groups`` runs components
+    directly, without paying the public operator's string restore and
+    then re-hashing the strings straight back (review finding).
+
+    Mixed-modal near-duplicate pairs over INTERLEAVED documents —
     the curation shape flat-text dedup misses: a re-posted ad keeps its
     photos but rewrites the description (media evidence), or keeps the
     text but re-uploads photos under new refs (text evidence).
@@ -355,8 +387,7 @@ def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
                         _semi_filter_ids, _verify_strategy,
                         band_candidates, pair_distinct)
 
-    def _uid(col) -> np.ndarray:
-        return hash64_array(col).astype(np.int64)
+    _uid = _doc_uid
 
     # ---- id mapping (doc_uid -> doc_id), corpus-sized, streams -------
     def to_map(b: pa.Table) -> pa.Table:
@@ -508,12 +539,7 @@ def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
     if both.count() == 0:
         # fuse/join over zero rows would strip the schema (same
         # map_groups-over-nothing hazard as the media leg)
-        return rd.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.string()),
-            "doc_b": pa.array([], pa.string()),
-            "text_jaccard": pa.array([], pa.float64()),
-            "media_jaccard": pa.array([], pa.float64()),
-            "evidence": pa.array([], pa.string())}))
+        return None, id_map
 
     def fuse(g: pd.DataFrame) -> pd.DataFrame:
         f = g.groupby(["doc_a", "doc_b"], as_index=False) \
@@ -530,19 +556,46 @@ def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
             b["doc_a"].to_numpy(), b["doc_b"].to_numpy(), n_buckets)),
         batch_format="pandas") \
         .groupby("_pb").map_groups(fuse, batch_format="pandas")
+    return fused, id_map
+
+
+def interleaved_neardup_pairs(ds, text_threshold: float = 0.6,
+                              media_threshold: float = 0.5,
+                              n_buckets: int = 32, hot_ref_cap: int = 256,
+                              broadcast_max_candidates: int = 50_000):
+    """Mixed-modal near-duplicate pairs over INTERLEAVED documents with
+    STRING doc ids — semantics, legs and scale shape documented on the
+    uid-space engine ``_neardup_pairs_uids``; this wrapper restores the
+    string ids via two candidate-bounded bucket joins against the
+    semi-filtered id map and sorts the output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.joins import bucket_hash_join
+    from .dedup import _semi_filter_ids as _semi_uids
+
+    fused, id_map = _neardup_pairs_uids(
+        ds, text_threshold, media_threshold, n_buckets, hot_ref_cap,
+        broadcast_max_candidates)
+    if fused is None:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.string()),
+            "doc_b": pa.array([], pa.string()),
+            "text_jaccard": pa.array([], pa.float64()),
+            "media_jaccard": pa.array([], pa.float64()),
+            "evidence": pa.array([], pa.string())}))
+    fused = fused.materialize()    # read twice: involved ids + join
 
     # the id-restore joins need only the PAIR-INVOLVED docs' map rows —
     # semi-filter the corpus-sized map down to them first (pair-bounded
     # id array on the driver, the _pair_ids acceptance), so the join
     # shuffles candidate-bounded rows instead of every doc's key
-    from .dedup import _semi_filter_ids as _semi_uids
-
     def uids_of(b: pa.Table) -> pa.Table:
         u = np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
                             b["doc_b"].to_numpy(zero_copy_only=False)])
         return pa.table({"doc_id": pa.array(np.unique(u), pa.int64())})
 
-    involved = both.map_batches(uids_of, batch_format="pyarrow") \
+    involved = fused.map_batches(uids_of, batch_format="pyarrow") \
         .to_pandas()["doc_id"].to_numpy()
     cand_map = _semi_uids(
         id_map.map_batches(
@@ -612,11 +665,9 @@ def interleaved_neardup_groups(ds, text_threshold: float = 0.6,
     import pandas as pd
 
     from ..functions.components import connected_components, label_table
-    from ..functions.hashing import hash64_array
     from ..functions.joins import bucket_hash_join
 
-    def _uid(col) -> np.ndarray:
-        return hash64_array(col).astype(np.int64)
+    _uid = _doc_uid
 
     def to_uid(b: pa.Table) -> pa.Table:
         return pa.table({"doc_uid": pa.array(_uid(b["doc_id"]), pa.int64())})
@@ -626,18 +677,17 @@ def interleaved_neardup_groups(ds, text_threshold: float = 0.6,
         return pa.table({"doc_uid": pa.array(_uid(ids), pa.int64()),
                          "doc_id": ids})
 
-    pairs = interleaved_neardup_pairs(
+    # components run DIRECTLY on the uid-space pair engine — the public
+    # operator's string restore (two joins) would only be re-hashed
+    # straight back here (review finding)
+    fused, _ = _neardup_pairs_uids(
         ds, text_threshold, media_threshold, n_buckets,
-        **pair_kwargs).materialize()
+        pair_kwargs.get("hot_ref_cap", 256),
+        pair_kwargs.get("broadcast_max_candidates", 50_000))
 
-    def pair_uids(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": pa.array(_uid(b["doc_a"]), pa.int64()),
-                         "doc_b": pa.array(_uid(b["doc_b"]), pa.int64())})
-
-    if pairs.count():
-        comp = connected_components(
-            pairs.map_batches(pair_uids, batch_format="pyarrow"),
-            "doc_a", "doc_b", n_buckets=n_buckets)
+    if fused is not None:
+        comp = connected_components(fused, "doc_a", "doc_b",
+                                    n_buckets=n_buckets)
         labeled = label_table(ds.map_batches(to_uid, batch_format="pyarrow"),
                               "doc_uid", comp, n_buckets=n_buckets)
     else:
@@ -744,24 +794,12 @@ def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
     Only the NON-representative id set (duplicate-rate-bounded — the
     ``dedup_interleaved`` broadcast contract) touches the driver; the
     corpus streams once through a vectorized ``is_in`` anti-filter."""
-    import pyarrow.compute as _pc
-    import ray
-
-    from ..functions.blocks import collect_pandas
-
     groups = interleaved_neardup_groups(
         ds, text_threshold, media_threshold, n_buckets, **pair_kwargs)
     dropped = groups.filter(expr="is_representative == False") \
         .map_batches(lambda b: b.select(["doc_id"]),
                      batch_format="pyarrow")
-    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
-    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
-
-    def anti(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.string())
-        return b.filter(_pc.invert(_pc.is_in(ids, value_set=ray.get(ref))))
-
-    return ds.map_batches(anti, batch_format="pyarrow")
+    return _anti_drop_ids(ds, dropped)
 
 
 def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
@@ -783,9 +821,7 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
     drop is a ~2⁻⁶⁴ collision, same acceptance as
     ``dedup_interleaved``."""
     import pandas as pd
-    import ray
 
-    from ..functions.blocks import collect_pandas
     from ..functions.hashing import bucket_of
     from .crawl import span_fingerprints
 
@@ -819,17 +855,23 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
     def drops(g: pd.DataFrame) -> pd.DataFrame:
         corp = g.loc[g["_side"] == 0, "key"].unique()
         ng = g[g["_side"] == 1].sort_values("doc_id", kind="mergesort")
+        dup_id = ng.duplicated(["key", "doc_id"])
+        if dup_id.any():
+            # same doc_id twice with the same content: the id-based
+            # anti-filter below cannot drop "one of two identical ids"
+            # — it would silently delete BOTH copies (data loss, review
+            # finding). Refuse loudly, like dedup_interleaved's guard;
+            # doc_id is the canonical URL and unique by the crawl's
+            # seen-filter contract.
+            raise ValueError(
+                f"dedup_interleaved_incremental: doc_id "
+                f"{ng.loc[dup_id, 'doc_id'].iloc[0]!r} appears in "
+                f"multiple increment rows — doc_id must uniquely "
+                f"identify a document; collapse same-id rows upstream")
         in_corp = np.isin(ng["key"].to_numpy(), corp)
         dup_within = ng.duplicated("key").to_numpy()
         return ng.loc[in_corp | dup_within, ["doc_id"]]
 
     dropped = ck.union(nk).groupby("_kb") \
         .map_groups(drops, batch_format="pandas")
-    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
-    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
-
-    def anti(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.string())
-        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
-
-    return new.map_batches(anti, batch_format="pyarrow")
+    return _anti_drop_ids(new, dropped)

@@ -335,3 +335,15 @@ def test_dedup_interleaved_incremental(ray_session):
         .to_pandas()
     assert sorted(got2["doc_id"]) == ["new/a2", "new/x", "new/y1",
                                       "new/z"]
+
+
+def test_incremental_refuses_duplicate_increment_ids(ray_session):
+    """Same doc_id twice in the increment: the id anti-filter would
+    silently delete BOTH copies — must refuse loudly instead (the
+    dedup_interleaved guard, extended to the gate by review)."""
+    import pytest
+
+    bad = [("dup/x", ROWS[0][1]), ("dup/x", ROWS[0][1])]
+    from olx_ray.pipelines.spans import dedup_interleaved_incremental
+    with pytest.raises(Exception, match="multiple increment rows"):
+        dedup_interleaved_incremental(_docs([]), _docs(bad)).to_pandas()
