@@ -201,12 +201,33 @@ def _extra_ops() -> dict:
         return text_view(redact_pii_interleaved(
             dedup_interleaved(docs)))
 
+    def _interleaved_neardup(sf):
+        # the mixed-modal near-dup family over a FIXED 8192-ad slice of
+        # the bench site (fixed size so the number is comparable across
+        # rounds; the 47k-ad corpus belongs to a dedicated run, not the
+        # per-round query sweep). Includes the parse of the slice.
+        import ray.data as rd
+
+        from olx_ray.pipelines.spans import interleaved_neardup_pairs
+        from olx_ray.sources.sitegen import ensure_site
+        from olx_ray.stages.parse import ParseAds
+
+        site_root = _site_root()
+        ensure_site("bench", site_root)
+        docs = (rd.read_parquet(os.path.join(site_root, "pages"),
+                                columns=["url", "html", "kind"])
+                .filter(expr="kind == 'ad'").limit(8192)
+                .map_batches(ParseAds(), batch_format="pyarrow")
+                .select_columns(["doc_id", "spans"]).materialize())
+        return interleaved_neardup_pairs(docs, 0.6, 0.5)
+
     return {"semantic_dedup": _semdedup, "gopher_rules": _gopher,
             "dsir_select": _dsir, "rolling_user_window": _rolling,
             "normalize_text": _normalize, "source_quota_sample": _quota,
             "dedup_lines_within_doc": _dedup_lines,
             "hybrid_search_rrf": _hybrid, "training_shards": _shards,
-            "interleaved_curation": _interleaved}
+            "interleaved_curation": _interleaved,
+            "interleaved_neardup": _interleaved_neardup}
 
 
 def run_queries() -> dict:
