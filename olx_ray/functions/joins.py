@@ -421,7 +421,7 @@ def bucket_semi(left, keys_ds, key: str, *, anti: bool = False,
     join)."""
     import pyarrow as pa
 
-    from .blocks import df_arrow, ensure_arrow_schema
+    from .blocks import ensure_arrow_schema
 
     left = ensure_arrow_schema(left)
     lschema = left.schema()
@@ -453,15 +453,92 @@ def bucket_semi(left, keys_ds, key: str, *, anti: bool = False,
         import pyarrow.compute as pc
 
         side = g["_side"]
-        l = g.filter(pc.equal(side, 0)).select(lcols).to_pandas()
-        rk = g.filter(pc.equal(side, 1))[key].to_pandas()
-        mask = l[key].isin(rk).to_numpy()
-        return df_arrow(l[~mask] if anti else l[mask])
+        # Arrow-native membership (NOT a pandas round-trip): the left
+        # rows pass through untouched, so nested payload columns
+        # (interleaved list<struct> spans) keep their exact schema —
+        # a pandas conversion would widen int32 offsets and objectify
+        # the structs (gated_anti ships whole documents through here)
+        l = g.filter(pc.equal(side, 0)).select(lcols)
+        rk = g.filter(pc.equal(side, 1))[key].combine_chunks()
+        mask = pc.is_in(l[key].combine_chunks(), value_set=rk)
+        return l.filter(pc.invert(mask) if anti else mask)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
     rt = keys_ds.map_batches(tag_right, batch_format="pyarrow")
     return lt.union(rt).groupby("_bucket").map_groups(
         filter_bucket, batch_format="pyarrow")
+
+
+# Broadcast cap for the dedup "apply" tails (gated_anti): below it the
+# drop-id set collects to the driver and ships once via ray.put (no
+# shuffle); above it the ids stay a Dataset and the corpus makes one
+# bucketed pass. 4M ids ≈ 32 MB of int64 / ~250 MB of URL strings per
+# worker — the same order as relational.BROADCAST_ROW_CAP. At
+# web-crawl dup rates (30-50 %) the dropped set is CORPUS-proportional,
+# so the gate is what keeps these tails off the driver at 10^10 docs.
+ANTI_BROADCAST_ROW_CAP = 4_000_000
+
+
+def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
+               n_buckets: int = 32):
+    """Size-gated drop-id anti-join — THE shared tail of every dedup
+    "apply" operator (``dedup_keep_representatives``,
+    ``semantic_dedup_corpus``, the interleaved ``_anti_drop_ids``
+    family, ``neardup_incremental``): keep the rows of ``ds`` whose
+    ``key`` is NOT in ``drop_keys[key]``.
+
+    ``drop_keys`` is counted once (materialized first — narrow id rows,
+    object-store-resident, never driver-collected for the count) and
+    delivery is picked by size, the exact gate pattern the relational
+    dimension joins use (``relational.BROADCAST_ROW_CAP``):
+
+    - ``<= cap``: driver collect + one ``ray.put`` of a sorted Arrow id
+      array; ``ds`` streams through a vectorized ``pc.is_in`` anti
+      filter — zero shuffle, zero-copy batches, nested payload columns
+      untouched (NOT ``broadcast_semi``: its pandas batches would
+      mangle interleaved ``list<struct>`` spans).
+    - ``> cap``: ``bucket_semi(anti=True)`` — the id set ships as a
+      bucketed Dataset; nothing drop-set-sized touches the driver or
+      any single task, at the price of one bucketed pass of ``ds``.
+
+    Both paths return the identical row set (strategy-agreement
+    pytest); row ORDER differs — callers that promise order sort after.
+    ``broadcast_row_cap=None`` reads ``ANTI_BROADCAST_ROW_CAP`` at call
+    time (tests monkeypatch the module constant to force either path).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cap = ANTI_BROADCAST_ROW_CAP if broadcast_row_cap is None \
+        else broadcast_row_cap
+    drop_keys = drop_keys.materialize()
+    n = drop_keys.count()
+    if n == 0:
+        return ds
+    if n > cap:
+        return bucket_semi(ds, drop_keys, key, anti=True,
+                           n_buckets=n_buckets)
+    from .blocks import collect_pandas
+
+    ids = collect_pandas(drop_keys.map_batches(
+        lambda b: b.select([key]), batch_format="pyarrow"),
+        {key: object})[key]
+    vals = sorted(ids.tolist())
+    arr = pa.array(vals, pa.string()) if isinstance(vals[0], str) \
+        else pa.array(vals)
+    ref = ray.put(arr)
+
+    def anti(b: pa.Table) -> pa.Table:
+        col = b[key].combine_chunks()
+        vs = ray.get(ref)                     # zero-copy plasma read
+        if not col.type.equals(vs.type):
+            # int-width mismatch between the drop side and the corpus
+            # key (e.g. int32 parquet vs int64 uids): cast the BATCH
+            # column (cheap, per-batch-sized) — never the 4M-id set
+            col = col.cast(vs.type)
+        return b.filter(pc.invert(pc.is_in(col, value_set=vs)))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
 
 
 def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,

@@ -1386,13 +1386,14 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
     """THE corpus-dedup operator: drop every non-representative member
     of each near-dup group; survivors keep their text.
 
-    Distributed anti-join: only the NON-representative id set (strictly
-    pair-bounded, tiny) is broadcast; the corpus streams through the
-    filter — never collected on the driver. With
-    ``strategy="distributed"`` the components themselves come from the
-    object-store label propagation (``functions.components``) — the
-    driver touches only the final drop-id list, which the broadcast
-    needs regardless.
+    Distributed anti-join tail via the SIZE-GATED ``joins.gated_anti``:
+    below the cap the NON-representative id set broadcasts once and the
+    corpus streams through the filter; above it (web-crawl dup rates
+    make the dropped set corpus-proportional) the ids stay a Dataset
+    and ship through ``bucket_semi(anti=True)`` — nothing drop-set-
+    sized ever touches the driver. With ``strategy="distributed"`` the
+    components themselves come from the object-store label propagation
+    (``functions.components``).
 
     ``keep`` picks the survivor per group: ``"min_id"`` (the label
     itself — zero extra work) or ``"best_quality"`` (what production
@@ -1419,31 +1420,40 @@ def dedup_keep_representatives(sf_dir: str, threshold: float = 0.6,
         if comp.count() == 0:    # clean corpus: nothing to drop (an
             comp = None          # empty Dataset has no schema to join)
         if comp is None:
-            drop_ids = set()
+            drop_ds = None
         elif keep == "best_quality":
-            drop_ids = _quality_drop_ids(sf_dir, comp, n_buckets)
+            drop_ds = _quality_drop_ids(sf_dir, comp, n_buckets)
         else:
-            from ..functions.blocks import collect_pandas
-            non_rep = collect_pandas(comp.map_batches(
-                lambda b: b.filter(pc.not_equal(b["node"], b["label"]))
-                           .select(["node"]),
-                batch_format="pyarrow"), {"node": np.int64})
-            drop_ids = set(non_rep["node"].tolist())
+            drop_ds = comp.map_batches(
+                lambda b: pa.table({"doc_id": b.filter(
+                    pc.not_equal(b["node"], b["label"]))["node"]}),
+                batch_format="pyarrow")
     else:
         if keep != "min_id":
             raise ValueError("keep='best_quality' requires "
                              "strategy='distributed'")
+        # the driver strategy already collected the whole pair set, so
+        # its drop ids are driver-resident by construction; ship them
+        # through the same gated tail for one delivery code path
         group_of, _ = _neardup_unionfind(sf_dir, threshold)
-        drop_ids = {x for x, g in group_of.items() if g != x}
-    from ..functions.joins import broadcast_semi
+        drop = np.fromiter((x for x, g in group_of.items() if g != x),
+                           np.int64)
+        drop_ds = rd.from_arrow(pa.table({"doc_id": pa.array(
+            drop, pa.int64())})) if len(drop) else None
+    from ..functions.joins import gated_anti
 
-    return broadcast_semi(_read_docs(sf_dir, ["doc_id", "text"]),
-                          drop_ids, "doc_id", anti=True).sort("doc_id")
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    if drop_ds is None:
+        return docs.sort("doc_id")
+    return gated_anti(docs, drop_ds, "doc_id",
+                      n_buckets=n_buckets).sort("doc_id")
 
 
-def _quality_drop_ids(sf_dir: str, comp, n_buckets: int) -> set:
+def _quality_drop_ids(sf_dir: str, comp, n_buckets: int):
     """Per-group best-quality survivor selection (see
-    ``dedup_keep_representatives``): → the pair-bounded drop-id set."""
+    ``dedup_keep_representatives``): → the non-representative ids as a
+    ``(doc_id)`` DATASET — delivery (broadcast vs bucketed) is the
+    gated tail's decision, so nothing here touches the driver."""
     from ..functions.blocks import df_arrow
     from ..functions.joins import bucket_hash_join, bucket_semi
     from .text import QualityScore
@@ -1473,14 +1483,13 @@ def _quality_drop_ids(sf_dir: str, comp, n_buckets: int) -> set:
 
     from ..functions.hashing import append_bucket
 
-    from ..functions.blocks import collect_pandas
-
-    non_rep = collect_pandas(
-        labeled.map_batches(append_bucket("label", n_buckets, "_qb"),
-                            batch_format="pyarrow")
-        .groupby("_qb").map_groups(drops, batch_format="pandas"),
-        {"node": np.int64})
-    return set(non_rep["node"].tolist())
+    return labeled.map_batches(append_bucket("label", n_buckets, "_qb"),
+                               batch_format="pyarrow") \
+        .groupby("_qb").map_groups(drops, batch_format="pandas") \
+        .map_batches(lambda b: pa.table({
+            "doc_id": pa.array(b["node"].to_numpy().astype(np.int64),
+                               pa.int64())}),
+            batch_format="pandas")
 
 
 # ----------------------------------------------------------- incremental
@@ -1633,15 +1642,15 @@ def neardup_incremental(corpus, new, text_col: str = "text",
     - exact-Jaccard verify reuses ``_verify_strategy`` (broadcast vs
       shuffle by candidate count, identical output);
     - components come from the DISTRIBUTED label propagation
-      (``functions.components``); only the final drop-id list (bounded
-      by the increment, not the corpus) reaches the driver for the
-      broadcast anti-filter — same trade-off as
-      ``dedup_keep_representatives``.
+      (``functions.components``); the final drop-id set (bounded by
+      the increment, not the corpus) delivers through the SIZE-GATED
+      ``joins.gated_anti`` — broadcast below the cap, a bucketed
+      Dataset above it — same tail as ``dedup_keep_representatives``.
 
     Returns all columns of ``new``, survivors only, sorted by
     ``id_col``."""
     from ..functions.components import connected_components
-    from ..functions.joins import broadcast_semi
+    from ..functions.joins import gated_anti
 
     def pack(side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -1709,12 +1718,11 @@ def neardup_incremental(corpus, new, text_col: str = "text",
 
     from ..functions.hashing import append_bucket
 
-    from ..functions.blocks import collect_pandas
-
-    drop_nodes = collect_pandas(
-        comp.map_batches(append_bucket("label", n_buckets, "_lb"),
-                         batch_format="pyarrow")
-        .groupby("_lb").map_groups(drops, batch_format="pandas"),
-        {"node": np.int64})
-    drop_ids = set(((drop_nodes["node"].to_numpy() - 1) // 2).tolist())
-    return broadcast_semi(new, drop_ids, id_col, anti=True).sort(id_col)
+    drop_ds = comp.map_batches(append_bucket("label", n_buckets, "_lb"),
+                               batch_format="pyarrow") \
+        .groupby("_lb").map_groups(drops, batch_format="pandas") \
+        .map_batches(lambda b: pa.table({id_col: pa.array(
+            (b["node"].to_numpy().astype(np.int64) - 1) // 2,
+            pa.int64())}), batch_format="pandas")
+    return gated_anti(new, drop_ds, id_col,
+                      n_buckets=n_buckets).sort(id_col)

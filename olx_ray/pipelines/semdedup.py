@@ -259,23 +259,23 @@ def semantic_dedup_corpus(sf_dir: str, eps: float = 0.93,
                           keep: str = "hard",
                           cents: np.ndarray | None = None):
     """The composed corpus filter: run ``semantic_dedup`` over the
-    embeddings (vec_id ≡ doc_id in this engine's data model), collect
-    the DROPPED ids (duplicate-rate-bounded — the same contract as
-    ``dedup_keep_representatives``'s non-representative set), and
-    broadcast-ANTI-join the documents table — text streams once, never
-    shuffles, and the driver never holds anything corpus-sized. Uses
-    the UNSORTED mask plan — the drop-id set is order-independent, so
+    embeddings (vec_id ≡ doc_id in this engine's data model) and
+    anti-join the DROPPED ids against the documents table through the
+    SIZE-GATED ``joins.gated_anti``: below the cap the id set ships
+    once via ``ray.put`` (text streams, zero shuffle); above it —
+    semantic dup rates make the dropped set corpus-proportional — the
+    ids stay a Dataset and deliver via ``bucket_semi(anti=True)``, so
+    nothing drop-set-sized ever touches the driver. Uses the UNSORTED
+    mask plan — the drop-id set is order-independent, so
     ``semantic_dedup``'s final corpus-sized sort shuffle is skipped."""
-    from ..functions.joins import broadcast_semi
+    from ..functions.joins import gated_anti
 
     mask = _semantic_dedup_mask(sf_dir, eps, n_clusters, train_rows,
                                 keep, 2048, cents)
-    from ..functions.blocks import collect_pandas
-
-    dropped = mask.filter(expr="keep == False").select_columns(["vec_id"])
-    drop_ids = set(collect_pandas(dropped,
-                                  {"vec_id": np.int64})["vec_id"].tolist())
-    return broadcast_semi(
+    dropped = mask.filter(expr="keep == False") \
+        .map_batches(lambda b: pa.table({"doc_id": b["vec_id"]}),
+                     batch_format="pyarrow")
+    return gated_anti(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"]),
-        drop_ids, "doc_id", anti=True).sort("doc_id")
+        dropped, "doc_id").sort("doc_id")

@@ -64,25 +64,20 @@ def _doc_uid(col) -> np.ndarray:
     return hash64_array(col).astype(np.int64)
 
 
-def _anti_drop_ids(ds, dropped):
-    """Shared tail of every interleaved dedup operator: collect the
-    ``(doc_id)`` rows of ``dropped`` (DUPLICATE-RATE-BOUNDED by the
-    caller's construction — never corpus-sized), broadcast them once,
-    and stream ``ds`` through a vectorized ``is_in`` anti-filter.
-    One copy on purpose: a guard added here (e.g. the duplicate-id
-    refusal) holds for every caller."""
-    import ray
+def _anti_drop_ids(ds, dropped, n_buckets: int = 32):
+    """Shared tail of every interleaved dedup operator: drop the
+    ``(doc_id)`` rows of ``dropped`` from ``ds`` via the SIZE-GATED
+    ``joins.gated_anti`` — below ``ANTI_BROADCAST_ROW_CAP`` the id set
+    broadcasts once (zero shuffle), above it it ships as a bucketed
+    Dataset (``bucket_semi(anti=True)``; one bucketed pass of ``ds``,
+    nothing drop-set-sized on the driver). At web-crawl dup rates the
+    dropped set is CORPUS-proportional, so the gate — not a
+    "duplicate-rate-bounded" hope — is what holds at 10^10 docs.
+    One call site on purpose: a guard added here holds for every
+    caller."""
+    from ..functions.joins import gated_anti
 
-    from ..functions.blocks import collect_pandas
-
-    drop_ids = collect_pandas(dropped, {"doc_id": str})["doc_id"]
-    ref = ray.put(pa.array(sorted(drop_ids), pa.string()))
-
-    def anti(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.string())
-        return b.filter(pc.invert(pc.is_in(ids, value_set=ray.get(ref))))
-
-    return ds.map_batches(anti, batch_format="pyarrow")
+    return gated_anti(ds, dropped, "doc_id", n_buckets=n_buckets)
 
 
 def transform_text_spans(ds, fn, kinds: tuple | None = None):
