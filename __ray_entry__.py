@@ -3,9 +3,11 @@
 ``entry()`` runs the flagship relational pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented pipeline/operator
 (SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for every SQL-expressible one. The crawl
-pipelines (non-SQL: stateful frontier/seen/politeness semantics) are
-exposed rows-only, self-validated against golden oracles in tests/.
+DuckDB-equivalent SQL for EVERY entry — 50/50. The crawl and media
+surfaces (non-SQL engines: stateful frontier/seen/politeness, real
+codec decoders) get SPEC-derived golden rows inlined as VALUES tables
+(trace + span goldens / generator-seed recomputation — independent of
+the engine code under test), the ``listing_extract`` discipline.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init``/``ray.shutdown`` anywhere down this import tree.
@@ -37,6 +39,8 @@ def _site(tier: str) -> dict[str, str]:
 
 def _crawl(mode: str):
     def run(_sf_dir: str):
+        import pyarrow as pa
+
         from olx_ray.pipelines.crawl import (CrawlConfig, crawl_conformance,
                                              crawl_native, read_documents)
         from olx_ray.sources.sitegen import SiteSpec
@@ -51,15 +55,76 @@ def _crawl(mode: str):
             crawl_conformance(cfg, spec.listing(0).url, spec.max_count)
         from olx_ray.pipelines.crawl import explode_spans
 
-        return explode_spans(read_documents(out))
+        docs = read_documents(out)
+        # the engine's internal sequence numbering (pack_seq /
+        # emit_idx) is replaced by its DENSE RANK — the document's
+        # position in output order, which the SPEC-derived golden can
+        # compute independently (goldens.golden_exploded_spans), so
+        # this entry gets a full DuckDB VALUES oracle. The collect is
+        # COUNT-BOUNDED: distinct fetched_seq values ≤ the crawl's ad
+        # budget (max_count), the same bound as the conformance
+        # stream's driver-side status scan.
+        seqs = sorted({r["fetched_seq"] for r in
+                       docs.select_columns(["fetched_seq"]).take_all()})
+        rank = {s: i for i, s in enumerate(seqs)}
+
+        def to_rank(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index("fetched_seq")
+            return b.set_column(i, "doc_rank", pa.array(
+                [rank[s] for s in b["fetched_seq"].to_pylist()],
+                pa.int64()))
+
+        return explode_spans(docs) \
+            .map_batches(to_rank, batch_format="pyarrow") \
+            .sort(["doc_rank", "offset"])
 
     return run
+
+
+def _crawl_sql(mode: str) -> str:
+    """DuckDB oracle for the crawl entries: the SPEC-derived exploded
+    span rows (``goldens.golden_exploded_spans`` — trace + per-ad
+    golden spans, computed WITHOUT the engine) inlined as a VALUES
+    table, exactly like ``_listing_extract_sql``."""
+    from olx_ray.sources.goldens import golden_exploded_spans
+
+    def q(s) -> str:
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(r['doc_id'])}, {r['doc_rank']}, {r['offset']}, "
+        f"{q(r['kind'])}, {q(r['text'])}, {q(r['media_ref'])})"
+        for r in golden_exploded_spans("t1", mode))
+    return (f"SELECT doc_id, doc_rank::BIGINT AS doc_rank, "
+            f'"offset"::INTEGER AS "offset", kind, text::VARCHAR AS text, '
+            f"media_ref::VARCHAR AS media_ref FROM (VALUES {vals}) "
+            f'AS t(doc_id, doc_rank, "offset", kind, text, media_ref) '
+            f'ORDER BY doc_rank, "offset"')
 
 
 def _media_features(_sf_dir: str):
     from olx_ray.pipelines.multimodal import media_features, synthesize_media
 
     return media_features(synthesize_media(256))
+
+
+def _media_features_sql() -> str:
+    """DuckDB oracle for ``media_features``: the seed-derived golden
+    rows (``goldens.golden_media_features`` — recomputed from the
+    generator RNG streams, no codec bytes built or parsed) inlined as
+    a VALUES table."""
+    from olx_ray.sources.goldens import golden_media_features
+
+    vals = ", ".join(
+        f"({r['media_id']}, '{r['kind']}', {r['width']}, {r['height']}, "
+        f"{r['n_units']}, {r['feat']!r})"
+        for r in golden_media_features(256, "media", 8))
+    return (f"SELECT media_id::BIGINT AS media_id, kind, "
+            f"width::INTEGER AS width, height::INTEGER AS height, "
+            f"n_units::BIGINT AS n_units, feat::DOUBLE AS feat "
+            f"FROM (VALUES {vals}) "
+            f"AS t(media_id, kind, width, height, n_units, feat) "
+            f"ORDER BY media_id")
 
 
 def _listing_extract(_sf_dir: str):
@@ -205,6 +270,11 @@ def oracle_sql() -> dict[str, str]:
         # spec-derived golden rows inlined as VALUES (independent of the
         # engine's HTML parser; no file access in the oracle)
         "listing_extract": _listing_extract_sql(),
+        # whole-crawl exploded spans, golden trace + golden spans as
+        # VALUES — the last formerly-rows-only entries, now 50/50
+        "crawl_native": _crawl_sql("native"),
+        "crawl_conformance": _crawl_sql("conformance"),
+        "media_features": _media_features_sql(),
         "events_by_type": events.EVENTS_BY_TYPE_SQL,
         "events_tumbling_hourly": events.EVENTS_TUMBLING_SQL,
         "sessionize": events.SESSIONIZE_SQL,
@@ -249,9 +319,9 @@ def oracle_sql() -> dict[str, str]:
         # banding is COMPLETE for hamming≤3 (pigeonhole), so the plain
         # hamming predicate is a full equality oracle
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
+        # every entry now carries an oracle — no rows-only checks left.
         # the whole composed pipeline (quality composite, 13-gram
         # decontamination, text dedup, knuth split/bucket, recursive-
         # CTE greedy packer) re-derived in SQL — see training_corpus_sql
         "training_corpus": corpus.training_corpus_sql(),
-        # media / crawl_*: non-SQL-expressible → rows-only checks.
     }

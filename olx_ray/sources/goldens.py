@@ -115,6 +115,89 @@ def golden_conformance_trace(tier: str, max_count: int | None = None) -> Trace:
     return Trace(visits, documents, {canonicalize(v[1]) for v in visits})
 
 
+def golden_exploded_spans(tier: str, mode: str) -> list[dict]:
+    """Expected FLAT span rows of a whole crawl — ``(doc_id, doc_rank,
+    offset, kind, text, media_ref)`` — straight from the traces +
+    per-ad SPEC spans above, never from the engine. ``doc_rank`` is
+    the document's position in the trace's output order (conformance:
+    emit order incl. re-fetches of the same ad; native: (round,
+    discovered_seq) order) — the spec-derivable stand-in for the
+    engine's internal sequence numbering. Feeds the driver's
+    ``crawl_native`` / ``crawl_conformance`` DuckDB oracles as inline
+    VALUES tables (the ``golden_listing_links`` discipline)."""
+    if mode not in ("native", "conformance"):
+        raise ValueError(f"mode={mode!r}: pass 'native' or 'conformance'")
+    native = mode == "native"
+    tr = golden_native_trace(tier) if native \
+        else golden_conformance_trace(tier)
+    spans = golden_documents(tier, native=native)
+    rows: list[dict] = []
+    for rank, d in enumerate(tr.documents):
+        for s in spans[d]:
+            rows.append({"doc_id": canonicalize(d), "doc_rank": rank,
+                         "offset": s["offset"], "kind": s["kind"],
+                         "text": s["text"], "media_ref": s["media_ref"]})
+    return rows
+
+
+def golden_media_features(n: int = 256, tag: str = "media",
+                          stride: int = 8) -> list[dict]:
+    """Expected ``multimodal.media_features`` rows recomputed straight
+    from the generator seeds — SAME RNG streams as ``synthesize_media``
+    but NO PPM/WAV/Y4M bytes are built or parsed, so the byte encoders,
+    the three real decoders, the kind filters, the strided frame
+    sampler and the union/aggregate plumbing all stay under oracle.
+    Rounding uses the engine's operations (np.round / frame-order sum)
+    — builtin round() can land on the other side of a 5e-5
+    representation boundary."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+
+    rows: list[dict] = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[hash64(f"{tag}:k:{i}") % 3]
+        if kind == "image":
+            w = 16 + hash64(f"{tag}:w:{i}") % 48
+            h = 16 + hash64(f"{tag}:h:{i}") % 48
+            rng = np.random.RandomState(hash64(f"{tag}:px:{i}") % (1 << 32))
+            px = rng.randint(0, 256, w * h * 3, dtype=np.int64) \
+                .astype(np.uint8)
+            rows.append({"media_id": i, "kind": "image", "width": w,
+                         "height": h, "n_units": 3,
+                         "feat": round(float(px.mean()), 4)})
+        elif kind == "audio":
+            sr = 8000 * (1 + hash64(f"{tag}:sr:{i}") % 3)
+            ns = 1000 + hash64(f"{tag}:ns:{i}") % 9000
+            seed = hash64(f"{tag}:au:{i}")
+            rng = np.random.RandomState(seed % (1 << 32))
+            t = np.arange(ns, dtype=np.float64) / sr
+            sig = (0.5 * np.sin(2 * np.pi * (200 + seed % 800) * t)
+                   + 0.1 * rng.standard_normal(ns))
+            x = np.clip(sig * 32767, -32768, 32767).astype("<i2") \
+                .astype(np.float64) / 32768.0
+            rows.append({"media_id": i, "kind": "audio", "width": -1,
+                         "height": -1, "n_units": ns,
+                         "feat": round(float(np.sqrt((x ** 2).mean())), 4)})
+        else:
+            w = 16 + 2 * (hash64(f"{tag}:vw:{i}") % 9)
+            h = 16 + 2 * (hash64(f"{tag}:vh:{i}") % 9)
+            nf = 8 + hash64(f"{tag}:nf:{i}") % 56
+            rng = np.random.RandomState(hash64(f"{tag}:vf:{i}") % (1 << 32))
+            fsz = w * h + 2 * ((w // 2) * (h // 2))
+            means = []
+            for f in range(nf):
+                frame = rng.randint(0, 256, fsz, dtype=np.int64) \
+                    .astype(np.uint8)
+                if f % stride == 0:
+                    means.append(round(float(frame[:w * h].mean()), 4))
+            rows.append({"media_id": i, "kind": "video", "width": w,
+                         "height": h, "n_units": len(means),
+                         "feat": float(np.round(
+                             np.sum(np.array(means)) / len(means), 4))})
+    return rows
+
+
 def golden_native_trace(tier: str, max_count: int | None = None) -> Trace:
     """Engine-native semantics (the documented fix of Q2/Q3):
 

@@ -117,53 +117,17 @@ def test_media_features_spec_derived_golden(ray_session):
     the three real decoders, the kind filters, the strided frame
     sampler and the union/aggregate plumbing are all under test
     (upgrades the entry from rows-only to golden conformance, the
-    crawl-goldens discipline)."""
-    import numpy as np
-
-    from olx_ray.functions.hashing import hash64
+    crawl-goldens discipline). The golden recomputation lives in
+    ``sources.goldens.golden_media_features`` — shared with the
+    driver's DuckDB VALUES oracle (``__ray_entry__``), so the entry
+    and this pin can't drift apart."""
     from olx_ray.pipelines.multimodal import media_features, synthesize_media
+    from olx_ray.sources.goldens import golden_media_features
 
     n, tag, stride = 256, "media", 8
-    want = {}
-    for i in range(n):
-        kind = ("image", "audio", "video")[hash64(f"{tag}:k:{i}") % 3]
-        if kind == "image":
-            w = 16 + hash64(f"{tag}:w:{i}") % 48
-            h = 16 + hash64(f"{tag}:h:{i}") % 48
-            rng = np.random.RandomState(hash64(f"{tag}:px:{i}") % (1 << 32))
-            px = rng.randint(0, 256, w * h * 3, dtype=np.int64) \
-                .astype(np.uint8)
-            want[i] = ("image", w, h, 3, round(float(px.mean()), 4))
-        elif kind == "audio":
-            sr = 8000 * (1 + hash64(f"{tag}:sr:{i}") % 3)
-            ns = 1000 + hash64(f"{tag}:ns:{i}") % 9000
-            seed = hash64(f"{tag}:au:{i}")
-            rng = np.random.RandomState(seed % (1 << 32))
-            t = np.arange(ns, dtype=np.float64) / sr
-            sig = (0.5 * np.sin(2 * np.pi * (200 + seed % 800) * t)
-                   + 0.1 * rng.standard_normal(ns))
-            x = np.clip(sig * 32767, -32768, 32767).astype("<i2") \
-                .astype(np.float64) / 32768.0
-            want[i] = ("audio", -1, -1, ns,
-                       round(float(np.sqrt((x ** 2).mean())), 4))
-        else:
-            w = 16 + 2 * (hash64(f"{tag}:vw:{i}") % 9)
-            h = 16 + 2 * (hash64(f"{tag}:vh:{i}") % 9)
-            nf = 8 + hash64(f"{tag}:nf:{i}") % 56
-            rng = np.random.RandomState(hash64(f"{tag}:vf:{i}") % (1 << 32))
-            fsz = w * h + 2 * ((w // 2) * (h // 2))
-            means = []
-            for f in range(nf):
-                frame = rng.randint(0, 256, fsz, dtype=np.int64) \
-                    .astype(np.uint8)
-                if f % stride == 0:
-                    means.append(round(float(frame[:w * h].mean()), 4))
-            # aggregate with the engine's operation (pandas/np.round,
-            # frame-order sum) — builtin round() can land on the other
-            # side of a 5e-5 representation boundary
-            want[i] = ("video", w, h, len(means),
-                       float(np.round(np.sum(np.array(means))
-                                      / len(means), 4)))
+    want = {r["media_id"]: (r["kind"], r["width"], r["height"],
+                            r["n_units"], r["feat"])
+            for r in golden_media_features(n, tag, stride)}
 
     out = media_features(synthesize_media(n, tag)).to_pandas()
     assert len(out) == n and out["media_id"].is_unique
