@@ -1614,6 +1614,40 @@ def dedup_incremental(corpus, new, text_col: str = "text",
 
 
 # ------------------------------------------------------ incremental (near)
+def _inc_band_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:
+    """NEW×ALL band-bucket join for the incremental near gates: side is
+    bit 0 of the packed id (``2·id + side`` here; the interleaved
+    gate's ``(hash64 >> 1) << 1 | side`` uids — bit 0 means the same
+    thing in both packings, and numpy's Python-style ``% 2`` is 1 for
+    odd NEGATIVE int64 uids too). Corpus×corpus pairs are never built —
+    a corpus–corpus edge could only merge two components whose verdicts
+    are already "drop" (see ``neardup_incremental``). Inherits the
+    >``max_allpairs`` flood-star guard of ``_candidate_pairs_raw``,
+    keeping only star edges that touch a new doc."""
+    df = g[["doc_id", "key"]].drop_duplicates()
+    is_new = (df["doc_id"].to_numpy() % 2) == 1
+    sizes = df.groupby("key")["doc_id"].transform("size").to_numpy()
+    small = df[sizes <= max_allpairs]
+    ns = small[is_new[sizes <= max_allpairs]]
+    m = ns.merge(small, on="key", suffixes=("_n", "_x"))
+    m = m[m["doc_id_n"] != m["doc_id_x"]]
+    out = pd.DataFrame({
+        "doc_a": np.minimum(m["doc_id_n"], m["doc_id_x"]),
+        "doc_b": np.maximum(m["doc_id_n"], m["doc_id_x"])})
+    big = df[sizes > max_allpairs]
+    if len(big):
+        # flood star around the key's min id; keep edges touching a
+        # new doc (same guard + rationale as _candidate_pairs_raw)
+        rep = big.groupby("key")["doc_id"].transform("min").to_numpy()
+        mem = big["doc_id"].to_numpy()
+        touch_new = ((rep % 2) == 1) | ((mem % 2) == 1)
+        keep = (rep != mem) & touch_new
+        star = pd.DataFrame({"doc_a": np.minimum(rep[keep], mem[keep]),
+                             "doc_b": np.maximum(rep[keep], mem[keep])})
+        out = pd.concat([out, star], ignore_index=True)
+    return out.drop_duplicates()
+
+
 def neardup_incremental(corpus, new, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         n_buckets: int = 32,
@@ -1669,33 +1703,9 @@ def neardup_incremental(corpus, new, text_col: str = "text",
                                batch_size=1024, concurrency=(1, 4),
                                num_cpus=1)
 
-    def inc_join(g: pd.DataFrame, max_allpairs: int = 256) -> pd.DataFrame:
-        df = g[["doc_id", "key"]].drop_duplicates()
-        is_new = (df["doc_id"].to_numpy() % 2) == 1
-        sizes = df.groupby("key")["doc_id"].transform("size").to_numpy()
-        small = df[sizes <= max_allpairs]
-        ns = small[is_new[sizes <= max_allpairs]]
-        m = ns.merge(small, on="key", suffixes=("_n", "_x"))
-        m = m[m["doc_id_n"] != m["doc_id_x"]]
-        out = pd.DataFrame({
-            "doc_a": np.minimum(m["doc_id_n"], m["doc_id_x"]),
-            "doc_b": np.maximum(m["doc_id_n"], m["doc_id_x"])})
-        big = df[sizes > max_allpairs]
-        if len(big):
-            # flood star around the key's min id; keep edges touching a
-            # new doc (same guard + rationale as _candidate_pairs_raw)
-            rep = big.groupby("key")["doc_id"].transform("min").to_numpy()
-            mem = big["doc_id"].to_numpy()
-            touch_new = ((rep % 2) == 1) | ((mem % 2) == 1)
-            keep = (rep != mem) & touch_new
-            star = pd.DataFrame({"doc_a": np.minimum(rep[keep], mem[keep]),
-                                 "doc_b": np.maximum(rep[keep], mem[keep])})
-            out = pd.concat([out, star], ignore_index=True)
-        return out.drop_duplicates()
-
     raw = bands.map_batches(_band_key_bucket(n_buckets),
                             batch_format="pyarrow") \
-        .groupby("bucket").map_groups(inc_join, batch_format="pandas")
+        .groupby("bucket").map_groups(_inc_band_join, batch_format="pandas")
     pairs = pair_distinct(raw, "doc_a", "doc_b", n_buckets).materialize()
     cand_ids = _pair_ids(pairs)
     verified = _verify_strategy(pairs, _semi_filter_ids(packed, cand_ids),

@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .. import storage
-from ..functions.hashing import bucket_of
 
 
 def _shard_dir(out_dir: str, s: int) -> str:
@@ -161,15 +160,21 @@ def export_shards(ds, out_dir: str, key: str = "doc_id",
         pend = np.array(sorted(pending), dtype=np.int64)
 
         def add_shard(b: pa.Table) -> pa.Table:
-            kv = b[key].to_numpy(zero_copy_only=False)
             if assign == "value":
-                sh = kv.astype(np.int64)
+                sh = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
                 if len(sh) and (sh.min() < 0 or sh.max() >= n_shards):
                     raise ValueError(
                         f"assign='value' requires {key} in [0, {n_shards})")
                 sh = sh.astype(np.int32)
             else:
-                sh = bucket_of(kv, n_shards)
+                # joins._key_hashes ≡ mix64 for integer keys (placement
+                # identical to the historical bucket_of, so resumes of
+                # old int-keyed exports stay sound) and adds STRING key
+                # support (interleaved doc_ids are canonical URLs)
+                from ..functions.joins import _key_hashes
+
+                sh = (_key_hashes(b[key]) % np.uint64(n_shards)) \
+                    .astype(np.int32)
             t = b.append_column("shard", pa.array(sh, pa.int32()))
             # resume: only PENDING shards are (re)written
             return t.filter(pa.array(np.isin(sh, pend))) \

@@ -24,6 +24,13 @@ heuristic → exact → near → quality, cheapest first — the expensive
 near-dup machinery sees only rule-passing novel text and the model
 scores only near-unique survivors.
 
+``ingest_increment_interleaved`` is the same round for the crawl's
+NATIVE payload ``(doc_id, spans)``: heuristic/quality gates run over
+``spans.text_view`` (media spans ride along untouched), the dedup
+gates are the interleaved siblings (whole-span-sequence exact gate;
+mixed-modal NEW×ALL near gate), and the export keys on the string
+doc_id (canonical URL).
+
 Lifecycle: rounds accumulate as ``round=N`` directories; read the
 whole corpus with ``export.read_layout(out_dir)`` (correct at every
 lifecycle state), and periodically retire accumulated rounds with
@@ -167,3 +174,116 @@ def ingest_increment(corpus, new, out_dir: str, *, round_no: int,
             round_id=round_no)
         counts["indexed"] = int(sum(out["index"]["rows"].values()))
     return out
+
+
+def ingest_increment_interleaved(corpus, new, out_dir: str, *,
+                                 round_no: int,
+                                 weights: np.ndarray | None = None,
+                                 quality_min: float = 0.5,
+                                 text_threshold: float = 0.6,
+                                 media_threshold: float = 0.5,
+                                 n_shards: int = 16, n_buckets: int = 32,
+                                 heuristic_rules: int | None = None) -> dict:
+    """The INTERLEAVED ingestion round — ``ingest_increment`` for the
+    crawl's native multimodal payload ``(doc_id, spans)``: run ``new``
+    against ``corpus`` through the interleaved gate chain and write the
+    surviving documents (spans untouched) to ``out_dir/round=<n>``.
+
+    Gates, cheapest first (each individually tested; the text-only
+    gates run over ``spans.text_view`` — the media spans ride along
+    untouched and re-join nothing):
+
+    0. HEURISTIC (optional) — ``text.GopherRules`` over the text view;
+       failing doc_ids drop via the size-gated anti tail;
+    1. EXACT — ``dedup_interleaved_incremental``: whole-span-sequence
+       (kind, text, media_ref, order) identity vs corpus + first-wins
+       within the increment; only 16-byte fingerprints shuffle;
+    2. NEAR — ``interleaved_neardup_incremental``: mixed-modal
+       (MinHash text ∪ exact media Jaccard) screening with NEW×ALL
+       pair enumeration; a re-crawled ad that kept its photos OR its
+       text drops here;
+    3. QUALITY (optional ``weights``) — ``scoring.score_quality_model``
+       over the text view; rows below ``quality_min`` drop;
+    4. SINK — ``export_shards`` keyed on the string doc_id (canonical
+       URL), hash-sharded, atomic manifests, resumable.
+
+    Returns the manifest summary plus per-gate survivor counts, the
+    flat gate's contract. Driver state stays bounded: drop-id delivery
+    is the gated tail everywhere, and only counts ride back."""
+    import ray.data as rd
+
+    from ..functions.blocks import ensure_arrow_schema
+    from ..functions.joins import gated_anti
+    from .export import export_shards, refuse_folded_round
+    from .spans import (dedup_interleaved_incremental,
+                        interleaved_neardup_incremental, text_view)
+
+    refuse_folded_round(out_dir, round_no, "ingest_increment_interleaved")
+    if new.schema() is None:
+        raise ValueError(
+            "ingest_increment_interleaved: the increment dataset carries "
+            "no schema — pass a TYPED (possibly empty) Dataset so a "
+            "zero-survivor round still exports a schema-stable empty "
+            "increment")
+    new = ensure_arrow_schema(new)
+    sch = new.schema()
+    empty_tbl = pa.Table.from_arrays(
+        [pa.array([], t) for t in sch.types], names=list(sch.names))
+
+    counts = {"n_new": new.count()}
+    alive = counts["n_new"] > 0
+    survivors = new
+    if heuristic_rules is not None:
+        if alive:
+            from .text import GopherRules
+
+            class _FailIds:
+                def __init__(self, rules_mask: int):
+                    self.rules = GopherRules()   # regexes compile once
+                    self.mask = rules_mask       # per actor, not per batch
+
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    fail = self.rules(b)["fail_mask"].to_numpy()
+                    return b.loc[(fail & self.mask) != 0, ["doc_id"]]
+
+            dropped = text_view(survivors).map_batches(
+                _FailIds, batch_format="pandas", concurrency=(1, 4),
+                fn_constructor_kwargs={"rules_mask": heuristic_rules})
+            survivors = gated_anti(survivors, dropped, "doc_id",
+                                   n_buckets=n_buckets).materialize()
+        counts["after_heuristic"] = survivors.count() if alive else 0
+        alive = counts["after_heuristic"] > 0
+    if alive:
+        survivors = dedup_interleaved_incremental(
+            corpus, survivors, n_buckets=n_buckets).materialize()
+    counts["after_exact"] = survivors.count() if alive else 0
+    alive = counts["after_exact"] > 0
+    if alive:
+        survivors = interleaved_neardup_incremental(
+            corpus, survivors, text_threshold=text_threshold,
+            media_threshold=media_threshold,
+            n_buckets=n_buckets).materialize()
+    counts["after_near"] = survivors.count() if alive else 0
+    alive = counts["after_near"] > 0
+
+    if weights is not None:
+        if alive:
+            from .scoring import score_quality_model
+
+            scored = score_quality_model(text_view(survivors), weights)
+            dropped = scored.map_batches(
+                lambda b: b.filter(pa.compute.less(
+                    b["model_score"],
+                    pa.scalar(quality_min))).select(["doc_id"]),
+                batch_format="pyarrow")
+            survivors = gated_anti(survivors, dropped, "doc_id",
+                                   n_buckets=n_buckets).materialize()
+        counts["after_quality"] = survivors.count() if alive else 0
+        alive = counts["after_quality"] > 0
+    if not alive:
+        survivors = rd.from_arrow(empty_tbl)
+
+    manifest = export_shards(survivors, f"{out_dir}/round={round_no}",
+                             key="doc_id", n_shards=n_shards)
+    counts["exported"] = int(sum(manifest["rows"].values()))
+    return {"counts": counts, "manifest": manifest}

@@ -870,3 +870,265 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
     dropped = ck.union(nk).groupby("_kb") \
         .map_groups(drops, batch_format="pandas")
     return _anti_drop_ids(new, dropped)
+
+
+def _side_uid(col, side: int) -> np.ndarray:
+    """int64 side-packed uid for the incremental interleaved gates:
+    bit 0 carries the side (0 = corpus, 1 = new), bits 63..1 carry
+    ``hash64(doc_id) >> 1``. One hash bit is spent on the side, so a
+    uid collision is ~2⁻⁶³ — the same acceptance class as
+    ``_doc_uid``. Bit-0 parity is what ``dedup._inc_band_join`` and
+    the drop fold read the side from (numpy ``% 2`` is 1 for odd
+    NEGATIVE int64 too)."""
+    from ..functions.hashing import hash64_array
+
+    u = hash64_array(col)
+    return (((u >> np.uint64(1)) << np.uint64(1))
+            | np.uint64(side)).view(np.int64)
+
+
+def interleaved_neardup_incremental(corpus, new,
+                                    text_threshold: float = 0.6,
+                                    media_threshold: float = 0.5,
+                                    n_buckets: int = 32,
+                                    hot_ref_cap: int = 256,
+                                    broadcast_max_candidates: int = 50_000):
+    """Mixed-modal NEAR-dup ingestion gate for INTERLEAVED documents:
+    rows of ``new`` that survive near-dup screening against ``corpus``
+    AND within the increment, on EITHER modality — the fuzzy sibling of
+    ``dedup_interleaved_incremental`` and the interleaved sibling of
+    ``dedup.neardup_incremental``: a re-crawled ad that kept its photos
+    but rewrote the text (or vice versa) must not re-ingest.
+
+    Semantics (component-consistent with
+    ``interleaved_neardup_groups``): build verified mixed-modal
+    components over corpus∪increment with NEW×ALL pair enumeration
+    only; a new doc DROPS iff its component contains any corpus doc or
+    a smaller-``doc_id`` new doc (the increment keeps one
+    representative per new-only component — min STRING id, matching
+    ``dedup_interleaved``'s first-wins). Corpus×corpus pairs are never
+    built: such an edge could only merge two components whose member
+    verdicts are already "drop" (``neardup_incremental``'s argument).
+
+    Scale shape, leg by leg — PAYLOADS NEVER SHUFFLE:
+
+    - ids are the side-packed ``_side_uid`` (bit 0 = side), so the
+      two id spaces cannot collide and every bucket task reads the
+      side from parity — no side table ships anywhere;
+    - TEXT: both sides flatten through ``text_view`` once; the band
+      self-join is ``dedup._inc_band_join`` (NEW×ALL only, flood-star
+      capped); exact-Jaccard verify reuses ``_verify_strategy``
+      (broadcast vs shuffle by candidate count);
+    - MEDIA: one ref-hash bucket groupby counts per-doc surviving refs
+      AND enumerates NEW×ALL co-occurrence pairs (hot refs excluded
+      from intersections and sizes — the ``_neardup_pairs_uids``
+      exclusion); two pair-bounded bucket joins give exact media
+      Jaccard;
+    - components come from the DISTRIBUTED label propagation; the
+      per-label drop fold joins the pair-involved id map (semi-filtered,
+      pair-bounded) to pick min-string representatives; the final
+      drop-id set (increment-bounded) delivers through the size-gated
+      ``_anti_drop_ids`` tail.
+
+    Returns all columns of ``new``, survivors only, sorted by
+    ``doc_id``."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.blocks import df_arrow
+    from ..functions.components import connected_components
+    from ..functions.hashing import append_bucket, bucket_of, hash64_array
+    from ..functions.joins import bucket_hash_join
+    from .dedup import (MinHasher, _band_key_bucket, _inc_band_join,
+                        _pair_bucket, _pair_ids, _semi_filter_ids,
+                        _verify_strategy, pair_distinct)
+
+    # ---- TEXT leg (NEW×ALL band join) ---------------------------------
+    def uid_text(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.array(_side_uid(b["doc_id"], side), pa.int64()),
+                "text": b["text"]})
+        return fn
+
+    tvu = text_view(corpus).map_batches(uid_text(0), batch_format="pyarrow") \
+        .union(text_view(new).map_batches(uid_text(1),
+                                          batch_format="pyarrow")) \
+        .materialize()
+    bands = tvu.map_batches(MinHasher, batch_format="pyarrow",
+                            batch_size=1024, concurrency=(1, 4), num_cpus=1)
+    raw = bands.map_batches(_band_key_bucket(n_buckets),
+                            batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_inc_band_join, batch_format="pandas")
+    cand = pair_distinct(raw, "doc_a", "doc_b", n_buckets).materialize()
+    cand_ids = _pair_ids(cand)
+    text_pairs = _verify_strategy(
+        cand, _semi_filter_ids(tvu, cand_ids), len(cand_ids),
+        text_threshold, n_buckets, broadcast_max_candidates)
+
+    # ---- MEDIA leg (NEW×ALL per-ref join) ------------------------------
+    def ref_rows(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_uid": pa.array([], pa.int64()),
+                                 "ref_hash": pa.array([], pa.int64()),
+                                 "_rb": pa.array([], pa.int32())})
+            df = pd.DataFrame({
+                "doc_uid": _side_uid(b["doc_id"], side),
+                "ref_hash": hash64_array(b["media_ref"]).astype(np.int64),
+            }).drop_duplicates()
+            rb = bucket_of(df["ref_hash"].to_numpy().astype(np.uint64),
+                           n_buckets)
+            return pa.table({
+                "doc_uid": pa.array(df["doc_uid"].to_numpy(), pa.int64()),
+                "ref_hash": pa.array(df["ref_hash"].to_numpy(), pa.int64()),
+                "_rb": pa.array(rb, pa.int32())})
+        return fn
+
+    def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
+        # same one-pass tagged frame as _neardup_pairs_uids'
+        # per_ref_group, with the pair merge restricted NEW×ALL
+        g = g.drop_duplicates(["doc_uid", "ref_hash"])
+        sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
+        ok = g[sizes <= hot_ref_cap]
+        contrib = ok.groupby("doc_uid", as_index=False).size()
+        out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
+                             "b": np.int64(0), "n": contrib["size"]})]
+        ns = ok[(ok["doc_uid"].to_numpy() % 2) == 1]
+        m = ns.merge(ok, on="ref_hash", suffixes=("_n", "_x"))
+        m = m[m["doc_uid_n"] != m["doc_uid_x"]]
+        if len(m):
+            # a new×new co-occurrence fires from BOTH rows of the merge
+            # (either member can be the ns side); dedupe per (pair, ref)
+            # — the ref column must stay in the key or distinct refs of
+            # the same pair would collapse and undercount the
+            # intersection — then count surviving refs per pair
+            pf = pd.DataFrame({
+                "a": np.minimum(m["doc_uid_n"], m["doc_uid_x"]),
+                "b": np.maximum(m["doc_uid_n"], m["doc_uid_x"]),
+                "r": m["ref_hash"].to_numpy()}).drop_duplicates()
+            pc_ = pf.groupby(["a", "b"], as_index=False).size()
+            out.append(pd.DataFrame({"kind": np.int8(0), "a": pc_["a"],
+                                     "b": pc_["b"], "n": pc_["size"]}))
+        return pd.concat(out, ignore_index=True)
+
+    tagged = media_refs(corpus).map_batches(ref_rows(0),
+                                            batch_format="pyarrow") \
+        .union(media_refs(new).map_batches(ref_rows(1),
+                                           batch_format="pyarrow")) \
+        .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
+        .materialize()
+    n_pair_rows = tagged.filter(expr="kind == 0").count()
+
+    def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("a", as_index=False)["n"].sum()
+
+    sizes_ds = tagged.filter(expr="kind == 1") \
+        .map_batches(lambda b: b.assign(
+            _db=bucket_of(b["a"].to_numpy().astype(np.uint64), n_buckets)),
+            batch_format="pandas") \
+        .groupby("_db").map_groups(doc_sizes_fold, batch_format="pandas")
+
+    def inter_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum() \
+            .rename(columns={"a": "doc_a", "b": "doc_b", "n": "inter"})
+
+    inter_ds = tagged.filter(expr="kind == 0") \
+        .map_batches(lambda b: b.assign(
+            _pb=_pair_bucket(b["a"].to_numpy(), b["b"].to_numpy(),
+                             n_buckets)), batch_format="pandas") \
+        .groupby("_pb").map_groups(inter_fold, batch_format="pandas")
+
+    def size_side(key: str):
+        def rn(b: pd.DataFrame) -> pa.Table:
+            return pa.table({key: pa.array(b["a"].to_numpy(), pa.int64()),
+                             f"n_{key[-1]}": pa.array(
+                                 b["n"].to_numpy(), pa.int64())})
+        return sizes_ds.map_batches(rn, batch_format="pandas")
+
+    def media_jac(b: pd.DataFrame) -> pa.Table:
+        inter = b["inter"].to_numpy(np.float64)
+        union = (b["n_a"].to_numpy(np.int64)
+                 + b["n_b"].to_numpy(np.int64)) - b["inter"].to_numpy()
+        mj = np.round(inter / np.maximum(union, 1), 6)
+        keep = mj >= media_threshold
+        return pa.table({
+            "doc_a": pa.array(b["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy()[keep], pa.int64())})
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table({c: pa.array(b[c].to_numpy(), pa.int64())
+                         for c in b.columns})
+
+    if n_pair_rows:
+        j = bucket_hash_join(inter_ds, size_side("doc_a"), on="doc_a",
+                             n_buckets=n_buckets,
+                             columns_left=["doc_a", "doc_b", "inter"],
+                             columns_right=["doc_a", "n_a"])
+        j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
+                             size_side("doc_b"), on="doc_b",
+                             n_buckets=n_buckets,
+                             columns_left=["doc_a", "doc_b", "inter", "n_a"],
+                             columns_right=["doc_b", "n_b"])
+        media_pairs = j.map_batches(media_jac, batch_format="pandas")
+    else:
+        media_pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64())}))
+
+    # ---- union legs -> components -> per-label drop fold ---------------
+    def score_free(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"]})
+
+    edges = text_pairs.map_batches(score_free, batch_format="pyarrow") \
+        .union(media_pairs).materialize()
+    if edges.count() == 0:
+        return new.sort("doc_id")
+
+    comp = connected_components(edges, "doc_a", "doc_b",
+                                n_buckets=n_buckets)
+
+    # pair-involved id map (semi-filtered: pair-bounded rows only) so
+    # the drop fold can pick min-STRING representatives and emit the
+    # drop ids as strings directly
+    involved = _pair_ids(edges)
+
+    def to_map(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].cast(pa.string())
+            return pa.table({
+                "doc_id": pa.array(_side_uid(ids, side), pa.int64()),
+                "doc_str": ids})
+        return fn
+
+    cand_map = _semi_filter_ids(
+        corpus.map_batches(to_map(0), batch_format="pyarrow").union(
+            new.map_batches(to_map(1), batch_format="pyarrow")), involved)
+
+    labeled = bucket_hash_join(
+        comp, cand_map.map_batches(
+            lambda b: pa.table({"node": b["doc_id"],
+                                "doc_str": b["doc_str"]}),
+            batch_format="pyarrow"),
+        on="node", n_buckets=n_buckets,
+        columns_left=["node", "label"], columns_right=["node", "doc_str"])
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        g = g.assign(is_new=(node % 2) == 1)
+        has_corpus = g.groupby("label")["is_new"].transform("min") \
+            .to_numpy() == False  # noqa: E712 (numpy bool compare)
+        newg = g[g["is_new"]]
+        rep = newg.groupby("label")["doc_str"].transform("min")
+        drop = newg.loc[has_corpus[g["is_new"].to_numpy()]
+                        | (newg["doc_str"] != rep).to_numpy(), "doc_str"]
+        return pd.DataFrame({"doc_id": drop})
+
+    dropped = labeled.map_batches(
+        lambda b: df_arrow(b[["node", "label", "doc_str"]]),
+        batch_format="pandas") \
+        .map_batches(append_bucket("label", n_buckets, "_lb"),
+                     batch_format="pyarrow") \
+        .groupby("_lb").map_groups(drops, batch_format="pandas")
+    return _anti_drop_ids(new, dropped,
+                          n_buckets=n_buckets).sort("doc_id")

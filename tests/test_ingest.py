@@ -161,6 +161,84 @@ def test_ingest_zero_survivor_round_exports_empty(ray_session, tmp_path):
     assert res2["counts"]["exported"] == 0
 
 
+def test_ingest_interleaved_gates_and_resume(ray_session, tmp_path):
+    """The INTERLEAVED ingestion round over planted mixed-modal
+    fixtures: per-gate survivor counts (heuristic → exact → near →
+    quality), spans land untouched, and a crash-resume (one shard's
+    manifest deleted, then re-run) rewrites only that shard without
+    duplicating rows."""
+    import os
+
+    from olx_ray.pipelines.export import read_shards
+    from olx_ray.pipelines.ingest import ingest_increment_interleaved
+    from olx_ray.pipelines.scoring import train_quality_model
+    from tests.test_interleaved_neardup import BASE, ROWS, _docs
+
+    corpus = _docs(ROWS)
+    good_text = ("a genuinely novel listing with the usual stopwords "
+                 "describing a wooden bookshelf in fine condition for sale")
+    new_rows = [
+        ("new/exact", ROWS[0][1]),                 # re-crawl of ad/a
+        ("new/near", [("title", "flat", None),     # text-near ad/a
+                      ("description", BASE, None),
+                      ("image", None, "q1")]),
+        ("new/mnear", [("description", "totally different words with the "
+                        "bikes and gears and chains for sale cheap", None),
+                       ("image", None, "m1"), ("image", None, "m2"),
+                       ("image", None, "m3")]),    # media-near ad/a
+        #   ("with the" keeps it past the stopword rule so the NEAR gate
+        #    is what catches it — via its media evidence)
+        ("new/junk", [("description", "zzqx jjkk qqq xxzz zzqx jjkk qqq "
+                       "xxzz zzqx jjkk qqq xxzz zq jk", None)]),
+        ("new/lowq", [("description", "with the " + " ".join(
+            ["qxz"] * 20), None)]),                # stopworded junk: past
+        #       the heuristic, caught by the trained quality model below
+        ("new/good", [("description", good_text, None),
+                      ("image", None, "bk1")]),
+    ]
+    w = train_quality_model([_clean(i) + " with the" for i in range(200, 320)],
+                            [" ".join(["qxz"] * 14) for _ in range(120)],
+                            dim=1 << 14)
+    out = str(tmp_path / "inter")
+    kwargs = dict(round_no=0, weights=w, quality_min=0.5,
+                  heuristic_rules=64, text_threshold=0.5,
+                  media_threshold=0.5, n_shards=4)
+    res = ingest_increment_interleaved(corpus, _docs(new_rows), out,
+                                       **kwargs)
+    c = res["counts"]
+    assert c["n_new"] == 6
+    assert c["after_heuristic"] == 5       # new/junk (no stopwords)
+    assert c["after_exact"] == 4           # new/exact
+    assert c["after_near"] == 2            # new/near (text), new/mnear (media)
+    assert c["after_quality"] == 1         # new/lowq
+    assert c["exported"] == 1
+    got = read_shards(f"{out}/round=0").to_pandas()
+    assert list(got["doc_id"]) == ["new/good"]
+    assert [(s["kind"], s["text"], s["media_ref"])
+            for s in got["spans"].iloc[0]] == new_rows[5][1]
+
+    # crash-resume: kill one shard's manifest; the re-run rewrites ONLY
+    # pending shards and the round stays duplicate-free
+    shard_dirs = [d for d in os.listdir(f"{out}/round=0")
+                  if d.startswith("shard=")]
+    victim = sorted(shard_dirs)[0]
+    os.remove(f"{out}/round=0/{victim}/MANIFEST.json")
+    res2 = ingest_increment_interleaved(corpus, _docs(new_rows), out,
+                                        **kwargs)
+    assert res2["manifest"]["written"] == [int(victim.split("=")[1])]
+    assert res2["counts"] == c
+    assert read_shards(f"{out}/round=0").count() == 1
+
+    # a zero-survivor round still exports a typed empty increment
+    dup_only = _docs([("only/exact", ROWS[0][1])])
+    res3 = ingest_increment_interleaved(corpus, dup_only,
+                                        str(tmp_path / "zero"), **kwargs)
+    assert res3["counts"]["exported"] == 0
+    empty_round = read_shards(str(tmp_path / "zero") + "/round=0")
+    assert empty_round.count() == 0
+    assert set(empty_round.schema().names) == {"doc_id", "spans"}
+
+
 def test_ingest_round_appends_to_serving_index(ray_session, tmp_path):
     """index_dir closes the ingest→index loop: the round's survivors
     embed and append to the IVF layout under the same round id, the

@@ -337,6 +337,79 @@ def test_dedup_interleaved_incremental(ray_session):
                                       "new/z"]
 
 
+def test_interleaved_neardup_incremental_matches_oracle(ray_session):
+    """NEW×ALL mixed-modal near gate vs an independent union-find oracle
+    built from the brute-force pair oracle over corpus∪increment: a new
+    doc survives iff its component holds no corpus doc and no
+    smaller-id new doc. Both evidence channels exercised (text twin,
+    media twin), plus a new-only twin pair and a clean novel doc."""
+    from olx_ray.pipelines.spans import interleaved_neardup_incremental
+
+    new_rows = [
+        # text-near twin of ad/a (disjoint media) -> drop (text leg)
+        ("new/t", [("title", "flat", None), ("description", BASE, None),
+                   ("image", None, "q1")]),
+        # media twin of ad/a (unrelated text) -> drop (media leg)
+        ("new/m", [("description", "totally different words about bikes "
+                    "and gears and chains for sale cheap", None),
+                   ("image", None, "m1"), ("image", None, "m2"),
+                   ("image", None, "m3")]),
+        # new-only near pair -> min STRING id survives
+        ("new/p2", [("description", "a very novel corpus text about "
+                     "garden furniture teak table six chairs weathered",
+                     None)]),
+        ("new/p1", [("description", "a very novel corpus text about "
+                     "garden furniture teak table six chairs weather",
+                     None)]),
+        # clean novel
+        ("new/z", [("description", "yet another unrelated novel document "
+                    "mentioning pianos violins and sheet music", None),
+                   ("image", None, "zz1")]),
+    ]
+    got = interleaved_neardup_incremental(
+        _docs(ROWS), _docs(new_rows), text_threshold=0.5,
+        media_threshold=0.5).to_pandas()
+
+    # oracle: union-find over the brute-force pair oracle of the union
+    pairs = _oracle(ROWS + new_rows, 0.5, 0.5, hot_cap=256)
+    parent = {d: d for d, _ in ROWS + new_rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for d, _ in ROWS + new_rows:
+        comp.setdefault(find(d), []).append(d)
+    want = []
+    for members in comp.values():
+        news = sorted(m for m in members if m.startswith("new/"))
+        if news and len(news) == len(members):    # new-only component
+            want.append(news[0])                  # min string id survives
+    assert sorted(got["doc_id"]) == sorted(want)
+    assert sorted(want) == ["new/p1", "new/z"]    # fixture not degenerate
+    # survivors' spans untouched
+    src = {d: s for d, s in new_rows}
+    for _, r in got.iterrows():
+        assert [(s["kind"], s["text"], s["media_ref"])
+                for s in r["spans"]] == src[r["doc_id"]]
+
+    # empty corpus: within-increment screening still applies
+    got2 = interleaved_neardup_incremental(
+        _docs([]), _docs(new_rows), text_threshold=0.5,
+        media_threshold=0.5).to_pandas()
+    assert sorted(got2["doc_id"]) == ["new/m", "new/p1", "new/t", "new/z"]
+
+    # disjoint increment, no pairs anywhere: everything passes
+    got3 = interleaved_neardup_incremental(
+        _docs([]), _docs(new_rows[4:]), text_threshold=0.5).to_pandas()
+    assert sorted(got3["doc_id"]) == ["new/z"]
+
+
 def test_incremental_refuses_duplicate_increment_ids(ray_session):
     """Same doc_id twice in the increment: the id anti-filter would
     silently delete BOTH copies — must refuse loudly instead (the
