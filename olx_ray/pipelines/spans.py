@@ -779,22 +779,91 @@ def leakage_safe_split_interleaved(ds, val_pct: int = 10,
 
 def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
                                      media_threshold: float = 0.5,
-                                     n_buckets: int = 32, **pair_kwargs):
+                                     n_buckets: int = 32,
+                                     keep: str = "min_id", **pair_kwargs):
     """THE corpus-dedup action for interleaved documents: drop every
     non-representative member of each mixed-modal near-dup group
     (``interleaved_neardup_groups``); survivors keep their spans
     untouched. The multimodal sibling of
-    ``dedup.dedup_keep_representatives``.
+    ``dedup.dedup_keep_representatives``, including its survivor
+    policies:
 
-    Only the NON-representative id set (duplicate-rate-bounded — the
-    ``dedup_interleaved`` broadcast contract) touches the driver; the
-    corpus streams once through a vectorized ``is_in`` anti-filter."""
+    - ``keep="min_id"`` (default): the group's min-``doc_id`` member —
+      the ``is_representative`` row, zero extra work;
+    - ``keep="best_quality"``: the member whose TEXT VIEW scores
+      highest on the ``text.QualityScore`` composite, ties → min
+      doc_id — what production dedup of re-posted ads actually wants
+      (keep the fullest description, not the lexicographic URL).
+      Stays distributed end-to-end: multi-member groups' ids are
+      pair-bounded; their texts are selected with ``bucket_semi``
+      (the corpus streams, never collects), scored by the actor-pool
+      kernel, joined back to their group labels with one uid bucket
+      join, and reduced per group-hash bucket.
+
+    Drop-id delivery is the size-gated ``_anti_drop_ids`` tail; spans
+    pass through byte-identical on both policies."""
+    if keep not in ("min_id", "best_quality"):
+        raise ValueError(f"keep={keep!r}: pass 'min_id' or 'best_quality'")
     groups = interleaved_neardup_groups(
         ds, text_threshold, media_threshold, n_buckets, **pair_kwargs)
-    dropped = groups.filter(expr="is_representative == False") \
-        .map_batches(lambda b: b.select(["doc_id"]),
-                     batch_format="pyarrow")
-    return _anti_drop_ids(ds, dropped)
+    if keep == "min_id":
+        dropped = groups.filter(expr="is_representative == False") \
+            .map_batches(lambda b: b.select(["doc_id"]),
+                         batch_format="pyarrow")
+        return _anti_drop_ids(ds, dropped)
+
+    import pandas as pd
+
+    from ..functions.hashing import hash64_array
+    from ..functions.joins import bucket_hash_join, bucket_semi
+
+    members = groups.filter(expr="group_size > 1").materialize()
+    if members.count() == 0:          # clean corpus: nothing to drop
+        return ds
+
+    texts = bucket_semi(
+        text_view(ds),
+        members.map_batches(lambda b: b.select(["doc_id"]),
+                            batch_format="pyarrow"),
+        "doc_id", n_buckets=n_buckets)
+    from .text import QualityScore
+
+    def scored_uid(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_uid": pa.array(_doc_uid(pa.array(
+                b["doc_id"].astype(str))), pa.int64()),
+            "doc_id": pa.array(b["doc_id"].astype(str), pa.string()),
+            "quality": pa.array(b["quality"].to_numpy(np.float64),
+                                pa.float64())})
+
+    scored = texts.map_batches(QualityScore, batch_format="pandas",
+                               batch_size=2048, concurrency=(1, 4)) \
+        .map_batches(scored_uid, batch_format="pandas")
+
+    def member_uid(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].cast(pa.string())
+        return pa.table({"doc_uid": pa.array(_doc_uid(ids), pa.int64()),
+                         "group_id": b["group_id"].cast(pa.string())})
+
+    labeled = bucket_hash_join(
+        scored, members.map_batches(member_uid, batch_format="pyarrow"),
+        on="doc_uid", n_buckets=n_buckets,
+        columns_left=["doc_uid", "doc_id", "quality"],
+        columns_right=["doc_uid", "group_id"])
+
+    def drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["group_id", "quality", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        gid = g["group_id"].to_numpy()
+        first = np.r_[True, gid[1:] != gid[:-1]]   # the survivor row
+        return g.loc[~first, ["doc_id"]]
+
+    dropped = labeled.map_batches(
+        lambda b: b.assign(_gb=(hash64_array(b["group_id"].tolist())
+                                % np.uint64(n_buckets)).astype(np.int32)),
+        batch_format="pandas") \
+        .groupby("_gb").map_groups(drops, batch_format="pandas")
+    return _anti_drop_ids(ds, dropped, n_buckets=n_buckets)
 
 
 def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):

@@ -5,6 +5,7 @@ hot-ref exclusion applied by hand."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from olx_ray.pipelines.dedup import shingles
@@ -249,6 +250,61 @@ def test_interleaved_keep_representatives(ray_session):
     for _, r in kept.iterrows():
         assert [dict(s) for s in r["spans"]] == \
             [dict(s) for s in src.loc[r["doc_id"], "spans"]]
+
+
+def test_interleaved_keep_best_quality(ray_session):
+    """keep='best_quality': the survivor per mixed-modal group is the
+    argmax of the QualityScore composite over the TEXT VIEW (tie → min
+    doc_id), pinned against the kernel run directly on the flattened
+    fixture texts; group structure identical to keep='min_id'; spans
+    byte-identical to the input."""
+    import pandas as pd
+
+    from olx_ray.pipelines.spans import (interleaved_keep_representatives,
+                                         interleaved_neardup_groups,
+                                         text_view)
+    from olx_ray.pipelines.text import QualityScore
+
+    kept = interleaved_keep_representatives(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5,
+        keep="best_quality").to_pandas()
+    groups = interleaved_neardup_groups(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5).to_pandas()
+
+    # oracle: score the text views directly with the kernel
+    tv = text_view(_docs(ROWS)).to_pandas()
+    q = QualityScore()(tv).set_index("doc_id")["quality"]
+    want = set()
+    for _, members in groups.groupby("group_id")["doc_id"]:
+        ms = sorted(members)
+        best = max(ms, key=lambda d: (q[d], ), default=None)
+        # argmax with tie -> min id: sort by (-quality, id)
+        best = sorted(ms, key=lambda d: (-q[d], d))[0]
+        want.add(best)
+    assert set(kept["doc_id"]) == want
+    assert len(kept) == groups["group_id"].nunique()
+    # singleton ad/e always survives; the quality winner of the big
+    # group is a real member of it
+    assert "ad/e" in want
+    big = set(groups.loc[groups["group_size"] == 4, "doc_id"])
+    assert len(want & big) == 1
+    # spans byte-identical to source
+    src = _docs(ROWS).to_pandas().set_index("doc_id")
+    for _, r in kept.iterrows():
+        assert [dict(s) for s in r["spans"]] == \
+            [dict(s) for s in src.loc[r["doc_id"], "spans"]]
+    # same group structure as min_id (only the survivor choice differs)
+    kept_min = interleaved_keep_representatives(
+        _docs(ROWS), text_threshold=0.6, media_threshold=0.5,
+        keep="min_id").to_pandas()
+    assert len(kept_min) == len(kept)
+    # a clean (pair-free) corpus passes through untouched
+    solo = [("s/1", [("description", BASE, None)]),
+            ("s/2", [("description", OTHER, None)])]
+    assert interleaved_keep_representatives(
+        _docs(solo), keep="best_quality").count() == 2
+    with pytest.raises(ValueError, match="min_id.*best_quality"):
+        interleaved_keep_representatives(_docs(solo), keep="typo")
 
 
 def test_curation_with_neardup_over_real_payloads(ray_session):
