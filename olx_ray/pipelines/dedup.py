@@ -255,21 +255,31 @@ def _band_key_bucket(n_buckets: int):
     return key_bucket
 
 
-def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32):
+def _candidate_pairs_raw(sf_dir: str, n_buckets: int = 32,
+                         with_caps: bool = False):
     """Band-bucket self-join candidate pairs over the documents table —
     see ``band_candidates`` for the machinery (and the star cap)."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4), num_cpus=1)
-    return band_candidates(bands, n_buckets)
+    return band_candidates(bands, n_buckets, with_caps=with_caps)
 
 
-def band_candidates(bands, n_buckets: int = 32):
+def band_candidates(bands, n_buckets: int = 32, with_caps: bool = False):
     """Band-bucket self-join candidate pairs from a ``(doc_id, band_id,
     band_hash)`` Dataset, possibly duplicated across bands (callers do
     the global pair-distinct — see ``minhash_candidates`` /
     ``minhash_lsh_pairs``). Dataset-shaped so non-table corpora (the
     interleaved ``spans.text_view`` adapter) reuse it.
+
+    ``with_caps=True`` additionally emits ONE telemetry row per bucket
+    group tagged ``_telem=1`` (``doc_a`` = number of band keys the
+    star cap truncated there, ``doc_b`` = the bucket id — unique per
+    group, so ``pair_distinct`` keeps them) and tags every pair row
+    ``_telem=0``; the caller splits them off after its materialize and
+    records the fold (``minhash_lsh_pairs`` → ``state.telemetry``, the
+    "no silent caps" rule). Default off: the extra column would ride
+    every downstream schema of callers that don't consume it.
 
     Implemented as a hash-bucketed SELF-JOIN: band rows get
     ``bucket = band_key % n_buckets``; each bucket-group does ONE
@@ -305,21 +315,35 @@ def band_candidates(bands, n_buckets: int = 32):
             star = pd.DataFrame({"doc_id_a": rep, "doc_id_b": big["doc_id"]})
             star = star[star["doc_id_a"] < star["doc_id_b"]]
             m = pd.concat([m, star], ignore_index=True)
-        out = m.drop_duplicates()
-        return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        out = m.drop_duplicates() \
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        if with_caps:
+            n_capped = int(big["key"].nunique()) if len(big) else 0
+            out = out.assign(_telem=np.int8(0)) if len(out) else \
+                pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                              "doc_b": pd.Series(dtype=np.int64),
+                              "_telem": pd.Series(dtype=np.int8)})
+            out = pd.concat([out, pd.DataFrame(
+                {"doc_a": [np.int64(n_capped)],
+                 "doc_b": [np.int64(g["bucket"].iloc[0])],
+                 "_telem": [np.int8(1)]})], ignore_index=True)
+        return out
 
     return bands.map_batches(key_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(self_join, batch_format="pandas")
 
 
-def minhash_candidates(sf_dir: str, n_buckets: int = 32):
+def minhash_candidates(sf_dir: str, n_buckets: int = 32,
+                       with_caps: bool = False):
     """LSH candidate pairs: docs sharing a (band_id, band_hash) bucket.
 
     Hash-bucketed SELF-JOIN (one vectorized pandas self-merge per band
     bucket — see ``_candidate_pairs_raw``), then a global bucketed pair
     distinct (a pair can fire in bands landing in different buckets).
-    Inherits the >256-docs-per-key star cap documented there."""
-    return pair_distinct(_candidate_pairs_raw(sf_dir, n_buckets),
+    Inherits the >256-docs-per-key star cap documented there;
+    ``with_caps`` threads its telemetry rows through (see
+    ``band_candidates``)."""
+    return pair_distinct(_candidate_pairs_raw(sf_dir, n_buckets, with_caps),
                          "doc_a", "doc_b", n_buckets)
 
 
@@ -353,7 +377,11 @@ def pair_distinct(pairs, col_a: str, col_b: str, n_buckets: int = 32):
         from ..functions.blocks import df_arrow
 
         keep = [c for c in g.columns if c != "pair_bucket"]
-        return df_arrow(g.drop_duplicates([col_a, col_b])[keep])
+        # _telem (band_candidates with_caps): telemetry rows must not
+        # be merged with a real pair that happens to share their
+        # (small-int, bucket-id) coordinates — keep the tag in the key
+        dd = [col_a, col_b] + (["_telem"] if "_telem" in g.columns else [])
+        return df_arrow(g.drop_duplicates(dd)[keep])
 
     return pairs.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("pair_bucket").map_groups(distinct, batch_format="pandas")
@@ -541,8 +569,24 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     broadcast path fails loud (KeyError) where the shuffle path's
     inner join drops the pair. Inherits ``_candidate_pairs_raw``'s
     >256-docs-per-key star cap: pairs between two non-representative
-    members of a mass-duplicate band key are not enumerated."""
-    pairs = minhash_candidates(sf_dir, n_buckets).materialize()
+    members of a mass-duplicate band key are not enumerated — and the
+    number of band keys that cap truncated is recorded per run in
+    ``state.telemetry.last("minhash_lsh")["capped_band_keys"]`` (the
+    "no silent caps" rule; 0 on healthy corpora)."""
+    import pyarrow.compute as pc
+
+    from ..state import telemetry
+
+    tagged = minhash_candidates(sf_dir, n_buckets,
+                                with_caps=True).materialize()
+    capped = tagged.filter(expr="_telem == 1").map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [int(pc.sum(b["doc_a"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    telemetry.record("minhash_lsh",
+                     capped_band_keys=int(sum(r["n"] for r in capped)))
+    pairs = tagged.filter(expr="_telem == 0").map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
     cand_ids = _pair_ids(pairs)
     verified = _verify_strategy(pairs, _candidate_texts(sf_dir, cand_ids),
                                 len(cand_ids), threshold, n_buckets,

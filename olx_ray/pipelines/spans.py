@@ -80,6 +80,22 @@ def _anti_drop_ids(ds, dropped, n_buckets: int = 32):
     return gated_anti(ds, dropped, "doc_id", n_buckets=n_buckets)
 
 
+def _record_capped_refs(op: str, tagged) -> None:
+    """Fold the media leg's kind=2 cap-telemetry rows (one per ref
+    bucket, already materialized) into the driver-side registry —
+    ``state.telemetry.last(op)["capped_refs"]`` says how many distinct
+    media refs the hot-ref cap EXCLUDED from this run's answer (the
+    "no silent caps" rule). Bucket-bounded rows; driver cost ~n_buckets
+    ints."""
+    from ..state import telemetry
+
+    parts = tagged.filter(expr="kind == 2").map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [int(pc.sum(b["n"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    telemetry.record(op, capped_refs=int(sum(r["n"] for r in parts)))
+
+
 def transform_text_spans(ds, fn, kinds: tuple | None = None):
     """Apply a VECTORIZED text transform to the ``text`` field of the
     selected spans, in place in the interleaved structure — span
@@ -431,13 +447,18 @@ def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
         # one pass per ref bucket: doc-size contributions AND pair
         # co-occurrence counts ride out in one tagged frame (kind=1:
         # a=doc_uid, n=surviving refs here; kind=0: (a, b) pair, n=
-        # shared refs here) — a second shuffle saved
+        # shared refs here; kind=2: ONE cap-telemetry row, n=refs this
+        # bucket EXCLUDED by hot_ref_cap — the "no silent caps" rule) —
+        # a second shuffle saved
         g = g.drop_duplicates(["doc_uid", "ref_hash"])
         sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
         ok = g[sizes <= hot_ref_cap]
+        n_capped = int(g.loc[sizes > hot_ref_cap, "ref_hash"].nunique())
         contrib = ok.groupby("doc_uid", as_index=False).size()
         out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
-                             "b": np.int64(0), "n": contrib["size"]})]
+                             "b": np.int64(0), "n": contrib["size"]}),
+               pd.DataFrame({"kind": [np.int8(2)], "a": [np.int64(0)],
+                             "b": [np.int64(0)], "n": [np.int64(n_capped)]})]
         m = ok.merge(ok, on="ref_hash", suffixes=("_a", "_b"))
         m = m[m["doc_uid_a"] < m["doc_uid_b"]]
         if len(m):
@@ -452,6 +473,7 @@ def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
     tagged = media_refs(ds).map_batches(ref_rows, batch_format="pyarrow") \
         .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
         .materialize()                 # pair+doc bounded; read twice below
+    _record_capped_refs("interleaved_neardup", tagged)
     # zero co-occurring refs → the joins below would see a schema-less
     # empty Dataset (map_groups over nothing emits no blocks); short-
     # circuit to the typed empty leg instead
@@ -1056,13 +1078,17 @@ def interleaved_neardup_incremental(corpus, new,
 
     def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
         # same one-pass tagged frame as _neardup_pairs_uids'
-        # per_ref_group, with the pair merge restricted NEW×ALL
+        # per_ref_group (incl. the kind=2 cap-telemetry row), with the
+        # pair merge restricted NEW×ALL
         g = g.drop_duplicates(["doc_uid", "ref_hash"])
         sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
         ok = g[sizes <= hot_ref_cap]
+        n_capped = int(g.loc[sizes > hot_ref_cap, "ref_hash"].nunique())
         contrib = ok.groupby("doc_uid", as_index=False).size()
         out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
-                             "b": np.int64(0), "n": contrib["size"]})]
+                             "b": np.int64(0), "n": contrib["size"]}),
+               pd.DataFrame({"kind": [np.int8(2)], "a": [np.int64(0)],
+                             "b": [np.int64(0)], "n": [np.int64(n_capped)]})]
         ns = ok[(ok["doc_uid"].to_numpy() % 2) == 1]
         m = ns.merge(ok, on="ref_hash", suffixes=("_n", "_x"))
         m = m[m["doc_uid_n"] != m["doc_uid_x"]]
@@ -1087,6 +1113,7 @@ def interleaved_neardup_incremental(corpus, new,
                                            batch_format="pyarrow")) \
         .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
         .materialize()
+    _record_capped_refs("interleaved_neardup_incremental", tagged)
     n_pair_rows = tagged.filter(expr="kind == 0").count()
 
     def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
