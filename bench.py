@@ -276,9 +276,14 @@ def main() -> None:
         # "frontier ops/sec" measured directly (pipelines/frontier_bench)
         from olx_ray.pipelines.frontier_bench import run_frontier_rounds
 
-        # 4M-row rounds: big enough that per-round executor/barrier
-        # overhead (~1s) amortizes and the measure is the data path
-        crawl = run_frontier_rounds(4_000_000, n_rounds=3, n_shards=16)
+        # 8M-row rounds: the per-round fixed costs (executor barriers,
+        # actor RPC floor, driver scheduling) amortize past ~8M rows —
+        # measured r5: 4M rounds read 0.62-0.69 efficiency, 8M read
+        # 0.85 with HIGHER absolute throughput at both CPU counts;
+        # 16M adds nothing (the 32-CPU end saturates at ~3.3M rows/s
+        # on the single shared object store — BASELINE.md "frontier
+        # scaling bound")
+        crawl = run_frontier_rounds(8_000_000, n_rounds=3, n_shards=16)
         queries = {}
     else:
         crawl = ({"crawl_sec": 0.0} if queries_only else run_crawl(NCPU))

@@ -69,15 +69,24 @@ def synth_candidates(n_rows: int, round_idx: int,
     seq_base = np.int64(round_idx) << np.int64(48)
 
     def gen(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         key = base + i - ((i % DUP_EVERY == 0) & (i > 0)).astype(np.int64)
-        urls = [f"https://www.olx.ua/d/obyavlenie/bench-item-"
-                f"{k:012d}.html" for k in key]
+        # Arrow-kernel URL construction (lpad + one element-wise join):
+        # 4M Python f-strings per round used to sit INSIDE the timed
+        # window and charge interpreter time to "frontier rows/sec"
+        n = len(i)
+        urls = pc.binary_join_element_wise(
+            pa.array(["https://www.olx.ua/d/obyavlenie/bench-item-"] * n),
+            pc.utf8_lpad(pc.cast(pa.array(key, pa.int64()), pa.string()),
+                         12, padding="0"),
+            pa.array([".html"] * n), "")
         return pa.table({
-            "url": pa.array(urls, pa.string()),
+            "url": urls,
             "url_hash": pa.array(hash64_array(urls), pa.uint64()),
-            "depth": pa.array(np.ones(len(i), np.int32)),
-            "priority": pa.array(np.ones(len(i), np.int32)),
+            "depth": pa.array(np.ones(n, np.int32)),
+            "priority": pa.array(np.ones(n, np.int32)),
             "discovered_seq": pa.array(seq_base | i, pa.int64()),
         })
 
@@ -106,9 +115,21 @@ def expected_survivors(n_rows: int, round_idx: int,
 
 def run_frontier_rounds(n_rows_per_round: int, n_rounds: int = 4,
                         n_shards: int = 16, revisit_frac: float = 0.3,
-                        seen_mode: str = "both", warmup: bool = True) -> dict:
+                        seen_mode: str = "both", warmup: bool = True,
+                        n_blocks: int | None = None,
+                        dedup_buckets: int | None = None) -> dict:
     """Drive ``n_rounds`` frontier rounds; returns throughput metrics
     plus per-round survivor counts (deterministic — pinned in pytest).
+
+    EXCHANGE GRANULARITY TRACKS CORES (``n_blocks``/``dedup_buckets``
+    default to the session's CPU count / half of it): the dedup
+    shuffle's wall is dominated by per-block scheduling + object
+    overhead once blocks shrink below ~10⁵ rows, so a fixed bucket
+    count (the old 64) over-fragments small sessions and caps scaling
+    — measured on this path, 64→CPU-proportional buckets cut the
+    32-CPU round wall ~2× and lifted 8→32 efficiency from ~0.68 to
+    ≥0.9 (BASELINE.md). At cluster scale the same rule reads "buckets
+    ≈ total cores" (SCALE.md).
 
     ``warmup`` runs one small UNTIMED round first so Ray's worker-pool
     spin-up — a per-process cost a steady-state crawl pays once, not
@@ -120,6 +141,11 @@ def run_frontier_rounds(n_rows_per_round: int, n_rounds: int = 4,
     CPU-reserving actors alive in a shared session)."""
     import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    if n_blocks is None:
+        n_blocks = max(8, cpus)          # one map wave per round
+    if dedup_buckets is None:
+        dedup_buckets = max(8, cpus // 2)   # reduce waves stay coarse
     total = n_rows_per_round * n_rounds
     seen = make_seen_actors(
         n_shards, capacity_per_shard=max(1024, 2 * total // n_shards))
@@ -136,8 +162,9 @@ def run_frontier_rounds(n_rows_per_round: int, n_rounds: int = 4,
                           batch_format="pyarrow", batch_size=None).count()
         t0 = time.monotonic()
         for r in range(n_rounds):
-            cand = synth_candidates(n_rows_per_round, r, revisit_frac)
-            cand = dedup_min_seq(cand)
+            cand = synth_candidates(n_rows_per_round, r, revisit_frac,
+                                    n_blocks=n_blocks)
+            cand = dedup_min_seq(cand, n_buckets=dedup_buckets)
             # batch_size=None → whole blocks: the client issues one RPC
             # per touched shard per BATCH, so block-sized batches cut
             # the actor round-trips 4-8× vs the default batch size

@@ -5,6 +5,13 @@ from __future__ import annotations
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "driver_gate: the in-suite sf0.001 mirror of the driver's "
+        "50-entry correctness gate (deselect with -m 'not driver_gate')")
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray

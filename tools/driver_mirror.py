@@ -9,7 +9,11 @@ values stringified). Entries with no oracle get a rows-only check.
 Usage:  python tools/driver_mirror.py [sf_dir] [query ...]
         (default sf_dir /root/testdata/sf0.01; default: all 50)
 
-Owns its Ray session (CLAUDE.md: library code never calls ray.init).
+``run_gate`` is the embeddable core (Ray must already be initialised —
+the in-suite pytest marker drives it under the session fixture so an
+entry regression fails ``pytest`` before the driver ever sees it);
+``main`` owns a Ray session for CLI use (CLAUDE.md: library code never
+calls ray.init).
 """
 from __future__ import annotations
 
@@ -46,24 +50,26 @@ def _vhash(df) -> str:
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
-def main() -> int:
+def run_gate(sf_dir: str, only: set | None = None, verbose: bool = True):
+    """The gate itself (Ray already initialised): → ``(report, n_green,
+    n_rowsonly, n_fail)``. ``only`` restricts to named entries and
+    skips the ``entry()`` smoke check."""
     import duckdb
     import pandas as pd
-    import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    ray.init(address="local", include_dashboard=False,
-             logging_level="error")
-    sys.path.insert(0, "/root/repo")
+    only = only or set()
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
+
+    def say(msg: str) -> None:
+        if verbose:
+            print(msg, flush=True)
 
     qs, sqls = e.queries(), e.oracle_sql()
     unknown = only - set(qs)
     if unknown:
-        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
-        return 2
+        raise ValueError(f"unknown query name(s): {sorted(unknown)}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -115,8 +121,8 @@ def main() -> int:
         tag = ("GREEN" if rec["hash_match"]
                else "rows-only" if rec["err"] is None and name not in sqls
                else "FAIL")
-        print(f"{name:35s} {tag:9s} {rec['sec']:6.2f}s rows={rec['spark_rows']}"
-              + (f" err={rec['err']}" if rec["err"] else ""), flush=True)
+        say(f"{name:35s} {tag:9s} {rec['sec']:6.2f}s rows={rec['spark_rows']}"
+            + (f" err={rec['err']}" if rec["err"] else ""))
 
     # the driver also smoke-checks entry() (sf0.001, ≥0 rows, stable
     # schema) — mirror that too so an entry() regression can't hide
@@ -126,12 +132,27 @@ def main() -> int:
             res = e.entry()
             res = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(res) > 0 and len(res.columns) > 0
-            print(f"{'entry()':35s} {'GREEN':9s} {time.time()-t0:6.2f}s "
-                  f"rows={len(res)}", flush=True)
+            say(f"{'entry()':35s} {'GREEN':9s} {time.time()-t0:6.2f}s "
+                f"rows={len(res)}")
         except Exception as ex:  # noqa: BLE001
             n_fail += 1
-            print(f"{'entry()':35s} {'FAIL':9s} err={ex}", flush=True)
+            say(f"{'entry()':35s} {'FAIL':9s} err={ex}")
+    return report, n_green, n_rowsonly, n_fail
 
+
+def main() -> int:
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    ray.init(address="local", include_dashboard=False,
+             logging_level="error")
+    try:
+        report, n_green, n_rowsonly, n_fail = run_gate(sf_dir, only)
+    except ValueError as ex:
+        print(ex, file=sys.stderr)
+        return 2
     print(f"\n== {n_green} GREEN / {n_rowsonly} rows-only / {n_fail} FAIL ==")
     with open("/tmp/driver_mirror.json", "w") as f:
         json.dump(report, f, indent=1)
