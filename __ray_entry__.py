@@ -74,9 +74,13 @@ def _crawl(mode: str):
                 [rank[s] for s in b["fetched_seq"].to_pylist()],
                 pa.int64()))
 
+        # no second sort: explode_spans already orders by
+        # (fetched_seq, offset), doc_rank is strictly monotone in
+        # fetched_seq, and map_batches preserves block order — a
+        # chained sort would repeat the identical exchange (and the
+        # driver's compare re-sorts rows anyway)
         return explode_spans(docs) \
-            .map_batches(to_rank, batch_format="pyarrow") \
-            .sort(["doc_rank", "offset"])
+            .map_batches(to_rank, batch_format="pyarrow")
 
     return run
 

@@ -518,14 +518,17 @@ def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
     if n > cap:
         return bucket_semi(ds, drop_keys, key, anti=True,
                            n_buckets=n_buckets)
-    from .blocks import collect_pandas
-
-    ids = collect_pandas(drop_keys.map_batches(
-        lambda b: b.select([key]), batch_format="pyarrow"),
-        {key: object})[key]
-    vals = sorted(ids.tolist())
-    arr = pa.array(vals, pa.string()) if isinstance(vals[0], str) \
-        else pa.array(vals)
+    # gather the id column as ARROW blocks — no Python boxing, no
+    # driver sort (pc.is_in needs neither sorted nor deduplicated
+    # value sets); at the 4M-id cap this is a ~30 ms concat instead of
+    # a multi-second object sort (review finding)
+    # zero-row pandas-origin blocks arrive COLUMN-LESS (the Ray 2.49
+    # empty-block column drop) — skip them; n > 0 guarantees at least
+    # one real block, and a NON-empty block missing the key still
+    # raises (caller-side rename bug, must stay loud)
+    blocks = [t for t in ray.get(drop_keys.to_arrow_refs()) if t.num_rows]
+    arr = pa.concat_tables([t.select([key]) for t in blocks])[key] \
+        .combine_chunks()
     ref = ray.put(arr)
 
     def anti(b: pa.Table) -> pa.Table:

@@ -235,22 +235,33 @@ def ingest_increment_interleaved(corpus, new, out_dir: str, *,
     survivors = new
     if heuristic_rules is not None:
         if alive:
+            from .spans import text_view_batch
             from .text import GopherRules
 
-            class _FailIds:
+            class _GateInterleaved:
+                """Per-ROW filter, like the flat gate's ``_Gate``:
+                the text view flattens batch-locally and the SAME
+                block filters positionally — no doc_id anti-join, so
+                a duplicate increment id with one passing copy keeps
+                that copy (identical semantics to the flat gate; an
+                id-based drop would silently delete both, review
+                finding) and the loud duplicate-id refusal stays the
+                exact gate's job."""
+
                 def __init__(self, rules_mask: int):
                     self.rules = GopherRules()   # regexes compile once
                     self.mask = rules_mask       # per actor, not per batch
 
-                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                    fail = self.rules(b)["fail_mask"].to_numpy()
-                    return b.loc[(fail & self.mask) != 0, ["doc_id"]]
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    tv = text_view_batch(b).to_pandas()
+                    fail = self.rules(tv)["fail_mask"].to_numpy()
+                    return b.filter(pa.array((fail & self.mask) == 0))
 
-            dropped = text_view(survivors).map_batches(
-                _FailIds, batch_format="pandas", concurrency=(1, 4),
-                fn_constructor_kwargs={"rules_mask": heuristic_rules})
-            survivors = gated_anti(survivors, dropped, "doc_id",
-                                   n_buckets=n_buckets).materialize()
+            survivors = survivors.map_batches(
+                _GateInterleaved, batch_format="pyarrow",
+                concurrency=(1, 4),
+                fn_constructor_kwargs={"rules_mask": heuristic_rules}) \
+                .materialize()
         counts["after_heuristic"] = survivors.count() if alive else 0
         alive = counts["after_heuristic"] > 0
     if alive:

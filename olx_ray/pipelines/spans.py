@@ -80,6 +80,63 @@ def _anti_drop_ids(ds, dropped, n_buckets: int = 32):
     return gated_anti(ds, dropped, "doc_id", n_buckets=n_buckets)
 
 
+def _per_ref_group_fn(hot_ref_cap: int, new_only: bool = False):
+    """THE per-ref-bucket media kernel, shared by the corpus pair
+    engine (`_neardup_pairs_uids`) and the incremental gate
+    (`interleaved_neardup_incremental`) — one definition so the cap
+    accounting, telemetry row and size contributions can never
+    desynchronize between them (review finding). One pass per ref
+    bucket: doc-size contributions AND pair co-occurrence counts ride
+    out in one tagged frame (kind=1: a=doc_uid, n=surviving refs here;
+    kind=0: (a, b) pair, n=shared refs here; kind=2: ONE cap-telemetry
+    row, n=refs this bucket EXCLUDED by hot_ref_cap — the "no silent
+    caps" rule). ``new_only=True`` restricts the pair merge to
+    NEW×ALL (side = uid bit 0); the symmetric-duplicate rows that
+    merge shape produces are collapsed per (pair, ref) BEFORE
+    counting, so the intersection counts match the corpus kernel's."""
+    import pandas as pd
+
+    def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_uid", "ref_hash"])
+        sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
+        ok = g[sizes <= hot_ref_cap]
+        n_capped = int(g.loc[sizes > hot_ref_cap, "ref_hash"].nunique())
+        contrib = ok.groupby("doc_uid", as_index=False).size()
+        out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
+                             "b": np.int64(0), "n": contrib["size"]}),
+               pd.DataFrame({"kind": [np.int8(2)], "a": [np.int64(0)],
+                             "b": [np.int64(0)], "n": [np.int64(n_capped)]})]
+        if new_only:
+            ns = ok[(ok["doc_uid"].to_numpy() % 2) == 1]
+            m = ns.merge(ok, on="ref_hash", suffixes=("_n", "_x"))
+            m = m[m["doc_uid_n"] != m["doc_uid_x"]]
+            if len(m):
+                # a new×new co-occurrence fires from BOTH merge rows;
+                # dedupe per (pair, ref) — the ref stays in the key or
+                # distinct refs of a pair would collapse and
+                # undercount the intersection — then count per pair
+                pf = pd.DataFrame({
+                    "a": np.minimum(m["doc_uid_n"], m["doc_uid_x"]),
+                    "b": np.maximum(m["doc_uid_n"], m["doc_uid_x"]),
+                    "r": m["ref_hash"].to_numpy()}).drop_duplicates()
+                pc_ = pf.groupby(["a", "b"], as_index=False).size()
+                out.append(pd.DataFrame(
+                    {"kind": np.int8(0), "a": pc_["a"], "b": pc_["b"],
+                     "n": pc_["size"]}))
+        else:
+            m = ok.merge(ok, on="ref_hash", suffixes=("_a", "_b"))
+            m = m[m["doc_uid_a"] < m["doc_uid_b"]]
+            if len(m):
+                pc_ = m.groupby(["doc_uid_a", "doc_uid_b"],
+                                as_index=False).size()
+                out.append(pd.DataFrame(
+                    {"kind": np.int8(0), "a": pc_["doc_uid_a"],
+                     "b": pc_["doc_uid_b"], "n": pc_["size"]}))
+        return pd.concat(out, ignore_index=True)
+
+    return per_ref_group
+
+
 def _record_capped_refs(op: str, tagged) -> None:
     """Fold the media leg's kind=2 cap-telemetry rows (one per ref
     bucket, already materialized) into the driver-side registry —
@@ -228,10 +285,10 @@ def dedup_interleaved(ds, n_buckets: int = 64):
     Shuffle discipline: each side reduces batch-locally to
     `crawl.span_fingerprints` rows, so the ONLY exchange is a
     fingerprint-hash bucket shuffle of (doc_id, n_spans, span_fp) —
-    document payloads never move. Dropped ids collect to the driver
-    (duplicate-rate-bounded, the `semantic_dedup_corpus` contract) and
-    broadcast once; survivors stream through one vectorized `is_in`
-    anti-filter. Equality is the 64-bit digest + span count — a false
+    document payloads never move. Dropped ids deliver through the
+    SIZE-GATED `_anti_drop_ids` tail (broadcast below the cap,
+    bucketed anti-join above it — web-crawl dup rates make the set
+    corpus-proportional). Equality is the 64-bit digest + span count — a false
     merge is a ~2⁻⁶⁴ collision (acceptable for dedup; `span_diff` is
     the exact comparator when it matters).
 
@@ -276,6 +333,35 @@ def dedup_interleaved(ds, n_buckets: int = 64):
     return _anti_drop_ids(ds, dropped)
 
 
+def text_view_batch(b: pa.Table, sep: str = "\n") -> pa.Table:
+    """One BATCH of ``text_view`` — module-level so batch-local
+    consumers (the interleaved ingest heuristic gate) can flatten a
+    block's text in place and filter the SAME block positionally,
+    instead of a doc_id anti-join round trip."""
+    n = b.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "text": pa.array([], pa.string())})
+    col, flat, counts = _flat_spans(b["spans"])
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = _text_bearing(flat).to_numpy(
+        zero_copy_only=False).astype(bool)
+    texts = pc.fill_null(pc.struct_field(flat, "text"), "")
+    # rebuild a list<string> of ONLY the text spans per doc, then
+    # one binary_join kernel call joins every doc at once
+    kept_parent = parent[keep]
+    kept_counts = np.bincount(kept_parent, minlength=n) \
+        .astype(np.int64)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(kept_counts)))
+        .astype(np.int32), pa.int32())
+    kept_texts = texts.filter(pa.array(keep))
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(offsets, kept_texts), sep)
+    return pa.table({"doc_id": b["doc_id"].cast(pa.string()),
+                     "text": joined})
+
+
 def text_view(ds, sep: str = "\n"):
     """Flatten interleaved documents to the flat ``(doc_id, text)``
     shape — text-bearing spans joined in order by ``sep``, media spans
@@ -283,31 +369,10 @@ def text_view(ds, sep: str = "\n"):
     (MinHash/SimHash dedup, Gopher rules, perplexity, DSIR, BPE, …)
     runs over crawled multimodal documents unchanged. Batch-local and
     fully vectorized: one flatten, one mask, one ``binary_join`` per
-    batch; no shuffle, no per-row Python."""
+    batch (``text_view_batch``); no shuffle, no per-row Python."""
 
     def view(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
-            return pa.table({"doc_id": pa.array([], pa.string()),
-                             "text": pa.array([], pa.string())})
-        col, flat, counts = _flat_spans(b["spans"])
-        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
-        keep = _text_bearing(flat).to_numpy(
-            zero_copy_only=False).astype(bool)
-        texts = pc.fill_null(pc.struct_field(flat, "text"), "")
-        # rebuild a list<string> of ONLY the text spans per doc, then
-        # one binary_join kernel call joins every doc at once
-        kept_parent = parent[keep]
-        kept_counts = np.bincount(kept_parent, minlength=n) \
-            .astype(np.int64)
-        offsets = pa.array(
-            np.concatenate(([0], np.cumsum(kept_counts)))
-            .astype(np.int32), pa.int32())
-        kept_texts = texts.filter(pa.array(keep))
-        joined = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, kept_texts), sep)
-        return pa.table({"doc_id": b["doc_id"].cast(pa.string()),
-                         "text": joined})
+        return text_view_batch(b, sep)
 
     return ds.map_batches(view, batch_format="pyarrow")
 
@@ -443,35 +508,9 @@ def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
                                               pa.int64()),
                          "_rb": pa.array(rb, pa.int32())})
 
-    def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
-        # one pass per ref bucket: doc-size contributions AND pair
-        # co-occurrence counts ride out in one tagged frame (kind=1:
-        # a=doc_uid, n=surviving refs here; kind=0: (a, b) pair, n=
-        # shared refs here; kind=2: ONE cap-telemetry row, n=refs this
-        # bucket EXCLUDED by hot_ref_cap — the "no silent caps" rule) —
-        # a second shuffle saved
-        g = g.drop_duplicates(["doc_uid", "ref_hash"])
-        sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
-        ok = g[sizes <= hot_ref_cap]
-        n_capped = int(g.loc[sizes > hot_ref_cap, "ref_hash"].nunique())
-        contrib = ok.groupby("doc_uid", as_index=False).size()
-        out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
-                             "b": np.int64(0), "n": contrib["size"]}),
-               pd.DataFrame({"kind": [np.int8(2)], "a": [np.int64(0)],
-                             "b": [np.int64(0)], "n": [np.int64(n_capped)]})]
-        m = ok.merge(ok, on="ref_hash", suffixes=("_a", "_b"))
-        m = m[m["doc_uid_a"] < m["doc_uid_b"]]
-        if len(m):
-            pc_ = m.groupby(["doc_uid_a", "doc_uid_b"], as_index=False) \
-                .size()
-            out.append(pd.DataFrame({"kind": np.int8(0),
-                                     "a": pc_["doc_uid_a"],
-                                     "b": pc_["doc_uid_b"],
-                                     "n": pc_["size"]}))
-        return pd.concat(out, ignore_index=True)
-
     tagged = media_refs(ds).map_batches(ref_rows, batch_format="pyarrow") \
-        .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
+        .groupby("_rb").map_groups(_per_ref_group_fn(hot_ref_cap),
+                                   batch_format="pandas") \
         .materialize()                 # pair+doc bounded; read twice below
     _record_capped_refs("interleaved_neardup", tagged)
     # zero co-occurring refs → the joins below would see a schema-less
@@ -810,12 +849,15 @@ def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
     ``dedup.dedup_keep_representatives``, including its survivor
     policies:
 
-    - ``keep="min_id"`` (default): the group's min-``doc_id`` member —
-      the ``is_representative`` row, zero extra work;
+    - ``keep="min_id"`` (default): the group's REPRESENTATIVE member —
+      the min-uid (``hash64(doc_id)``) node the components labeled,
+      i.e. a deterministic but hash-arbitrary member, NOT the
+      lexicographically smallest URL (``is_representative`` row, zero
+      extra work);
     - ``keep="best_quality"``: the member whose TEXT VIEW scores
       highest on the ``text.QualityScore`` composite, ties → min
       doc_id — what production dedup of re-posted ads actually wants
-      (keep the fullest description, not the lexicographic URL).
+      (keep the fullest description, not an arbitrary copy).
       Stays distributed end-to-end: multi-member groups' ids are
       pair-bounded; their texts are selected with ``bucket_semi``
       (the corpus streams, never collects), scored by the actor-pool
@@ -900,9 +942,9 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
     Scale shape — PAYLOADS NEVER SHUFFLE: both sides reduce to the
     16-byte ``crawl.span_fingerprints`` key rows; one key-hash bucket
     groupby computes the dropped ids (corpus hits ∪ within-increment
-    non-min duplicates); the duplicate-rate-bounded dropped-id set
-    broadcasts once and the increment streams through a vectorized
-    anti-filter (the ``dedup_interleaved`` contract). Equality is the
+    non-min duplicates); the dropped-id set delivers through the
+    SIZE-GATED ``_anti_drop_ids`` tail (the ``dedup_interleaved``
+    contract — broadcast below the cap, bucketed above). Equality is the
     64-bit sequence digest + span count folded into one key — a false
     drop is a ~2⁻⁶⁴ collision, same acceptance as
     ``dedup_interleaved``."""
@@ -1076,42 +1118,13 @@ def interleaved_neardup_incremental(corpus, new,
                 "_rb": pa.array(rb, pa.int32())})
         return fn
 
-    def per_ref_group(g: pd.DataFrame) -> pd.DataFrame:
-        # same one-pass tagged frame as _neardup_pairs_uids'
-        # per_ref_group (incl. the kind=2 cap-telemetry row), with the
-        # pair merge restricted NEW×ALL
-        g = g.drop_duplicates(["doc_uid", "ref_hash"])
-        sizes = g.groupby("ref_hash")["doc_uid"].transform("size")
-        ok = g[sizes <= hot_ref_cap]
-        n_capped = int(g.loc[sizes > hot_ref_cap, "ref_hash"].nunique())
-        contrib = ok.groupby("doc_uid", as_index=False).size()
-        out = [pd.DataFrame({"kind": np.int8(1), "a": contrib["doc_uid"],
-                             "b": np.int64(0), "n": contrib["size"]}),
-               pd.DataFrame({"kind": [np.int8(2)], "a": [np.int64(0)],
-                             "b": [np.int64(0)], "n": [np.int64(n_capped)]})]
-        ns = ok[(ok["doc_uid"].to_numpy() % 2) == 1]
-        m = ns.merge(ok, on="ref_hash", suffixes=("_n", "_x"))
-        m = m[m["doc_uid_n"] != m["doc_uid_x"]]
-        if len(m):
-            # a new×new co-occurrence fires from BOTH rows of the merge
-            # (either member can be the ns side); dedupe per (pair, ref)
-            # — the ref column must stay in the key or distinct refs of
-            # the same pair would collapse and undercount the
-            # intersection — then count surviving refs per pair
-            pf = pd.DataFrame({
-                "a": np.minimum(m["doc_uid_n"], m["doc_uid_x"]),
-                "b": np.maximum(m["doc_uid_n"], m["doc_uid_x"]),
-                "r": m["ref_hash"].to_numpy()}).drop_duplicates()
-            pc_ = pf.groupby(["a", "b"], as_index=False).size()
-            out.append(pd.DataFrame({"kind": np.int8(0), "a": pc_["a"],
-                                     "b": pc_["b"], "n": pc_["size"]}))
-        return pd.concat(out, ignore_index=True)
-
     tagged = media_refs(corpus).map_batches(ref_rows(0),
                                             batch_format="pyarrow") \
         .union(media_refs(new).map_batches(ref_rows(1),
                                            batch_format="pyarrow")) \
-        .groupby("_rb").map_groups(per_ref_group, batch_format="pandas") \
+        .groupby("_rb").map_groups(
+            _per_ref_group_fn(hot_ref_cap, new_only=True),
+            batch_format="pandas") \
         .materialize()
     _record_capped_refs("interleaved_neardup_incremental", tagged)
     n_pair_rows = tagged.filter(expr="kind == 0").count()
