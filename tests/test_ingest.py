@@ -239,6 +239,76 @@ def test_ingest_interleaved_gates_and_resume(ray_session, tmp_path):
     assert set(empty_round.schema().names) == {"doc_id", "spans"}
 
 
+def test_ingest_interleaved_rounds_over_real_crawl_payloads(ray_session,
+                                                            tmp_path):
+    """The continuous multimodal crawl→corpus loop over REAL parsed
+    payloads: round 0 ingests the t1 crawl's documents into an empty
+    corpus; round 1 re-ingests the same docs (all drop at the exact
+    gate) plus a near twin (drops at the near gate) plus a novel doc
+    (survives) against `read_layout` of the accumulated corpus. Also
+    pins bucket-count invariance of the interleaved near gate."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from olx_ray.pipelines.export import read_layout
+    from olx_ray.pipelines.ingest import ingest_increment_interleaved
+    from olx_ray.pipelines.spans import (interleaved_neardup_incremental,
+                                         transform_text_spans)
+    from olx_ray.sources.sitegen import write_site
+    from olx_ray.stages.parse import ParseAds
+    from tests.test_interleaved_neardup import _docs
+
+    paths = write_site("t1", str(tmp_path / "site"))
+    docs = (rd.read_parquet(paths["pages"]).filter(expr="kind == 'ad'")
+            .map_batches(ParseAds(), batch_format="pyarrow")
+            .select_columns(["doc_id", "spans"]).materialize())
+    n = docs.count()
+    out = str(tmp_path / "corpus")
+
+    empty = _docs([])
+    r0 = ingest_increment_interleaved(empty, docs, out, round_no=0,
+                                      text_threshold=0.5,
+                                      media_threshold=0.5, n_shards=4)
+    assert r0["counts"]["exported"] == n
+
+    # increment: full re-crawl + a one-word-edited near twin + a novel doc
+    def retag(b):
+        i = b.schema.get_field_index("doc_id")
+        ids = pc.binary_join_element_wise(
+            pa.array(["zzz"] * b.num_rows),
+            b["doc_id"].cast(pa.string()), "-")
+        return b.set_column(i, "doc_id", ids)
+
+    twin = transform_text_spans(
+        docs.limit(1).map_batches(retag, batch_format="pyarrow"),
+        lambda t: pc.replace_substring_regex(t, pattern=r"^",
+                                             replacement="edited "))
+    novel = _docs([("novel/1", [("description", "with the a wholly new "
+                    "listing describing a mountain bike in excellent "
+                    "shape disc brakes recently serviced", None),
+                   ("image", None, "nv1")])])
+    increment = docs.union(twin).union(novel).materialize()
+
+    corpus = read_layout(out).select_columns(["doc_id", "spans"])
+    r1 = ingest_increment_interleaved(corpus, increment, out, round_no=1,
+                                      text_threshold=0.5,
+                                      media_threshold=0.5, n_shards=4)
+    c = r1["counts"]
+    assert c["n_new"] == n + 2
+    assert c["after_exact"] == 2           # the full re-crawl drops
+    assert c["after_near"] == 1            # the near twin drops
+    assert c["exported"] == 1
+    got = read_layout(out).to_pandas()
+    assert len(got) == n + 1 and "novel/1" in set(got["doc_id"])
+
+    # bucket-count invariance of the near gate (partition invariance)
+    a = interleaved_neardup_incremental(corpus, increment, 0.5, 0.5,
+                                        n_buckets=4).to_pandas()
+    b = interleaved_neardup_incremental(corpus, increment, 0.5, 0.5,
+                                        n_buckets=32).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"]) == ["novel/1"]
+
+
 def test_ingest_round_appends_to_serving_index(ray_session, tmp_path):
     """index_dir closes the ingest→index loop: the round's survivors
     embed and append to the IVF layout under the same round id, the
