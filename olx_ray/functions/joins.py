@@ -492,14 +492,23 @@ def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
     delivery is picked by size, the exact gate pattern the relational
     dimension joins use (``relational.BROADCAST_ROW_CAP``):
 
-    - ``<= cap``: driver collect + one ``ray.put`` of a sorted Arrow id
-      array; ``ds`` streams through a vectorized ``pc.is_in`` anti
-      filter — zero shuffle, zero-copy batches, nested payload columns
-      untouched (NOT ``broadcast_semi``: its pandas batches would
-      mangle interleaved ``list<struct>`` spans).
+    - ``<= cap``: driver collect (Arrow blocks — no Python boxing) +
+      one ``ray.put``; ``ds`` streams through a vectorized membership
+      probe against a PER-WORKER-cached ``pd.Index`` (its hash engine
+      builds once per worker process, not once per batch — at the 4M
+      cap a per-batch ``pc.is_in`` would rebuild a multi-million-entry
+      table ~once per 64Ki rows). Zero shuffle, pyarrow batches, so
+      nested payload columns pass untouched (NOT ``broadcast_semi``:
+      its pandas batches would mangle interleaved ``list<struct>``
+      spans).
     - ``> cap``: ``bucket_semi(anti=True)`` — the id set ships as a
       bucketed Dataset; nothing drop-set-sized touches the driver or
       any single task, at the price of one bucketed pass of ``ds``.
+
+    Integer keys NORMALIZE to 64-bit on both sides (widen, never
+    narrow — casting the corpus batch DOWN to a narrower drop-id type
+    would crash on legal non-member values; signed/unsigned mixes are
+    refused loudly), so the two strategies agree on every legal input.
 
     Both paths return the identical row set (strategy-agreement
     pytest); row ORDER differs — callers that promise order sort after.
@@ -507,7 +516,6 @@ def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
     time (tests monkeypatch the module constant to force either path).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     cap = ANTI_BROADCAST_ROW_CAP if broadcast_row_cap is None \
         else broadcast_row_cap
@@ -518,10 +526,7 @@ def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
     if n > cap:
         return bucket_semi(ds, drop_keys, key, anti=True,
                            n_buckets=n_buckets)
-    # gather the id column as ARROW blocks — no Python boxing, no
-    # driver sort (pc.is_in needs neither sorted nor deduplicated
-    # value sets); at the 4M-id cap this is a ~30 ms concat instead of
-    # a multi-second object sort (review finding)
+    # gather the id column as ARROW blocks — no Python boxing;
     # zero-row pandas-origin blocks arrive COLUMN-LESS (the Ray 2.49
     # empty-block column drop) — skip them; n > 0 guarantees at least
     # one real block, and a NON-empty block missing the key still
@@ -529,19 +534,67 @@ def gated_anti(ds, drop_keys, key: str, *, broadcast_row_cap: int | None = None,
     blocks = [t for t in ray.get(drop_keys.to_arrow_refs()) if t.num_rows]
     arr = pa.concat_tables([t.select([key]) for t in blocks])[key] \
         .combine_chunks()
+    arr = _widen_key(arr)
     ref = ray.put(arr)
+    arr_is_int = pa.types.is_integer(arr.type)
+    unsigned = pa.types.is_unsigned_integer(arr.type)
 
     def anti(b: pa.Table) -> pa.Table:
-        col = b[key].combine_chunks()
-        vs = ray.get(ref)                     # zero-copy plasma read
-        if not col.type.equals(vs.type):
-            # int-width mismatch between the drop side and the corpus
-            # key (e.g. int32 parquet vs int64 uids): cast the BATCH
-            # column (cheap, per-batch-sized) — never the 4M-id set
-            col = col.cast(vs.type)
-        return b.filter(pc.invert(pc.is_in(col, value_set=vs)))
+        col = _widen_key(b[key].combine_chunks())
+        # a type-class mismatch would silently match NOTHING (the
+        # probe returns -1 everywhere → the anti-join keeps every
+        # row, i.e. the dedup becomes a no-op) — fail loud instead
+        if pa.types.is_integer(col.type) != arr_is_int or (
+                arr_is_int and
+                pa.types.is_unsigned_integer(col.type) != unsigned):
+            raise TypeError(
+                f"gated_anti: key type mismatch — corpus {col.type} "
+                f"vs drop side; normalize the id space upstream")
+        mask = _anti_probe(ref).get_indexer(col.to_pandas()) >= 0
+        return b.filter(pa.array(~mask))
 
     return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def _widen_key(arr):
+    """Normalize an id column for the gated_anti broadcast probe:
+    integers widen to 64-bit (int64/uint64 by signedness — NEVER
+    narrow: casting a corpus batch down to a narrower drop-id type
+    crashes on legal non-member values, review finding); other types
+    pass through."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(arr.type):
+        t = pa.uint64() if pa.types.is_unsigned_integer(arr.type) \
+            else pa.int64()
+        return arr.cast(t) if not arr.type.equals(t) else arr
+    return arr
+
+
+# per-WORKER probe-index cache for gated_anti's broadcast path: the
+# pd.Index hash engine builds lazily on first get_indexer and lives as
+# long as the worker process, so a 4M-id set costs one build per
+# worker instead of one per batch. Keyed by the object ref (stable
+# across the tasks of one gated_anti call); tiny bound, cleared on
+# overflow.
+_ANTI_PROBE_CACHE: dict = {}
+
+
+def _anti_probe(ref):
+    import pandas as pd
+
+    k = ref.binary()
+    idx = _ANTI_PROBE_CACHE.get(k)
+    if idx is None:
+        if len(_ANTI_PROBE_CACHE) >= 4:
+            _ANTI_PROBE_CACHE.clear()
+        vals = ray.get(ref)                   # zero-copy plasma read
+        # get_indexer REQUIRES a unique index — drop sets may carry
+        # per-bucket duplicates
+        idx = pd.Index(vals.to_pandas()).unique()
+        idx = pd.Index(idx)
+        _ANTI_PROBE_CACHE[k] = idx
+    return idx
 
 
 def bloom_semi(ds, keys_ds, key: str, *, anti: bool = False,

@@ -137,6 +137,88 @@ def _per_ref_group_fn(hot_ref_cap: int, new_only: bool = False):
     return per_ref_group
 
 
+def _media_pairs_from_tagged(tagged, media_threshold: float,
+                             n_buckets: int):
+    """EXACT media-set Jaccard from a MATERIALIZED ``_per_ref_group_fn``
+    tagged frame → scored ``(doc_a, doc_b, media_jaccard)`` Dataset of
+    the pairs ≥ ``media_threshold`` (typed empty when no ref
+    co-occurs). ONE definition shared by the corpus pair engine and
+    the incremental gate — the Jaccard rounding, the union clamp and
+    the threshold comparison must be bit-identical between them or the
+    gates' media verdicts drift from the corpus operator's (the
+    ``_per_ref_group_fn`` argument, review finding). Per-doc size and
+    per-pair intersection folds are doc-/pair-bounded; two bucket
+    joins attach the sizes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_of
+    from ..functions.joins import bucket_hash_join
+    from .dedup import _pair_bucket
+
+    # zero co-occurring refs → the joins below would see a schema-less
+    # empty Dataset (map_groups over nothing emits no blocks); short-
+    # circuit to the typed empty leg instead
+    n_pair_rows = tagged.filter(expr="kind == 0").count()
+    if not n_pair_rows:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "media_jaccard": pa.array([], pa.float64())}))
+
+    def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("a", as_index=False)["n"].sum()
+
+    sizes_ds = tagged.filter(expr="kind == 1") \
+        .map_batches(lambda b: b.assign(
+            _db=bucket_of(b["a"].to_numpy().astype(np.uint64), n_buckets)),
+            batch_format="pandas") \
+        .groupby("_db").map_groups(doc_sizes_fold, batch_format="pandas")
+
+    def inter_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum() \
+            .rename(columns={"a": "doc_a", "b": "doc_b", "n": "inter"})
+
+    inter_ds = tagged.filter(expr="kind == 0") \
+        .map_batches(lambda b: b.assign(
+            _pb=_pair_bucket(b["a"].to_numpy(), b["b"].to_numpy(),
+                             n_buckets)), batch_format="pandas") \
+        .groupby("_pb").map_groups(inter_fold, batch_format="pandas")
+
+    def size_side(key: str):
+        def rn(b: pd.DataFrame) -> pa.Table:
+            return pa.table({key: pa.array(b["a"].to_numpy(), pa.int64()),
+                             f"n_{key[-1]}": pa.array(
+                                 b["n"].to_numpy(), pa.int64())})
+        return sizes_ds.map_batches(rn, batch_format="pandas")
+
+    def media_jac(b: pd.DataFrame) -> pa.Table:
+        inter = b["inter"].to_numpy(np.float64)
+        union = (b["n_a"].to_numpy(np.int64)
+                 + b["n_b"].to_numpy(np.int64)) - b["inter"].to_numpy()
+        mj = np.round(inter / np.maximum(union, 1), 6)
+        keep = mj >= media_threshold
+        return pa.table({
+            "doc_a": pa.array(b["doc_a"].to_numpy()[keep], pa.int64()),
+            "doc_b": pa.array(b["doc_b"].to_numpy()[keep], pa.int64()),
+            "media_jaccard": pa.array(mj[keep], pa.float64())})
+
+    def as_arrow(b: pd.DataFrame) -> pa.Table:
+        return pa.table({c: pa.array(b[c].to_numpy(), pa.int64())
+                         for c in b.columns})
+
+    j = bucket_hash_join(inter_ds, size_side("doc_a"), on="doc_a",
+                         n_buckets=n_buckets,
+                         columns_left=["doc_a", "doc_b", "inter"],
+                         columns_right=["doc_a", "n_a"])
+    j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
+                         size_side("doc_b"), on="doc_b",
+                         n_buckets=n_buckets,
+                         columns_left=["doc_a", "doc_b", "inter", "n_a"],
+                         columns_right=["doc_b", "n_b"])
+    return j.map_batches(media_jac, batch_format="pandas")
+
+
 def _record_capped_refs(op: str, tagged) -> None:
     """Fold the media leg's kind=2 cap-telemetry rows (one per ref
     bucket, already materialized) into the driver-side registry —
@@ -330,7 +412,7 @@ def dedup_interleaved(ds, n_buckets: int = 64):
 
     dropped = fps.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(drops, batch_format="pandas")
-    return _anti_drop_ids(ds, dropped)
+    return _anti_drop_ids(ds, dropped, n_buckets=n_buckets)
 
 
 def text_view_batch(b: pa.Table, sep: str = "\n") -> pa.Table:
@@ -455,7 +537,6 @@ def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
     ``dedup_interleaved``.
     """
     import pandas as pd
-    import ray.data as rd
 
     from ..functions.hashing import bucket_of, hash64_array
     from ..functions.joins import bucket_hash_join
@@ -513,68 +594,8 @@ def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
                                    batch_format="pandas") \
         .materialize()                 # pair+doc bounded; read twice below
     _record_capped_refs("interleaved_neardup", tagged)
-    # zero co-occurring refs → the joins below would see a schema-less
-    # empty Dataset (map_groups over nothing emits no blocks); short-
-    # circuit to the typed empty leg instead
-    n_pair_rows = tagged.filter(expr="kind == 0").count()
-
-    def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("a", as_index=False)["n"].sum()
-
-    sizes_ds = tagged.filter(expr="kind == 1") \
-        .map_batches(lambda b: b.assign(
-            _db=bucket_of(b["a"].to_numpy().astype(np.uint64), n_buckets)),
-            batch_format="pandas") \
-        .groupby("_db").map_groups(doc_sizes_fold, batch_format="pandas")
-
-    def inter_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["a", "b"], as_index=False)["n"].sum() \
-            .rename(columns={"a": "doc_a", "b": "doc_b", "n": "inter"})
-
-    inter_ds = tagged.filter(expr="kind == 0") \
-        .map_batches(lambda b: b.assign(
-            _pb=_pair_bucket(b["a"].to_numpy(), b["b"].to_numpy(),
-                             n_buckets)), batch_format="pandas") \
-        .groupby("_pb").map_groups(inter_fold, batch_format="pandas")
-
-    def size_side(key: str):
-        def rn(b: pd.DataFrame) -> pa.Table:
-            return pa.table({key: pa.array(b["a"].to_numpy(), pa.int64()),
-                             f"n_{key[-1]}": pa.array(
-                                 b["n"].to_numpy(), pa.int64())})
-        return sizes_ds.map_batches(rn, batch_format="pandas")
-
-    def media_jac(b: pd.DataFrame) -> pa.Table:
-        inter = b["inter"].to_numpy(np.float64)
-        union = (b["n_a"].to_numpy(np.int64)
-                 + b["n_b"].to_numpy(np.int64)) - b["inter"].to_numpy()
-        mj = np.round(inter / np.maximum(union, 1), 6)
-        keep = mj >= media_threshold
-        return pa.table({
-            "doc_a": pa.array(b["doc_a"].to_numpy()[keep], pa.int64()),
-            "doc_b": pa.array(b["doc_b"].to_numpy()[keep], pa.int64()),
-            "media_jaccard": pa.array(mj[keep], pa.float64())})
-
-    def as_arrow(b: pd.DataFrame) -> pa.Table:
-        return pa.table({c: pa.array(b[c].to_numpy(), pa.int64())
-                         for c in b.columns})
-
-    if n_pair_rows:
-        j = bucket_hash_join(inter_ds, size_side("doc_a"), on="doc_a",
-                             n_buckets=n_buckets,
-                             columns_left=["doc_a", "doc_b", "inter"],
-                             columns_right=["doc_a", "n_a"])
-        j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
-                             size_side("doc_b"), on="doc_b",
-                             n_buckets=n_buckets,
-                             columns_left=["doc_a", "doc_b", "inter", "n_a"],
-                             columns_right=["doc_b", "n_b"])
-        media_pairs = j.map_batches(media_jac, batch_format="pandas")
-    else:
-        media_pairs = rd.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "media_jaccard": pa.array([], pa.float64())}))
+    media_pairs = _media_pairs_from_tagged(tagged, media_threshold,
+                                           n_buckets)
 
     # ---- union the legs per pair, map uids back to string ids --------
     def tag_text(b: pa.Table) -> pa.Table:
@@ -858,74 +879,107 @@ def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
       highest on the ``text.QualityScore`` composite, ties → min
       doc_id — what production dedup of re-posted ads actually wants
       (keep the fullest description, not an arbitrary copy).
-      Stays distributed end-to-end: multi-member groups' ids are
-      pair-bounded; their texts are selected with ``bucket_semi``
-      (the corpus streams, never collects), scored by the actor-pool
-      kernel, joined back to their group labels with one uid bucket
-      join, and reduced per group-hash bucket.
 
-    Drop-id delivery is the size-gated ``_anti_drop_ids`` tail; spans
-    pass through byte-identical on both policies."""
+    Both policies run DIRECTLY on the uid-space pair engine
+    (``_neardup_pairs_uids`` → components) instead of the public
+    ``interleaved_neardup_groups`` — the groups operator pays a
+    corpus-sized ``label_table``, two string-restore joins and a
+    corpus sort that this operator would immediately re-hash straight
+    back to uids (review finding). Here everything past the pair
+    engine is PAIR-BOUNDED: components label only pair-involved
+    nodes, the string id map is semi-filtered to them, member texts
+    are selected by one broadcast uid probe over the streaming
+    ``text_view`` (the involved set is pair-bounded, so broadcast is
+    the right delivery), and the drop fold runs per label-hash
+    bucket. Drop-id delivery is the size-gated ``_anti_drop_ids``
+    tail; spans pass through byte-identical on both policies."""
+    import pandas as pd
+    import ray
+
+    from ..functions.blocks import df_arrow
+    from ..functions.components import connected_components
+    from ..functions.hashing import append_bucket
+    from ..functions.joins import bucket_hash_join
+    from .dedup import _pair_ids, _semi_filter_ids
+
     if keep not in ("min_id", "best_quality"):
         raise ValueError(f"keep={keep!r}: pass 'min_id' or 'best_quality'")
-    groups = interleaved_neardup_groups(
-        ds, text_threshold, media_threshold, n_buckets, **pair_kwargs)
-    if keep == "min_id":
-        dropped = groups.filter(expr="is_representative == False") \
-            .map_batches(lambda b: b.select(["doc_id"]),
-                         batch_format="pyarrow")
-        return _anti_drop_ids(ds, dropped)
-
-    import pandas as pd
-
-    from ..functions.hashing import hash64_array
-    from ..functions.joins import bucket_hash_join, bucket_semi
-
-    members = groups.filter(expr="group_size > 1").materialize()
-    if members.count() == 0:          # clean corpus: nothing to drop
+    fused, id_map = _neardup_pairs_uids(
+        ds, text_threshold, media_threshold, n_buckets,
+        pair_kwargs.get("hot_ref_cap", 256),
+        pair_kwargs.get("broadcast_max_candidates", 50_000))
+    if fused is None:                 # clean corpus: nothing to drop
         return ds
+    fused = fused.materialize()
+    comp = connected_components(fused, "doc_a", "doc_b",
+                                n_buckets=n_buckets)
+    involved = _pair_ids(fused)       # pair-bounded distinct uids
+    cand_map = _semi_filter_ids(
+        id_map.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_uid"],
+                                "doc_str": b["doc_id"]}),
+            batch_format="pyarrow"), involved).materialize()
 
-    texts = bucket_semi(
-        text_view(ds),
-        members.map_batches(lambda b: b.select(["doc_id"]),
-                            batch_format="pyarrow"),
-        "doc_id", n_buckets=n_buckets)
+    if keep == "min_id":
+        non_rep = comp.map_batches(
+            lambda b: pa.table({"node": b.filter(
+                pc.not_equal(b["node"], b["label"]))["node"]}),
+            batch_format="pyarrow")
+        dropped = bucket_hash_join(
+            non_rep, cand_map.map_batches(
+                lambda b: pa.table({"node": b["doc_id"],
+                                    "doc_id": b["doc_str"]}),
+                batch_format="pyarrow"),
+            on="node", n_buckets=n_buckets,
+            columns_left=["node"], columns_right=["node", "doc_id"]) \
+            .map_batches(lambda b: df_arrow(b[["doc_id"]]),
+                         batch_format="pandas")
+        return _anti_drop_ids(ds, dropped, n_buckets=n_buckets)
+
     from .text import QualityScore
+
+    probe_ref = ray.put(np.unique(involved))   # sorted by construction
+
+    def member_texts(b: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)             # zero-copy plasma read
+        uid = _doc_uid(b["doc_id"])
+        idx = np.searchsorted(probe, uid)
+        idx[idx == len(probe)] = 0
+        keepm = probe[idx] == uid if len(probe) \
+            else np.zeros(len(uid), bool)
+        return b.filter(pa.array(keepm))
 
     def scored_uid(b: pd.DataFrame) -> pa.Table:
         return pa.table({
-            "doc_uid": pa.array(_doc_uid(pa.array(
+            "node": pa.array(_doc_uid(pa.array(
                 b["doc_id"].astype(str))), pa.int64()),
             "doc_id": pa.array(b["doc_id"].astype(str), pa.string()),
             "quality": pa.array(b["quality"].to_numpy(np.float64),
                                 pa.float64())})
 
-    scored = texts.map_batches(QualityScore, batch_format="pandas",
-                               batch_size=2048, concurrency=(1, 4)) \
+    scored = text_view(ds) \
+        .map_batches(member_texts, batch_format="pyarrow") \
+        .map_batches(QualityScore, batch_format="pandas",
+                     batch_size=2048, concurrency=(1, 4)) \
         .map_batches(scored_uid, batch_format="pandas")
 
-    def member_uid(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].cast(pa.string())
-        return pa.table({"doc_uid": pa.array(_doc_uid(ids), pa.int64()),
-                         "group_id": b["group_id"].cast(pa.string())})
-
     labeled = bucket_hash_join(
-        scored, members.map_batches(member_uid, batch_format="pyarrow"),
-        on="doc_uid", n_buckets=n_buckets,
-        columns_left=["doc_uid", "doc_id", "quality"],
-        columns_right=["doc_uid", "group_id"])
+        scored, comp, on="node", n_buckets=n_buckets,
+        columns_left=["node", "doc_id", "quality"],
+        columns_right=["node", "label"])
 
     def drops(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["group_id", "quality", "doc_id"],
+        g = g.sort_values(["label", "quality", "doc_id"],
                           ascending=[True, False, True], kind="mergesort")
-        gid = g["group_id"].to_numpy()
-        first = np.r_[True, gid[1:] != gid[:-1]]   # the survivor row
+        lab = g["label"].to_numpy()
+        first = np.r_[True, lab[1:] != lab[:-1]]   # the survivor row
         return g.loc[~first, ["doc_id"]]
 
     dropped = labeled.map_batches(
-        lambda b: b.assign(_gb=(hash64_array(b["group_id"].tolist())
-                                % np.uint64(n_buckets)).astype(np.int32)),
+        lambda b: df_arrow(b[["node", "label", "doc_id", "quality"]]),
         batch_format="pandas") \
+        .map_batches(append_bucket("label", n_buckets, "_gb"),
+                     batch_format="pyarrow") \
         .groupby("_gb").map_groups(drops, batch_format="pandas")
     return _anti_drop_ids(ds, dropped, n_buckets=n_buckets)
 
@@ -1002,7 +1056,10 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
 
     dropped = ck.union(nk).groupby("_kb") \
         .map_groups(drops, batch_format="pandas")
-    return _anti_drop_ids(new, dropped)
+    # forward the caller's bucket count: above the broadcast cap the
+    # bucketed anti-join's per-task share must honor the same memory
+    # bound the caller sized everything else with (review finding)
+    return _anti_drop_ids(new, dropped, n_buckets=n_buckets)
 
 
 def _side_uid(col, side: int) -> np.ndarray:
@@ -1066,15 +1123,14 @@ def interleaved_neardup_incremental(corpus, new,
     Returns all columns of ``new``, survivors only, sorted by
     ``doc_id``."""
     import pandas as pd
-    import ray.data as rd
 
     from ..functions.blocks import df_arrow
     from ..functions.components import connected_components
     from ..functions.hashing import append_bucket, bucket_of, hash64_array
     from ..functions.joins import bucket_hash_join
     from .dedup import (MinHasher, _band_key_bucket, _inc_band_join,
-                        _pair_bucket, _pair_ids, _semi_filter_ids,
-                        _verify_strategy, pair_distinct)
+                        _pair_ids, _semi_filter_ids, _verify_strategy,
+                        pair_distinct)
 
     # ---- TEXT leg (NEW×ALL band join) ---------------------------------
     def uid_text(side: int):
@@ -1127,70 +1183,17 @@ def interleaved_neardup_incremental(corpus, new,
             batch_format="pandas") \
         .materialize()
     _record_capped_refs("interleaved_neardup_incremental", tagged)
-    n_pair_rows = tagged.filter(expr="kind == 0").count()
-
-    def doc_sizes_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("a", as_index=False)["n"].sum()
-
-    sizes_ds = tagged.filter(expr="kind == 1") \
-        .map_batches(lambda b: b.assign(
-            _db=bucket_of(b["a"].to_numpy().astype(np.uint64), n_buckets)),
-            batch_format="pandas") \
-        .groupby("_db").map_groups(doc_sizes_fold, batch_format="pandas")
-
-    def inter_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["a", "b"], as_index=False)["n"].sum() \
-            .rename(columns={"a": "doc_a", "b": "doc_b", "n": "inter"})
-
-    inter_ds = tagged.filter(expr="kind == 0") \
-        .map_batches(lambda b: b.assign(
-            _pb=_pair_bucket(b["a"].to_numpy(), b["b"].to_numpy(),
-                             n_buckets)), batch_format="pandas") \
-        .groupby("_pb").map_groups(inter_fold, batch_format="pandas")
-
-    def size_side(key: str):
-        def rn(b: pd.DataFrame) -> pa.Table:
-            return pa.table({key: pa.array(b["a"].to_numpy(), pa.int64()),
-                             f"n_{key[-1]}": pa.array(
-                                 b["n"].to_numpy(), pa.int64())})
-        return sizes_ds.map_batches(rn, batch_format="pandas")
-
-    def media_jac(b: pd.DataFrame) -> pa.Table:
-        inter = b["inter"].to_numpy(np.float64)
-        union = (b["n_a"].to_numpy(np.int64)
-                 + b["n_b"].to_numpy(np.int64)) - b["inter"].to_numpy()
-        mj = np.round(inter / np.maximum(union, 1), 6)
-        keep = mj >= media_threshold
-        return pa.table({
-            "doc_a": pa.array(b["doc_a"].to_numpy()[keep], pa.int64()),
-            "doc_b": pa.array(b["doc_b"].to_numpy()[keep], pa.int64())})
-
-    def as_arrow(b: pd.DataFrame) -> pa.Table:
-        return pa.table({c: pa.array(b[c].to_numpy(), pa.int64())
-                         for c in b.columns})
-
-    if n_pair_rows:
-        j = bucket_hash_join(inter_ds, size_side("doc_a"), on="doc_a",
-                             n_buckets=n_buckets,
-                             columns_left=["doc_a", "doc_b", "inter"],
-                             columns_right=["doc_a", "n_a"])
-        j = bucket_hash_join(j.map_batches(as_arrow, batch_format="pandas"),
-                             size_side("doc_b"), on="doc_b",
-                             n_buckets=n_buckets,
-                             columns_left=["doc_a", "doc_b", "inter", "n_a"],
-                             columns_right=["doc_b", "n_b"])
-        media_pairs = j.map_batches(media_jac, batch_format="pandas")
-    else:
-        media_pairs = rd.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64())}))
+    media_pairs = _media_pairs_from_tagged(tagged, media_threshold,
+                                           n_buckets)
 
     # ---- union legs -> components -> per-label drop fold ---------------
     def score_free(b: pa.Table) -> pa.Table:
         return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"]})
 
     edges = text_pairs.map_batches(score_free, batch_format="pyarrow") \
-        .union(media_pairs).materialize()
+        .union(media_pairs.map_batches(score_free,
+                                       batch_format="pyarrow")) \
+        .materialize()
     if edges.count() == 0:
         return new.sort("doc_id")
 

@@ -45,8 +45,7 @@ def test_gated_anti_paths_agree(ray_session, monkeypatch, keytype):
 
 def test_gated_anti_int_width_mismatch(ray_session, monkeypatch):
     """int32 corpus key vs int64 drop ids: both paths must still match
-    (the broadcast path casts the batch column, bucket_semi casts the
-    key side)."""
+    (keys normalize to 64-bit — widen, never narrow)."""
     left = rd.from_arrow(pa.table({
         "k": pa.array(range(20), pa.int32()),
         "v": pa.array(range(20), pa.int64())}))
@@ -56,6 +55,22 @@ def test_gated_anti_int_width_mismatch(ray_session, monkeypatch):
         got = _sorted_pdf(joins.gated_anti(left, dk, "k"), ["v"])
         assert list(got["v"]) == [i for i in range(20)
                                   if i not in (2, 5, 19)], cap
+
+
+def test_gated_anti_narrow_drop_side_wide_corpus(ray_session, monkeypatch):
+    """The REVERSE width mix — int32 DROP ids against an int64 corpus
+    holding out-of-int32-range values: the old broadcast path cast the
+    corpus batch DOWN and crashed on the legal non-member 5e9; both
+    strategies must keep it (review finding)."""
+    big = 5_000_000_000
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, big], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64())}))
+    dk = rd.from_arrow(pa.table({"k": pa.array([2], pa.int32())}))
+    for cap in (0, 10**9):
+        _force(monkeypatch, cap)
+        got = _sorted_pdf(joins.gated_anti(left, dk, "k"), ["v"])
+        assert list(got["v"]) == [10, 30, 40], cap
 
 
 def test_gated_anti_empty_drop_side_is_noop(ray_session, monkeypatch):
