@@ -173,6 +173,24 @@ def test_semantic_dedup_corpus_gate_agreement(ray_session, monkeypatch):
     assert len(got[0]) > 0
 
 
+def test_gated_anti_probe_cache_no_crosstalk(ray_session, monkeypatch):
+    """Two broadcast-path calls with DIFFERENT drop sets in one session:
+    the per-worker probe-index cache is keyed by object ref, so the
+    second call must not reuse the first call's index (a stale-cache
+    bug here would silently mis-dedup every later call in the
+    session). Also: duplicate ids on the drop side are deduped before
+    the unique-index build."""
+    _force(monkeypatch, 10**9)
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(10)),
+                                        "v": list(range(10))}))
+    d1 = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 2]}))   # dup ids
+    d2 = rd.from_pandas(pd.DataFrame({"k": [7, 8]}))
+    got1 = sorted(joins.gated_anti(left, d1, "k").to_pandas()["v"])
+    got2 = sorted(joins.gated_anti(left, d2, "k").to_pandas()["v"])
+    assert got1 == [0, 3, 4, 5, 6, 7, 8, 9]
+    assert got2 == [0, 1, 2, 3, 4, 5, 6, 9]
+
+
 # ------------------------------------------------- duplicate-id refusals
 def test_dedup_interleaved_refuses_duplicate_ids(ray_session):
     """Two rows with the SAME doc_id and identical content: an id-based
