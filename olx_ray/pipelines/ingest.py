@@ -183,7 +183,8 @@ def ingest_increment_interleaved(corpus, new, out_dir: str, *,
                                  text_threshold: float = 0.6,
                                  media_threshold: float = 0.5,
                                  n_shards: int = 16, n_buckets: int = 32,
-                                 heuristic_rules: int | None = None) -> dict:
+                                 heuristic_rules: int | None = None,
+                                 corpus_fingerprints=None) -> dict:
     """The INTERLEAVED ingestion round — ``ingest_increment`` for the
     crawl's native multimodal payload ``(doc_id, spans)``: run ``new``
     against ``corpus`` through the interleaved gate chain and write the
@@ -209,7 +210,12 @@ def ingest_increment_interleaved(corpus, new, out_dir: str, *,
 
     Returns the manifest summary plus per-gate survivor counts, the
     flat gate's contract. Driver state stays bounded: drop-id delivery
-    is the gated tail everywhere, and only counts ride back."""
+    is the gated tail everywhere, and only counts ride back.
+
+    ``corpus_fingerprints``: a persisted ``crawl.span_fingerprints``
+    sidecar for the EXACT gate (the SCALE.md recipe — turns that
+    gate's per-round corpus payload scan into a narrow key read; the
+    near gate still reads the corpus payloads for its own legs)."""
     import ray.data as rd
 
     from ..functions.blocks import ensure_arrow_schema
@@ -266,7 +272,8 @@ def ingest_increment_interleaved(corpus, new, out_dir: str, *,
         alive = counts["after_heuristic"] > 0
     if alive:
         survivors = dedup_interleaved_incremental(
-            corpus, survivors, n_buckets=n_buckets).materialize()
+            corpus, survivors, n_buckets=n_buckets,
+            corpus_fingerprints=corpus_fingerprints).materialize()
     counts["after_exact"] = survivors.count() if alive else 0
     alive = counts["after_exact"] > 0
     if alive:

@@ -984,7 +984,8 @@ def interleaved_keep_representatives(ds, text_threshold: float = 0.6,
     return _anti_drop_ids(ds, dropped, n_buckets=n_buckets)
 
 
-def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
+def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64,
+                                  corpus_fingerprints=None):
     """Ingestion-gate dedup for INTERLEAVED documents: rows of ``new``
     whose WHOLE span sequence (kind, text, media_ref, order) is not
     already in ``corpus``, first-wins (min doc_id) within the
@@ -1001,7 +1002,16 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
     contract — broadcast below the cap, bucketed above). Equality is the
     64-bit sequence digest + span count folded into one key — a false
     drop is a ~2⁻⁶⁴ collision, same acceptance as
-    ``dedup_interleaved``."""
+    ``dedup_interleaved``.
+
+    ``corpus_fingerprints``: a precomputed ``crawl.span_fingerprints``
+    Dataset for the corpus side — the FINGERPRINT SIDECAR recipe
+    (SCALE.md): at 10^10 docs the per-round corpus-side cost is the
+    100 TB payload scan that recomputes deterministic digests; persist
+    the fingerprints once (`export_shards`, ~160 GB) and pass them
+    here to skip it. Digests are pure functions of the payload, so a
+    sidecar written by the same engine version never drifts; when
+    given, ``corpus`` is ignored (pass None)."""
     import pandas as pd
 
     from ..functions.hashing import bucket_of
@@ -1029,8 +1039,9 @@ def dedup_interleaved_incremental(corpus, new, n_buckets: int = 64):
                 "_kb": pa.array(bucket_of(key, n_buckets), pa.int32())})
         return k
 
-    ck = span_fingerprints(corpus).map_batches(keyed(0),
-                                               batch_format="pyarrow")
+    cf = corpus_fingerprints if corpus_fingerprints is not None \
+        else span_fingerprints(corpus)
+    ck = cf.map_batches(keyed(0), batch_format="pyarrow")
     nk = span_fingerprints(new).map_batches(keyed(1),
                                             batch_format="pyarrow")
 

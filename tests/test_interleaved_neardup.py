@@ -466,6 +466,34 @@ def test_interleaved_neardup_incremental_matches_oracle(ray_session):
     assert sorted(got3["doc_id"]) == ["new/z"]
 
 
+def test_exact_gate_fingerprint_sidecar_equivalence(ray_session, tmp_path):
+    """The SCALE.md sidecar recipe end-to-end: persist the corpus'
+    span_fingerprints once (export_shards), read them back, feed the
+    exact gate via corpus_fingerprints — survivors identical to the
+    payload-scan path, corpus payloads never read."""
+    from olx_ray.pipelines.crawl import span_fingerprints
+    from olx_ray.pipelines.export import export_shards, read_shards
+    from olx_ray.pipelines.spans import dedup_interleaved_incremental
+
+    corpus = _docs(ROWS)
+    side = str(tmp_path / "fp_sidecar")
+    export_shards(span_fingerprints(corpus), side, key="doc_id",
+                  n_shards=4)
+
+    new_rows = [("new/a2", ROWS[0][1]),        # exact re-crawl -> drop
+                ("new/x", [("description", "a new doc about kayaks and "
+                            "paddles in mint condition", None)])]
+    direct = dedup_interleaved_incremental(
+        corpus, _docs(new_rows)).to_pandas().sort_values("doc_id")
+    via_sidecar = dedup_interleaved_incremental(
+        None, _docs(new_rows),
+        corpus_fingerprints=read_shards(side)).to_pandas() \
+        .sort_values("doc_id")
+    assert list(direct["doc_id"]) == list(via_sidecar["doc_id"]) == ["new/x"]
+    for a, b in zip(direct["spans"], via_sidecar["spans"]):
+        assert [dict(s) for s in a] == [dict(s) for s in b]
+
+
 def test_incremental_refuses_duplicate_increment_ids(ray_session):
     """Same doc_id twice in the increment: the id anti-filter would
     silently delete BOTH copies — must refuse loudly instead (the
