@@ -489,6 +489,69 @@ def media_refs(ds):
     return ds.map_batches(refs, batch_format="pyarrow")
 
 
+def attach_media_features(ds, features, n_buckets: int = 32,
+                          max_broadcast_rows: int = 1_000_000):
+    """Close the ``media_refs`` round trip: join a decoded-feature
+    table (``media_ref`` + any feature columns — e.g.
+    ``multimodal.media_features`` output keyed by ref) back onto the
+    interleaved documents' media spans → one row per media span,
+    ``(doc_id, offset, media_ref, <features...>)``, the span's
+    interleaving position preserved so callers can rebuild or filter
+    spans by media quality.
+
+    Delivery is size-gated like every small-side join: a feature table
+    ≤ ``max_broadcast_rows`` ships once via ``broadcast_join`` (no
+    shuffle — the common per-round decode output); a bigger one rides
+    a ``bucket_hash_join`` on the ref HASH with an exact string-equality
+    verify inside each bucket task (hash collisions cannot fabricate a
+    join). Spans whose ref has no feature row are DROPPED from the
+    result (inner join — undecoded media is the caller's worklist,
+    ``media_refs`` minus this output)."""
+    import pandas as pd
+
+    from ..functions.blocks import collect_pandas, df_arrow
+    from ..functions.hashing import hash64_array
+    from ..functions.joins import broadcast_join, bucket_hash_join
+
+    features = features.materialize()     # counted + joined
+    feat_cols = [c for c in features.schema().names if c != "media_ref"]
+    if not feat_cols:
+        raise ValueError("attach_media_features: the feature table "
+                         "needs at least one column besides media_ref")
+    work = media_refs(ds)
+    if features.count() <= max_broadcast_rows:
+        small = collect_pandas(features,
+                               {"media_ref": str,
+                                **{c: object for c in feat_cols}})
+        return broadcast_join(work, small, on="media_ref")
+
+    def add_uid(name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(name, pa.array(
+                hash64_array(b["media_ref"]).astype(np.int64), pa.int64()))
+        return fn
+
+    def verify(j: pd.DataFrame) -> pa.Table:
+        # exact string equality: an equal-hash different-ref pair must
+        # not fabricate a feature attachment (~2⁻⁶⁴, but free to check)
+        ok = j[j["media_ref"].to_numpy() == j["_ref_r"].to_numpy()]
+        return df_arrow(ok[["doc_id", "offset", "media_ref"] + feat_cols])
+
+    right = features.map_batches(
+        lambda b: b.rename_columns(
+            ["_ref_r" if c == "media_ref" else c
+             for c in b.schema.names]), batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column("_ruid", pa.array(
+            hash64_array(b["_ref_r"]).astype(np.int64), pa.int64())),
+            batch_format="pyarrow")
+    return bucket_hash_join(
+        work.map_batches(add_uid("_ruid"), batch_format="pyarrow"),
+        right, on="_ruid", n_buckets=n_buckets,
+        columns_left=["_ruid", "doc_id", "media_ref", "offset"],
+        columns_right=["_ruid", "_ref_r"] + feat_cols,
+        post=verify)
+
+
 def _neardup_pairs_uids(ds, text_threshold: float, media_threshold: float,
                         n_buckets: int, hot_ref_cap: int,
                         broadcast_max_candidates: int):

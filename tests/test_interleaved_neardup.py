@@ -466,6 +466,37 @@ def test_interleaved_neardup_incremental_matches_oracle(ray_session):
     assert sorted(got3["doc_id"]) == ["new/z"]
 
 
+def test_attach_media_features_both_paths(ray_session):
+    """The media_refs round trip: decoded features join back onto the
+    media spans at their interleaving offsets — broadcast and bucketed
+    deliveries identical; refs without features drop (inner join)."""
+    import pandas as pd
+
+    from olx_ray.pipelines.spans import attach_media_features
+
+    rows = [
+        ("d/1", [("title", "one", None), ("image", None, "m1"),
+                 ("image", None, "m2")]),
+        ("d/2", [("description", "two", None), ("image", None, "m2"),
+                 ("image", None, "zz")]),       # zz: no feature row
+    ]
+    feats = rd.from_pandas(pd.DataFrame({
+        "media_ref": ["m1", "m2"],
+        "width": np.array([16, 32], np.int64),
+        "feat": [0.5, 0.25]}))
+    want = {("d/1", 1, "m1", 16, 0.5), ("d/1", 2, "m2", 32, 0.25),
+            ("d/2", 1, "m2", 32, 0.25)}
+    for cap in (10**9, 0):                      # broadcast, then bucketed
+        got = attach_media_features(_docs(rows), feats,
+                                    max_broadcast_rows=cap).to_pandas()
+        assert {(r.doc_id, r.offset, r.media_ref, int(r.width),
+                 float(r.feat)) for r in got.itertuples()} == want, cap
+    with pytest.raises(ValueError, match="at least one column"):
+        attach_media_features(
+            _docs(rows),
+            rd.from_pandas(pd.DataFrame({"media_ref": ["m1"]})))
+
+
 def test_exact_gate_fingerprint_sidecar_equivalence(ray_session, tmp_path):
     """The SCALE.md sidecar recipe end-to-end: persist the corpus'
     span_fingerprints once (export_shards), read them back, feed the
